@@ -1,0 +1,69 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage (ships via --py-files, see jobs/package.sh):
+
+    spark-submit --py-files dist/ocr_spark.zip jobs/extract.py \
+        --input /path/to/transcripts --output /path/to/warehouse \
+        --run-id R1 [--buckets 64] [--group-size 8] [--partitions 256] \
+        [--salt-threshold 10000] [--salt-buckets 16] [--reset] \
+        [--export-json /path/out_json]
+
+Graft of the reference's headless API mode (/root/reference/README.md:51-56:
+drop files in images/ -> upload.bat -> download.bat -> reset.bat): folder
+in, resumable server-held state (lineage), results out, reset verb.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="ocr_spark extraction job")
+    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--output", required=True, help="warehouse root dir")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--group-size", type=int, default=8)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--salt-threshold", type=int, default=10_000)
+    ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--reset", action="store_true", help="forget run commits")
+    ap.add_argument("--export-json", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.io import ExtractWriter
+
+    spark = (
+        SparkSession.builder.appName(f"ocr_spark-extract-{args.run_id}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    writer = ExtractWriter(args.output)
+    if args.reset:
+        writer.reset(args.run_id)
+
+    transcripts = spark.read.parquet(args.input)
+    committed = writer.run(
+        spark,
+        transcripts,
+        args.run_id,
+        n_buckets=args.buckets,
+        group_size=args.group_size,
+        partitions=args.partitions,
+        salt_buckets=args.salt_buckets,
+        salt_threshold=args.salt_threshold,
+    )
+    print(f"committed buckets this run: {sorted(committed)}")
+    if args.export_json:
+        writer.export_json(spark, args.export_json)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""The fused extraction stage — one Arrow-vectorized pandas UDF.
+
+Graft of the reference's whole per-image chain (detect -> normalize ->
+3 recognizers -> vote -> validate -> record, /root/reference
+README.md:18-21) fused into a single scalar ``pandas_udf`` returning a
+struct: fan-out *inside* one kernel beats three plan branches (no triple
+scan, no shuffle between stages — SURVEY.md §4.1).
+
+Plan shape (SURVEY.md §3.4):
+
+    scan -> [optional salted conv_id-hash repartition] -> pandas UDF
+         -> struct expansion (zero extra exchange)
+
+Column pruning is explicit: only (conv_id, turn_idx, text, tool) plus
+caller-requested passthrough columns reach the UDF stage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ocr_spark.partitioning import repartition_salted
+from ocr_spark.schema import EXTRACT_RESULT
+
+
+def make_extract_udf():
+    """Build the fused extraction UDF (Arrow batches in and out)."""
+    from ocr_spark.kernels import extract_batch  # import on executor too
+
+    @pandas_udf(EXTRACT_RESULT)
+    def extract_udf(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+        return extract_batch(text, tool)
+
+    return extract_udf
+
+
+def extract(
+    df: DataFrame,
+    *,
+    partitions: int | None = None,
+    salt_buckets: int = 16,
+    salt_threshold: int = 10_000,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Run the extraction pipeline over a transcripts DataFrame.
+
+    Returns the EXTRACTED schema (plus ``passthrough`` columns). With
+    ``partitions`` set, performs the salted conv_id-hash repartition
+    first (the one shuffle of the pipeline); otherwise extraction is a
+    pure map over the scan partitions.
+    """
+    passthrough = passthrough or []
+    cols = ["conv_id", "turn_idx", "text", "tool", *passthrough]
+    pruned = df.select(*dict.fromkeys(cols))
+
+    staged = (
+        repartition_salted(
+            pruned,
+            partitions,
+            salt_buckets=salt_buckets,
+            salt_threshold=salt_threshold,
+        )
+        if partitions
+        else pruned
+    )
+
+    udf = make_extract_udf()
+    res = staged.withColumn("_r", udf(F.col("text"), F.col("tool")))
+    return res.select(
+        "conv_id",
+        "turn_idx",
+        F.current_timestamp().alias("processed_at"),
+        F.col("_r.candidates").alias("candidates"),
+        F.col("_r.text").alias("text"),
+        F.col("_r.spans").alias("spans"),
+        F.col("_r.score").alias("score"),
+        F.col("_r.error").alias("error"),
+        *passthrough,
+    )

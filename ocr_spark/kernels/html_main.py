@@ -1,0 +1,319 @@
+"""Extractor A — HTML main-content (boilerplate) extraction.
+
+Graft of the reference's "recognizer A" stage (EasyOCR-ko,
+/root/reference/README.md:20 and readmeImage/flowchart.png) plus its
+detect-largest-region idiom (/root/reference/documents/최종발표질의응답.md:28:
+when several plates are detected, keep the largest bounding box).
+
+Algorithm: Arc90-Readability / Boilerpipe-style block scoring —
+1. parse the document with stdlib ``html.parser`` (lxml is not available
+   in this environment; the parser is tolerant of malformed markup),
+2. credit every text chunk to its innermost open block element ("leaf"),
+3. score each leaf by text mass × (1 - link_density)² × a tag prior,
+4. sum leaf scores into their *parent* container (the Arc90 idiom:
+   paragraphs vote for their container),
+5. the argmax container wins — the "largest bbox" graft — and its leaf
+   texts, in document order, are the extracted main content.
+
+The same parse pass renders the full text with typed spans (heading /
+code / list_item / link) consumed by extractor C (spans.py), and an
+exact chunk-level offset map so spans can be re-anchored into the main
+text without lossy string search.
+
+Everything here is deterministic, pure Python/pandas, dependency-free.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Block-level elements: opening one starts a new leaf scope.
+BLOCK_TAGS = frozenset(
+    """p div article section main li h1 h2 h3 h4 h5 h6 pre td th
+    blockquote ul ol table tr nav aside header footer figure figcaption
+    dd dt body html""".split()
+)
+
+# Content ignored entirely (boilerplate by construction).
+SKIP_TAGS = frozenset("script style noscript template head title svg".split())
+
+# Tag priors: how likely direct text under this tag is main content.
+TAG_PRIOR = {
+    "p": 1.0,
+    "pre": 1.0,
+    "blockquote": 1.0,
+    "figcaption": 0.8,
+    "h1": 0.8,
+    "h2": 0.8,
+    "h3": 0.8,
+    "h4": 0.7,
+    "h5": 0.7,
+    "h6": 0.7,
+    "li": 0.7,
+    "dd": 0.7,
+    "dt": 0.7,
+    "td": 0.6,
+    "th": 0.6,
+    "div": 0.8,
+    "section": 0.8,
+    "article": 1.0,
+    "main": 1.0,
+    # boilerplate containers: heavy penalty
+    "nav": 0.1,
+    "aside": 0.15,
+    "header": 0.2,
+    "footer": 0.1,
+}
+DEFAULT_PRIOR = 0.5
+
+SPAN_KIND = {
+    "h1": "heading",
+    "h2": "heading",
+    "h3": "heading",
+    "h4": "heading",
+    "h5": "heading",
+    "h6": "heading",
+    "pre": "code",
+    "code": "code",
+    "li": "list_item",
+    "a": "link",
+}
+
+_WS_RE = re.compile(r"\s+")
+
+
+def collapse_ws(s: str) -> str:
+    """Whitespace canonicalization used across all kernels."""
+    return _WS_RE.sub(" ", s).strip()
+
+
+@dataclass
+class _Block:
+    bid: int
+    tag: str
+    parent: int  # parent block id (-1 for root)
+    order: int = 0  # document order of first text chunk (set lazily)
+    link_chars: int = 0
+    text_chars: int = 0
+    chunk_ids: list = field(default_factory=list)
+
+
+@dataclass
+class HtmlResult:
+    """Everything one parse pass yields."""
+
+    main_text: str
+    score: float
+    full_text: str
+    full_spans: list  # [(start, end, kind)] in full_text coords
+    main_spans: list  # same spans remapped into main_text coords
+
+
+class _Extractor(HTMLParser):
+    """Single-pass parser: block scoring + full-text-with-spans rendering."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = [_Block(0, "<root>", -1)]
+        self.block_stack: list[int] = [0]
+        self.tag_stack: list[str] = []
+        self.skip_depth = 0
+        self.link_depth = 0
+        self._order = 0
+        # chunks: (block_id, text, full_start) — full_text is
+        # " ".join(chunk texts), so full_start is exact by construction
+        self.chunks: list[tuple[int, str, int]] = []
+        self.full_len = 0
+        self.spans: list[tuple[int, int, str]] = []
+        self._open_spans: list[list] = []  # [kind, full_start, tag]
+
+    # -- tag handling -------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        if self.skip_depth:
+            return
+        self.tag_stack.append(tag)
+        if tag == "a":
+            self.link_depth += 1
+        if tag in BLOCK_TAGS:
+            bid = len(self.blocks)
+            self.blocks.append(_Block(bid, tag, self.block_stack[-1]))
+            self.block_stack.append(bid)
+        if tag in SPAN_KIND:
+            start = self.full_len + (1 if self.chunks else 0)
+            self._open_spans.append([SPAN_KIND[tag], start, tag])
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if self.skip_depth:
+            return
+        # tolerant unwinding for malformed nesting
+        if tag in self.tag_stack:
+            while self.tag_stack:
+                popped = self.tag_stack.pop()
+                self._close_for(popped)
+                if popped == tag:
+                    break
+
+    def _close_for(self, tag):
+        if tag == "a":
+            self.link_depth = max(0, self.link_depth - 1)
+        if tag in BLOCK_TAGS and len(self.block_stack) > 1:
+            self.block_stack.pop()
+        if tag in SPAN_KIND:
+            for i in range(len(self._open_spans) - 1, -1, -1):
+                if self._open_spans[i][2] == tag:
+                    kind, start, _ = self._open_spans.pop(i)
+                    end = self.full_len
+                    if end > start:
+                        self.spans.append((start, end, kind))
+                    break
+
+    def close(self):
+        super().close()
+        # close any spans left open by malformed markup
+        while self._open_spans:
+            kind, start, _ = self._open_spans.pop()
+            if self.full_len > start:
+                self.spans.append((start, self.full_len, kind))
+
+    # -- text handling ------------------------------------------------
+    def handle_data(self, data):
+        if self.skip_depth:
+            return
+        txt = collapse_ws(data)
+        if not txt:
+            return
+        blk = self.blocks[self.block_stack[-1]]
+        if not blk.chunk_ids:
+            self._order += 1
+            blk.order = self._order
+        start = self.full_len + (1 if self.chunks else 0)
+        blk.chunk_ids.append(len(self.chunks))
+        blk.text_chars += len(txt)
+        if self.link_depth:
+            blk.link_chars += len(txt)
+        self.chunks.append((blk.bid, txt, start))
+        self.full_len = start + len(txt)
+
+
+def _leaf_score(b: _Block) -> float:
+    if b.text_chars == 0:
+        return 0.0
+    link_density = b.link_chars / b.text_chars
+    prior = TAG_PRIOR.get(b.tag, DEFAULT_PRIOR)
+    return b.text_chars * (1.0 - link_density) ** 2 * prior
+
+
+def _boilerplate_penalty(blocks: list[_Block], bid: int) -> float:
+    """Walk ancestors: a leaf under nav/aside/header/footer is boilerplate."""
+    pen = 1.0
+    cur = bid
+    seen = 0
+    while cur > 0 and seen < 64:
+        tag = blocks[cur].tag
+        if tag in ("nav", "aside", "header", "footer"):
+            pen = min(pen, TAG_PRIOR[tag])
+        cur = blocks[cur].parent
+        seen += 1
+    return pen
+
+
+def _remap_spans(
+    spans: list[tuple[int, int, str]],
+    chunks: list[tuple[int, str, int]],
+    win_chunk_main_start: dict[int, int],
+) -> list[tuple[int, int, str]]:
+    """Exact span remap: full_text coords -> main_text coords via the
+    per-chunk offset map (only chunks of winning leaves survive)."""
+    out = []
+    for s, e, kind in sorted(spans):
+        lo = None
+        hi = None
+        for ci, (_bid, txt, fstart) in enumerate(chunks):
+            if ci not in win_chunk_main_start:
+                continue
+            fend = fstart + len(txt)
+            if fend <= s or fstart >= e:
+                continue
+            mstart = win_chunk_main_start[ci]
+            a = mstart + max(0, s - fstart)
+            b = mstart + min(len(txt), e - fstart)
+            lo = a if lo is None else min(lo, a)
+            hi = b if hi is None else max(hi, b)
+        if lo is not None and hi is not None and hi > lo:
+            out.append((lo, hi, kind))
+    return out
+
+
+def extract_html(raw: str) -> HtmlResult:
+    """Run extractor A on one payload; also yields extractor C's view."""
+    if not raw or not raw.strip():
+        return HtmlResult("", 0.0, "", [], [])
+    if "<" not in raw:
+        # not markup: normalization identity, weak applicability prior
+        norm = collapse_ws(raw)
+        return HtmlResult(norm, 0.3 if norm else 0.0, norm, [], [])
+
+    p = _Extractor()
+    try:
+        p.feed(raw)
+        p.close()
+    except Exception:  # html.parser rarely raises, but never kill the row
+        norm = collapse_ws(raw)
+        return HtmlResult(norm, 0.05, norm, [], [])
+
+    full_text = " ".join(txt for _bid, txt, _s in p.chunks)
+    spans = sorted(p.spans)
+    leaves = [b for b in p.blocks if b.text_chars > 0]
+    if not leaves:
+        return HtmlResult("", 0.0, full_text, spans, [])
+
+    # Arc90 vote: leaves credit their parent container.
+    container_score: dict[int, float] = {}
+    container_leaves: dict[int, list[_Block]] = {}
+    for b in leaves:
+        s = _leaf_score(b) * _boilerplate_penalty(p.blocks, b.bid)
+        parent = b.parent if b.parent >= 0 else 0
+        container_score[parent] = container_score.get(parent, 0.0) + s
+        container_leaves.setdefault(parent, []).append(b)
+
+    total = sum(container_score.values())
+    if total <= 0:
+        return HtmlResult("", 0.0, full_text, spans, [])
+    # argmax container; ties -> smallest container id (document order)
+    win = min(container_score, key=lambda c: (-container_score[c], c))
+    win_leaves = sorted(container_leaves[win], key=lambda b: (b.order, b.bid))
+
+    # main text: leaf chunks joined by ' ' within a leaf, '\n' across
+    # leaves; record each winning chunk's main_text start offset
+    main_parts: list[str] = []
+    main_len = 0
+    chunk_main_start: dict[int, int] = {}
+    for li, b in enumerate(win_leaves):
+        for k, ci in enumerate(b.chunk_ids):
+            txt = p.chunks[ci][1]
+            if main_parts:
+                main_len += 1  # '\n' between leaves, ' ' within — both 1 char
+            chunk_main_start[ci] = main_len
+            main_parts.append(txt)
+            main_len += len(txt)
+    main_text = ""
+    pos = 0
+    pieces = []
+    for li, b in enumerate(win_leaves):
+        leaf_txt = " ".join(p.chunks[ci][1] for ci in b.chunk_ids)
+        pieces.append(leaf_txt)
+    main_text = "\n".join(pieces).strip()
+
+    main_spans = _remap_spans(spans, p.chunks, chunk_main_start)
+    dominance = container_score[win] / total
+    mass = min(1.0, len(main_text) / 40.0)
+    score = round(min(1.0, 0.2 + 0.8 * dominance) * mass, 6)
+    return HtmlResult(main_text, score, full_text, spans, main_spans)
