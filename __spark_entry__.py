@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline (the fused pandas-UDF
+chain) at sf0.001; ``queries``/``oracle_sql`` expose every implemented
+operator from SURVEY.md §2 with DuckDB-verifiable oracles (see
+``ocr_spark.driver_contract`` for the implementations).
 """
 
 from __future__ import annotations
@@ -15,24 +14,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (html route, boilerplate strip,
+    3-candidate ensemble, spans, error channel) over sf0.001 documents
+    reshaped as transcripts."""
+    from ocr_spark.driver_contract import _docs_as_transcripts
+    from ocr_spark.extract import extract
+
+    t = _docs_as_transcripts(spark, "/root/testdata/sf0.001", "html")
+    return extract(t, partitions=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_spark.driver_contract import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_spark.driver_contract import ORACLES
+
+    return dict(ORACLES)

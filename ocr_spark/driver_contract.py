@@ -1,0 +1,539 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Each entry pairs a Spark implementation (built on the operators in
+``ocr_spark.operators`` and the extraction pipeline) with an ANSI-SQL
+oracle DuckDB runs on the same parquet tables. Column names and rounding
+are aligned on both sides because the driver hashes values after sorting
+columns by name.
+
+Float policy: every derived double is ``round``-ed (2-4 dp) on both
+sides so cross-engine summation order cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ocr_spark.operators import dedup as D
+from ocr_spark.operators import relational as R
+from ocr_spark.operators import similarity as S
+from ocr_spark.operators import textops as X
+from ocr_spark.operators.textops import _STOP_SQL
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Shared HTML wrapper used by the html-route extraction check: the
+# <article> body is the document text, so golden output == ws-collapsed
+# input — SQL-expressible.
+_HTML_PRE = (
+    '<html><body><nav><ul><li><a href="/a">home link</a></li>'
+    '<li><a href="/b">about pages</a></li></ul></nav><article><p>'
+)
+_HTML_POST = (
+    "</p></article><footer><p>copyright footer legal notice</p>"
+    "</footer></body></html>"
+)
+
+# DuckDB word-3-gram shingle CTE (mirrors dedup._with_shingles n=3).
+_SH_CTE = """
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest([array_to_string(t[i + 1:i + 3], ' ')
+                   for i in range(0, len(t) - 2)]) AS shingle
+    FROM toks WHERE len(t) >= 3
+)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       sa.sz AS size_a, sb.sz AS size_b,
+       round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
+"""
+
+_MINHASH_SQL = f"""
+WITH {_SH_CTE},
+mh AS (
+    SELECT doc_id, seed, min(md5(seed || '#' || shingle)) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed)
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+           md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
+    FROM mh GROUP BY doc_id, band
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+ver AS (
+    SELECT doc_a, doc_b,
+           round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT c.doc_a, c.doc_b, v.jaccard
+FROM cands c JOIN ver v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+WHERE v.jaccard >= 0.05
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = []
+    for j in range(bits):
+        d = j // 4
+        shift = j % 4
+        digit = (
+            f"(strpos('0123456789abcdef', substring(hx, {d + 1}, 1)) - 1)"
+        )
+        sums.append(
+            f"sum(CASE WHEN (({digit} >> {shift}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS s{j}"
+        )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+hexed AS (
+    SELECT doc_id, substring(md5(tok), 1, {bits // 4}) AS hx
+    FROM toks WHERE tok <> ''
+),
+agg AS (SELECT doc_id, {', '.join(sums)} FROM hexed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# query implementations (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+
+def q_run_stats_lineitem(spark, sf_dir):
+    """O17 hash aggregation (TPC-H Q1 shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_window_turn_order(spark, sf_dir):
+    """O14/window: stable intra-group ordering via row_number."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_anti_join_resume(spark, sf_dir):
+    """O16 resume shape: units without a committed row (left_anti)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return R.resume_anti_join(
+        cust.select("c_custkey"), orders, "c_custkey"
+    )
+
+
+def q_override_join(spark, sf_dir):
+    """O13 upsert: broadcast left join + coalesce."""
+    docs = load(spark, sf_dir, "documents")
+    overrides = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id"),
+            F.lit("OVERRIDDEN").alias("text"),
+        )
+    )
+    ov = overrides.select("doc_id", F.col("text").alias("_o"))
+    return (
+        docs.join(F.broadcast(ov), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_o", "text").alias("text_final"),
+            F.col("_o").isNotNull().alias("overridden"),
+        )
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    return X.with_token_count(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return X.with_lang_guess(load(spark, sf_dir, "documents")).select(
+        "doc_id", "stop_hits", "lang_guess"
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    return X.with_quality(load(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return X.with_fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.cosine_topk(emb, queries, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.lsh_cosine_topk(emb, queries, k=5, dims=8)
+
+
+def q_group_topk(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"), "rank",
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _docs_as_transcripts(spark, sf_dir, tool):
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        (
+            F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+            if tool == "html"
+            else F.col("text")
+        ).alias("text"),
+        (F.lit(tool) if tool else F.lit(None).cast("string")).alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    return t
+
+
+def q_extract_plain_route(spark, sf_dir):
+    """The REAL pandas-UDF pipeline over the plain route: output text
+    must equal the ws-collapsed input (SQL-expressible golden)."""
+    from ocr_spark.extract import extract
+
+    t = _docs_as_transcripts(spark, sf_dir, None)
+    ext = extract(t)
+    return ext.select(
+        F.expr("CAST(substring(conv_id, 2) AS BIGINT)").alias("doc_id"),
+        F.col("text"),
+        "error",
+    )
+
+
+def q_extract_html_route(spark, sf_dir):
+    """The REAL pandas-UDF pipeline over the html route: boilerplate
+    (nav/footer) must be stripped, leaving exactly the article text."""
+    from ocr_spark.extract import extract
+
+    t = _docs_as_transcripts(spark, sf_dir, "html")
+    ext = extract(t)
+    return ext.select(
+        F.expr("CAST(substring(conv_id, 2) AS BIGINT)").alias("doc_id"),
+        F.col("text"),
+        "error",
+    )
+
+
+def q_dedup_turns(spark, sf_dir):
+    """O2 dropDuplicates on the natural key, over a table with injected
+    duplicates (union with itself)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(docs.limit(100))
+    return R.dedup_turns(
+        dup.withColumnRenamed("doc_id", "conv_id").withColumn(
+            "turn_idx", F.lit(0)
+        )
+    ).select(F.col("conv_id").alias("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable] = {
+    "run_stats_lineitem": q_run_stats_lineitem,
+    "window_turn_order": q_window_turn_order,
+    "anti_join_resume": q_anti_join_resume,
+    "override_join": q_override_join,
+    "dedup_exact": q_dedup_exact,
+    "dedup_turns": q_dedup_turns,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+    "group_topk": q_group_topk,
+    "revenue_by_nation": q_revenue_by_nation,
+    "extract_plain_route": q_extract_plain_route,
+    "extract_html_route": q_extract_html_route,
+}
+
+ORACLES: dict[str, str] = {
+    "run_stats_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "window_turn_order": """
+        SELECT user_id, event_id, rn FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+    "anti_join_resume": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "override_join": """
+        SELECT d.doc_id,
+               coalesce(o.otext, d.text) AS text_final,
+               o.otext IS NOT NULL AS overridden
+        FROM documents d
+        LEFT JOIN (
+            SELECT doc_id, 'OVERRIDDEN' AS otext
+            FROM documents WHERE doc_id % 50 = 0
+        ) o ON d.doc_id = o.doc_id
+    """,
+    "dedup_exact": """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint,
+               min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "dedup_turns": """
+        SELECT doc_id FROM documents
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> lower(t) IN ({_STOP_SQL}))) AS stop_hits,
+               CASE WHEN len(list_filter(
+                        regexp_split_to_array(trim(text), '\\s+'),
+                        t -> lower(t) IN ({_STOP_SQL}))) >= 2
+                    THEN 'en' ELSE 'unknown' END AS lang_guess
+        FROM documents
+    """,
+    "quality_score": f"""
+        SELECT doc_id,
+               round(
+                 0.4 * least(1.0,
+                     len(regexp_split_to_array(trim(text), '\\s+')) / 50.0)
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        / length(text))
+               + 0.3 * least(1.0,
+                     5.0 * len(list_filter(
+                         regexp_split_to_array(trim(text), '\\s+'),
+                         t -> lower(t) IN ({_STOP_SQL})))
+                     / len(regexp_split_to_array(trim(text), '\\s+'))),
+               4) AS quality
+        FROM documents
+    """,
+    "fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM documents
+    """,
+    "ngram_jaccard": _JACCARD_SQL,
+    "minhash_lsh": _MINHASH_SQL,
+    "simhash": _simhash_sql(16),
+    "cosine_topk": """
+        SELECT q_id, vec_id, cos, rank FROM (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+                         4) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    q.embedding, e.embedding), 4) DESC,
+                                e.vec_id) AS rank
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        ) WHERE rank <= 5
+    """,
+    "ann_lsh": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+                   AS bucket
+            FROM embeddings
+        )
+        SELECT q_id, vec_id, cos, rank FROM (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+                         4) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    q.embedding, e.embedding), 4) DESC,
+                                e.vec_id) AS rank
+            FROM b q JOIN b e ON q.bucket = e.bucket
+            WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        ) WHERE rank <= 5
+    """,
+    "group_topk": """
+        SELECT l_returnflag, l_orderkey, l_linenumber, price, rank FROM (
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   round(l_extendedprice, 2) AS price,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey,
+                                l_linenumber) AS rank
+            FROM lineitem
+        ) WHERE rank <= 3
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "extract_plain_route": """
+        SELECT doc_id,
+               regexp_replace(trim(text), '\\s+', ' ', 'g') AS text,
+               '' AS error
+        FROM documents
+    """,
+    "extract_html_route": """
+        SELECT doc_id,
+               regexp_replace(trim(text), '\\s+', ' ', 'g') AS text,
+               '' AS error
+        FROM documents
+    """,
+}

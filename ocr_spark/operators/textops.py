@@ -1,0 +1,70 @@
+"""Text-analysis operators for a training-data pipeline.
+
+Language-ID (stopword-hit heuristic), quality scoring (token/alpha/
+stopword ratios), token counting (whitespace split), and document
+fingerprinting (md5 of the whitespace-canonicalized text). All pure
+built-in column expressions — JVM-side, codegen'd, no UDFs — so they
+push down, prune, and scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Small English stopword list shared verbatim with the DuckDB oracles.
+STOPWORDS = (
+    "the a an and or of to in is it on for with as at by from this that",
+)
+STOPWORD_LIST = STOPWORDS[0].split()
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORD_LIST)
+
+TOKENS = r"split(trim(text), '\\s+')"
+
+
+def with_token_count(df: DataFrame) -> DataFrame:
+    """n_tokens per document (whitespace tokenizer)."""
+    return df.withColumn(
+        "n_tokens",
+        F.when(F.trim("text") == "", F.lit(0)).otherwise(
+            F.size(F.expr(TOKENS))
+        ),
+    )
+
+
+def with_fingerprint(df: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of lower + ws-collapsed."""
+    return df.withColumn(
+        "fingerprint",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")),
+    )
+
+
+def with_lang_guess(df: DataFrame, min_hits: int = 2) -> DataFrame:
+    """n-gram-free language ID heuristic: >=min_hits English stopword
+    tokens -> 'en', else 'unknown'."""
+    hits = F.expr(
+        f"size(filter({TOKENS}, t -> lower(t) IN ({_STOP_SQL})))"
+    )
+    return df.withColumn("stop_hits", hits).withColumn(
+        "lang_guess",
+        F.when(F.col("stop_hits") >= min_hits, F.lit("en")).otherwise(
+            F.lit("unknown")
+        ),
+    )
+
+
+def with_quality(df: DataFrame) -> DataFrame:
+    """Quality score in [0,1]: length, alpha ratio, stopword ratio."""
+    n_tokens = F.size(F.expr(TOKENS))
+    n_chars = F.length(F.col("text"))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    stop_hits = F.expr(
+        f"size(filter({TOKENS}, t -> lower(t) IN ({_STOP_SQL})))"
+    )
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        + F.lit(0.3) * (alpha / n_chars)
+        + F.lit(0.3)
+        * F.least(F.lit(1.0), F.lit(5.0) * stop_hits / n_tokens)
+    )
+    return df.withColumn("quality", F.round(quality, 4))
