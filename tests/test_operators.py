@@ -1,0 +1,104 @@
+"""Operator spot checks on constructed data (dedup, similarity,
+textops). The cross-engine value checks live in the driver contract;
+these tests pin the *semantics* on hand-built cases."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ocr_spark.operators.similarity import cosine_topk
+from ocr_spark.operators.textops import (
+    with_fingerprint,
+    with_lang_guess,
+    with_quality,
+    with_token_count,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_exact_dedup_groups_ws_insensitive(spark):
+    docs = _docs(
+        spark,
+        ["hello world", "Hello   world", "different entirely", "hello world"],
+    )
+    out = exact_dedup(docs).collect()
+    groups = {r.keep_id: r.n_dups for r in out}
+    assert groups == {0: 3, 2: 1}
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"
+    far = "completely unrelated text about spark shuffle partitions here"
+    out = ngram_jaccard_pairs(
+        _docs(spark, [base, near, far]), threshold=0.3
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.8
+    assert all(far_id not in k for k in pairs for far_id in (2,))
+
+
+def test_minhash_lsh_recalls_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base + "extra"
+    far = "one two three four five six seven eight nine ten " * 3
+    out = minhash_lsh_pairs(
+        _docs(spark, [base, near, far]), threshold=0.3
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(0, 1)}
+
+
+def test_simhash_similar_docs_close(spark):
+    a = "spark shuffle partition arrow batch kernel vector column"
+    b = a + " extra"
+    c = "totally different words entirely unrelated content here now"
+    fp = {r.doc_id: r.simhash for r in simhash(_docs(spark, [a, b, c])).collect()}
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert ham(fp[0], fp[1]) < ham(fp[0], fp[2])
+
+
+def test_cosine_topk_exact_neighbor(spark):
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": [
+                    [1.0, 0.0, 0.0],
+                    [0.99, 0.1, 0.0],   # nearest to 0
+                    [0.0, 1.0, 0.0],
+                    [-1.0, 0.0, 0.0],   # opposite
+                ],
+            }
+        )
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].cos > 0.99 and out[2].cos == -1.0
+
+
+def test_textops_basics(spark):
+    docs = _docs(spark, ["the quick fox is on the hill", "xyzzy plugh"])
+    t = with_token_count(docs).collect()
+    assert {r.doc_id: r.n_tokens for r in t} == {0: 7, 1: 2}
+    l = with_lang_guess(docs).collect()
+    assert {r.doc_id: r.lang_guess for r in l} == {0: "en", 1: "unknown"}
+    q = {r.doc_id: r.quality for r in with_quality(docs).collect()}
+    assert q[0] > q[1]
+    fp = with_fingerprint(docs).collect()
+    assert all(len(r.fingerprint) == 32 for r in fp)
