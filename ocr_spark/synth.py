@@ -144,16 +144,22 @@ def _conv_len(rng: random.Random, whale_lo: int, whale_hi: int) -> int:
     return rng.randint(whale_lo, whale_hi)
 
 
-def gen_transcripts(
-    n_convs: int,
+def gen_transcripts_ids(
+    conv_ids,
     seed: int = 0,
     whale_lo: int = 1000,
     whale_hi: int = 10000,
     garbage_rate: float = 0.01,
 ) -> pd.DataFrame:
-    """Generate the transcripts table deterministically."""
+    """Generate transcript rows for an explicit set of conversation ids.
+
+    Each conversation has its own RNG stream seeded from (seed, i), so
+    output is identical regardless of which worker generates which ids —
+    this is what lets ``bench.py`` fan generation out over executors with
+    ``mapInPandas`` and still match a single-process run bit-for-bit.
+    """
     rows = []
-    for i in range(n_convs):
+    for i in conv_ids:
         rng = random.Random((seed << 20) ^ i)  # per-conv stream: order-free
         cid = "c%08d" % i
         n_turns = _conv_len(rng, whale_lo, whale_hi)
@@ -175,6 +181,23 @@ def gen_transcripts(
     )
     df["turn_idx"] = df["turn_idx"].astype("int32")
     return df
+
+
+def gen_transcripts(
+    n_convs: int,
+    seed: int = 0,
+    whale_lo: int = 1000,
+    whale_hi: int = 10000,
+    garbage_rate: float = 0.01,
+) -> pd.DataFrame:
+    """Generate the transcripts table deterministically."""
+    return gen_transcripts_ids(
+        range(n_convs),
+        seed=seed,
+        whale_lo=whale_lo,
+        whale_hi=whale_hi,
+        garbage_rate=garbage_rate,
+    )
 
 
 def write_transcripts_parquet(df: pd.DataFrame, path: str) -> None:
