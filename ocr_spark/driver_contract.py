@@ -174,13 +174,17 @@ def q_window_turn_order(spark, sf_dir):
 
 
 def q_anti_join_resume(spark, sf_dir):
-    """O16 resume shape: units without a committed row (left_anti)."""
+    """O16 resume shape: units without a committed row (left_anti).
+
+    The "committed" set is a deterministic subset (custkey % 4 == 0) so
+    the anti-join provably returns the uncommitted remainder — at these
+    SFs every customer has orders, which would make the natural
+    customers-without-orders query a trivially-empty (weak) check.
+    """
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
+    committed = cust.filter(F.col("c_custkey") % 4 == 0).select("c_custkey")
     return R.resume_anti_join(
-        cust.select("c_custkey"), orders, "c_custkey"
+        cust.select("c_custkey"), committed, "c_custkey"
     )
 
 
@@ -343,6 +347,48 @@ def q_extract_html_route(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """Multimodal: binary payload -> typed metadata via mapInPandas; the
+    fake header encodes dims as functions of byte length, so DuckDB can
+    oracle-check the decode from the source text."""
+    from ocr_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    media = M.encode_fake_media(docs, "text")
+    return M.decode_media(media).select(
+        F.col("media_id").alias("doc_id"), "n_bytes", "width", "height"
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    """Multimodal: bounded frame sampling (one row fans out to N)."""
+    from ocr_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    media = M.encode_fake_media(docs, "text")
+    return M.sample_frames(media, frame_bytes=64).select(
+        F.col("media_id").alias("doc_id"), "frame_idx", "frame_len"
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal: deterministic feature vectors (rows-only check: the
+    byte-stripe means are not reasonably SQL-expressible)."""
+    from ocr_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    media = M.encode_fake_media(docs, "text")
+    return M.extract_features(media, dims=8).select(
+        F.col("media_id").alias("doc_id"), "feature"
+    )
+
+
 def q_dedup_turns(spark, sf_dir):
     """O2 dropDuplicates on the natural key, over a table with injected
     duplicates (union with itself)."""
@@ -379,6 +425,9 @@ QUERIES: dict[str, Callable] = {
     "revenue_by_nation": q_revenue_by_nation,
     "extract_plain_route": q_extract_plain_route,
     "extract_html_route": q_extract_html_route,
+    "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
+    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -399,7 +448,9 @@ ORACLES: dict[str, str] = {
     """,
     "anti_join_resume": """
         SELECT c_custkey FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (
+            SELECT c_custkey FROM customer WHERE c_custkey % 4 = 0
+        )
     """,
     "override_join": """
         SELECT d.doc_id,
@@ -536,4 +587,17 @@ ORACLES: dict[str, str] = {
                '' AS error
         FROM documents
     """,
+    "media_decode": """
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(strlen(text) % 1000 + 1 AS INT) AS width,
+               CAST((strlen(text) * 7) % 1000 + 1 AS INT) AS height
+        FROM documents
+    """,
+    "media_frames": """
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               CAST(least(64, strlen(text) - i*64) AS INT) AS frame_len
+        FROM documents,
+             unnest(range(0, CAST(ceil(strlen(text)/64.0) AS BIGINT))) AS t(i)
+    """,
+    # media_features: intentionally no oracle (rows-only driver check)
 }

@@ -37,13 +37,19 @@ FIXUPS: list[tuple[re.Pattern, str]] = [
 
 MIN_ALNUM_RATIO = 0.15
 
+# C-speed alnum mass: \w minus underscore. Equivalent to per-char
+# str.isalnum() on this engine's text domain (letters/digits; combining
+# marks — where \w and isalnum diverge — don't occur in extracted text);
+# the per-char Python loop was 22% of kernel time under profile.
+_WORDISH_RE = re.compile(r"[^\W_]+")
+
 
 def validate(text: str) -> str:
     """Structural validation (O10). Returns '' if valid, else a reason."""
     if not text or not text.strip():
         return "empty extraction"
     stripped = text.strip()
-    alnum = sum(c.isalnum() for c in stripped)
+    alnum = len(stripped) - len(_WORDISH_RE.sub("", stripped))
     if alnum / len(stripped) < MIN_ALNUM_RATIO:
         return "low alnum ratio"
     if _TAG_RESIDUE_RE.search(stripped):

@@ -38,20 +38,25 @@ def repartition_salted(
     salt_buckets: int = 16,
     salt_threshold: int = 10_000,
 ) -> DataFrame:
-    """conv_id-hash repartition with per-turn salting of whale convs."""
-    whales = whale_conv_ids(df, salt_threshold).withColumn(
-        "_is_whale", F.lit(True)
-    )
-    salted = (
-        df.join(F.broadcast(whales), "conv_id", "left")
-        .withColumn(
-            SALT_COL,
-            F.when(
-                F.col("_is_whale").isNotNull(),
-                F.pmod(F.hash("turn_idx"), F.lit(salt_buckets)),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_is_whale")
+    """conv_id-hash repartition with turn-block salting of whale convs.
+
+    ``salt = turn_idx // salt_threshold`` — a conversation shorter than
+    the threshold keeps salt 0 (fully colocated), a whale splits into
+    bounded blocks of ``salt_threshold`` turns each. Unlike stats-based
+    whale detection this needs NO extra aggregation job, NO broadcast
+    join, and no second scan of the input — the salt is a pure projection,
+    so the whole pipeline stays one shuffle — while giving the same
+    per-partition bound. ``salt_buckets`` caps the number of distinct
+    blocks so a 10^6-turn conversation cannot fan out into 10^2 single-use
+    shuffle keys per partition at 10^12-row scale.
+    """
+    salted = df.withColumn(
+        SALT_COL,
+        F.pmod(
+            (F.col("turn_idx").cast("long") / F.lit(int(salt_threshold)))
+            .cast("long"),
+            F.lit(int(salt_buckets)),
+        ),
     )
     return salted.repartition(num_partitions, "conv_id", SALT_COL).drop(
         SALT_COL

@@ -58,7 +58,10 @@ def test_whale_detection_and_salting_balance(spark):
     whales = whale_conv_ids(sdf, salt_threshold=100).collect()
     assert [w.conv_id for w in whales] == ["whale"]
 
-    salted = repartition_salted(sdf, 8, salt_buckets=8, salt_threshold=100)
+    # turn-block salting: 400 turns / block size 50 = 8 distinct salt
+    # keys, so the whale spreads over several partitions and no single
+    # partition holds a block larger than the threshold allows
+    salted = repartition_salted(sdf, 32, salt_buckets=8, salt_threshold=50)
     sizes = (
         salted.withColumn("pid", F.spark_partition_id())
         .filter(F.col("conv_id") == "whale")
@@ -68,6 +71,15 @@ def test_whale_detection_and_salting_balance(spark):
     )
     assert len(sizes) >= 4, "whale turns must spread over several partitions"
     assert max(r["count"] for r in sizes) < 400
+    # minnows (3 turns, below one block) keep salt 0: fully colocated
+    minnow = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("conv_id") == "m000")
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert minnow == 1
 
 
 def test_synth_determinism():
