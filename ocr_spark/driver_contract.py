@@ -265,6 +265,15 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_cosine_topk(emb, queries, k=5, dims=8)
 
 
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH-pruned). The synthetic
+    embeddings are random (max pairwise cos ~0.43), so the threshold is
+    set low to exercise the operator; real corpora use 0.9+."""
+    return S.cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.3, dims=8
+    )
+
+
 def q_group_topk(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -421,6 +430,7 @@ QUERIES: dict[str, Callable] = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "cosine_near_dup": q_cosine_near_dup,
     "group_topk": q_group_topk,
     "revenue_by_nation": q_revenue_by_nation,
     "extract_plain_route": q_extract_plain_route,
@@ -553,6 +563,29 @@ ORACLES: dict[str, str] = {
             FROM b q JOIN b e ON q.bucket = e.bucket
             WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
         ) WHERE rank <= 5
+    """,
+    "cosine_near_dup": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+                   AS bucket
+            FROM embeddings
+        )
+        SELECT doc_a, doc_b, cos FROM (
+            SELECT a.vec_id AS doc_a, e.vec_id AS doc_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4)
+                       AS cos
+            FROM b a JOIN b e
+              ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+        ) WHERE cos >= 0.3
     """,
     "group_topk": """
         SELECT l_returnflag, l_orderkey, l_linenumber, price, rank FROM (

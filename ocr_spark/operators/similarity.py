@@ -86,6 +86,46 @@ def sign_bucket(df: DataFrame, dims: int = 8, col: str = "embedding") -> DataFra
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    dims: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
+    path): LSH sign-bucket join prunes the O(N^2) pair space to
+    same-bucket candidates, then exact cosine filters at ``threshold``.
+    Returns (doc_a, doc_b, cos) with doc_a < doc_b."""
+    e = sign_bucket(_with_norm(embeddings), dims=dims).select(
+        "vec_id", "embedding", "nrm", "bucket"
+    )
+    a = e.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="ea", b="eb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,

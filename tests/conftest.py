@@ -31,6 +31,11 @@ def tiny_transcripts():
 
 
 @pytest.fixture(scope="session")
+def sf001_dir():
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
 def tiny_golden(tiny_transcripts):
     from ocr_spark.synth import oracle_extract
 

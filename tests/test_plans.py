@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the shapes that matter at 100 TB must not
+regress — column pruning into the scan, exactly one exchange around the
+UDF stage, Arrow (not row-at-a-time) Python execution, broadcast joins
+for small dimensions."""
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _tree(plan: str) -> str:
+    """The indented tree section (before the per-node details)."""
+    return plan.split("\n\n(1)")[0]
+
+
+def test_extract_plan_shape(spark, tiny_transcripts, tmp_path):
+    from ocr_spark.extract import extract
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(tiny_transcripts).write.parquet(p)
+    ext = extract(spark.read.parquet(p), partitions=8, salt_threshold=50)
+    plan = _formatted(ext)
+    tree = _tree(plan)
+
+    # column pruning reaches the parquet scan: only the 4 needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["conv_id", "text", "tool", "turn_idx"]
+
+    # exactly ONE exchange (the salted repartition); UDF stage is Arrow
+    assert tree.count("Exchange") == 1
+    assert "ArrowEvalPython" in tree
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python
+
+
+def test_extract_map_only_without_partitions(spark, tiny_transcripts):
+    from ocr_spark.extract import extract
+
+    ext = extract(spark.createDataFrame(tiny_transcripts))
+    tree = _tree(_formatted(ext))
+    assert "Exchange" not in tree, "no-shuffle mode must stay map-only"
+
+
+def test_small_dim_join_broadcasts(spark, tmp_path):
+    big = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 10).alias("k")
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": range(10), "name": [f"n{i}" for i in range(10)]})
+    )
+    j = big.join(F.broadcast(small), "k")
+    plan = _formatted(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_override_join_is_broadcast(spark, sf001_dir):
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["override_join"](spark, sf001_dir))
+    assert "BroadcastHashJoin" in plan
