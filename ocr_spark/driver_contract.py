@@ -356,6 +356,35 @@ def q_extract_html_route(spark, sf_dir):
     )
 
 
+def q_extract_pdf_route(spark, sf_dir):
+    """The pdf route (reading-order reconstruction) on synthetic layout
+    dumps derived from documents: with one full-width line per doc the
+    reconstruction must return exactly the ws-collapsed text, which IS
+    SQL-expressible (multi-column reading order is covered by pytest
+    kernel tests instead)."""
+    from ocr_spark.extract import extract
+
+    docs = load(spark, sf_dir, "documents")
+    # one-line layout dump per doc: a single full-width line at y=700
+    t = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit("L 1 72.0 700.0 500.0 712.0 "),
+            F.regexp_replace(F.trim("text"), r"\s+", " "),
+        ).alias("text"),
+        F.lit("pdf").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    ext = extract(t)
+    return ext.select(
+        F.expr("CAST(substring(conv_id, 2) AS BIGINT)").alias("doc_id"),
+        F.col("text"),
+        "error",
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal: binary payload -> typed metadata via mapInPandas; the
     fake header encodes dims as functions of byte length, so DuckDB can
@@ -435,6 +464,7 @@ QUERIES: dict[str, Callable] = {
     "revenue_by_nation": q_revenue_by_nation,
     "extract_plain_route": q_extract_plain_route,
     "extract_html_route": q_extract_html_route,
+    "extract_pdf_route": q_extract_pdf_route,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
@@ -615,6 +645,12 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "extract_html_route": """
+        SELECT doc_id,
+               regexp_replace(trim(text), '\\s+', ' ', 'g') AS text,
+               '' AS error
+        FROM documents
+    """,
+    "extract_pdf_route": """
         SELECT doc_id,
                regexp_replace(trim(text), '\\s+', ' ', 'g') AS text,
                '' AS error

@@ -184,3 +184,16 @@ class ExtractWriter:
         self.read_ordered(spark).drop(BUCKET_COL).write.mode(
             "overwrite"
         ).json(out_dir)
+
+    def run_stats(self, spark: SparkSession) -> DataFrame:
+        """O17 aggregate report per run — the reference's efficiency
+        accounting ("385 images in 4m18s", /root/reference/README.md:8)
+        over lineage rows: turns, errors, buckets, wall span."""
+        lin = self.lineage(spark)
+        return lin.groupBy("run_id").agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("n_errors").alias("n_errors"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("committed_at").alias("first_commit"),
+            F.max("committed_at").alias("last_commit"),
+        )

@@ -66,3 +66,13 @@ def test_lineage_counters(spark, tiny_transcripts, tiny_golden, writer):
     assert lin.n_turns.sum() == len(tiny_transcripts)
     assert lin.n_errors.sum() == int((tiny_golden.error != "").sum())
     assert (lin.run_id == "r1").all()
+
+
+def test_run_stats_report(spark, tiny_transcripts, tiny_golden, writer):
+    sdf = spark.createDataFrame(tiny_transcripts)
+    writer.run(spark, sdf, "r2", n_buckets=4, group_size=2)
+    stats = writer.run_stats(spark).filter("run_id = 'r2'").collect()[0]
+    assert stats.n_turns == len(tiny_transcripts)
+    assert stats.n_errors == int((tiny_golden.error != "").sum())
+    assert stats.n_buckets == 4
+    assert stats.first_commit <= stats.last_commit
