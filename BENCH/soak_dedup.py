@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Near-dup dedup soak: MinHash+LSH over a 100k-document corpus with
+injected mutated duplicates — measures wall time AND recall/precision of
+the LSH candidate path at 20x the sf0.1 documents table.
+
+Corpus: deterministic word-soup docs; 10% of docs get a near-duplicate
+twin with ~10% of words replaced (true Jaccard ~0.8, well above the 0.5
+verification threshold used here).
+
+Run: python BENCH/soak_dedup.py [n_docs]
+Prints one JSON line {wall_s, n_docs, injected, recalled, recall,
+extra_pairs}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+DUP_RATE = 0.10
+CACHE = Path("/tmp/ocr_spark_bench") / f"dedup_corpus_{N_DOCS}.parquet"
+
+
+def gen_partition(batches):
+    import random
+
+    import pandas as pd
+
+    words = (
+        "spark shuffle partition arrow batch kernel vector column parquet "
+        "iceberg lineage checkpoint resume transcript conversation turn "
+        "extract content boilerplate density heuristic ensemble vote "
+        "pipeline throughput scaling executor driver codegen predicate"
+    ).split()
+    for pdf in batches:
+        ids, texts, twins = [], [], []
+        for i in pdf["id"].tolist():
+            rng = random.Random(1 << 20 | i)
+            toks = [rng.choice(words) for _ in range(rng.randint(30, 80))]
+            ids.append(2 * i)
+            texts.append(" ".join(toks))
+            twins.append(False)
+            if rng.random() < DUP_RATE:
+                mut = list(toks)
+                for _ in range(max(1, len(mut) // 10)):
+                    mut[rng.randrange(len(mut))] = rng.choice(words)
+                ids.append(2 * i + 1)
+                texts.append(" ".join(mut))
+                twins.append(True)
+        yield pd.DataFrame({"doc_id": ids, "text": texts, "is_twin": twins})
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession, functions as F
+
+    from ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("soak-dedup")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.local.dir", "/dev/shm/ocr_spark_local")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    if not (CACHE / "_SUCCESS").exists():
+        (
+            spark.range(N_DOCS)
+            .repartition(64)
+            .mapInPandas(
+                gen_partition, "doc_id long, text string, is_twin boolean"
+            )
+            .write.mode("overwrite")
+            .parquet(str(CACHE))
+        )
+    corpus = spark.read.parquet(str(CACHE))
+    n = corpus.count()
+    injected = corpus.filter("is_twin").count()
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(
+        corpus, n=3, num_hashes=16, bands=8, threshold=0.5, max_df=2000
+    )
+    # recalled = injected twin pairs found: twin 2i+1 pairs with base 2i
+    hits = pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1)
+        & (F.col("doc_a") % 2 == 0)
+    ).count()
+    total_pairs = pairs.count()
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "wall_s": round(wall, 1),
+                "n_docs": n,
+                "injected": injected,
+                "recalled": hits,
+                "recall": round(hits / injected, 4),
+                "extra_pairs": total_pairs - hits,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
