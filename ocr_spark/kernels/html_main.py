@@ -140,27 +140,31 @@ def _parse_html(raw: str, h: "_Extractor") -> None:
     pos = 0
     n = len(raw)
     lower = None  # lazily lowered copy for case-insensitive close search
+    search = _TAG_TOKEN_RE.search
+    handle_data = h.handle_data
+    handle_starttag = h.handle_starttag
+    handle_endtag = h.handle_endtag
     while pos < n:
-        m = _TAG_TOKEN_RE.search(raw, pos)
+        m = search(raw, pos)
         if m is None:
             data = raw[pos:]
-            h.handle_data(_unescape(data) if "&" in data else data)
+            handle_data(_unescape(data) if "&" in data else data)
             break
         s = m.start()
         if s > pos:
             data = raw[pos:s]
-            h.handle_data(_unescape(data) if "&" in data else data)
+            handle_data(_unescape(data) if "&" in data else data)
         pos = m.end()
-        name = m.group("name")
+        end, name, selfclose = m.group("end", "name", "selfclose")
         if name is None:  # comment / doctype / PI: no event
             continue
         tag = name.lower()
-        if m.group("end"):
-            h.handle_endtag(tag)
+        if end:
+            handle_endtag(tag)
             continue
-        h.handle_starttag(tag, None)
-        if m.group("selfclose"):
-            h.handle_endtag(tag)
+        handle_starttag(tag, None)
+        if selfclose:
+            handle_endtag(tag)
         elif tag in _RAW_CONTENT_TAGS:
             close = f"</{tag}"
             idx = raw.find(close, pos)
@@ -168,7 +172,7 @@ def _parse_html(raw: str, h: "_Extractor") -> None:
                 if lower is None:
                     lower = raw.lower()
                 idx = lower.find(close, pos)
-            h.handle_endtag(tag)
+            handle_endtag(tag)
             if idx < 0:
                 break  # unterminated: rest of document is raw content
             gt = raw.find(">", idx)

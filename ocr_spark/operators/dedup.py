@@ -46,9 +46,21 @@ def exact_dedup(df: DataFrame) -> DataFrame:
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Guard against under-partitioned inputs: a single-file table scans
+    as ONE partition, and everything computed map-side before the first
+    shuffle (shingle explode, the 16 md5 minhash projections, simhash bit
+    votes) then runs on one core. At real scale inputs have >= cluster
+    parallelism partitions and this is a no-op."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _with_shingles(df: DataFrame, n: int) -> DataFrame:
     """doc_id + exploded distinct word n-gram shingles."""
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
     ).filter(F.size("toks") >= n)
     sh = toks.select(
@@ -219,7 +231,7 @@ def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
     Expressed entirely with higher-order column functions.
     """
     ndigits = bits // 4
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.trim("text"), r"\s+"))
