@@ -219,6 +219,12 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_token_count_bpe(spark, sf_dir):
+    return X.with_token_count_bpe(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return X.with_lang_guess(load(spark, sf_dir, "documents")).select(
         "doc_id", "stop_hits", "lang_guess"
@@ -451,6 +457,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "dedup_turns": q_dedup_turns,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
@@ -517,6 +524,13 @@ ORACLES: dict[str, str] = {
                CASE WHEN trim(text) = '' THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                END AS n_tokens
+        FROM documents
+    """,
+    "token_count_bpe": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(
+                   text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]+'))
+                   AS n_bpe_tokens
         FROM documents
     """,
     "lang_id": f"""

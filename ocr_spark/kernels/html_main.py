@@ -5,7 +5,10 @@ Graft of the reference's "recognizer A" stage (EasyOCR-ko,
 detect-largest-region idiom (/root/reference/documents/최종발표질의응답.md:28:
 when several plates are detected, keep the largest bounding box).
 
-Algorithm: Arc90-Readability / Boilerpipe-style block scoring —
+Algorithm: Arc90-Readability / Boilerpipe-style block scoring
+(Kohlschütter, Fankhauser & Nejdl, "Boilerplate detection using shallow
+text features", WSDM 2010 — text density + link density as the dominant
+features; Arc90 Readability for the container-vote idiom) —
 1. tokenize the markup with a single compiled regex (same event stream a
    stdlib ``html.parser`` drive produced, ~2.5x faster; lxml is not
    available in this environment; tolerant of malformed markup),

@@ -7,7 +7,10 @@ Scale design notes (100 TB target):
   shingles -> self-join on shingle), never a cross join; common-shingle
   skew is bounded by dropping shingles with document frequency above a
   cap (standard posting-list pruning).
-- MinHash+LSH: per-document signatures via one explode + min-agg,
+- MinHash (Broder, "On the resemblance and containment of documents",
+  SEQUENCES 1997) + LSH banding (Indyk & Motwani, STOC 1998; the banding
+  construction per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+  ch.3): per-document signatures via one explode + min-agg,
   banding via md5 of the band's minhash concat, candidate pairs only
   within equal (band, key) buckets — the classic shingle -> minhash ->
   band -> bucket-join pipeline; verification recomputes true Jaccard on
@@ -224,7 +227,10 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
-    """SimHash fingerprint over word tokens (md5 bit sampling).
+    """SimHash fingerprint over word tokens (md5 bit sampling;
+    Charikar, "Similarity estimation techniques from rounding
+    algorithms", STOC 2002 — the near-dup variant per Manku/Jain/Sarma,
+    WWW 2007).
 
     bit_j of md5's first ``bits/4`` hex digits votes +1/-1 per distinct
     token; the fingerprint sets bit_j where the vote is positive.

@@ -31,6 +31,24 @@ def with_token_count(df: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer classes (letter runs / digit runs / symbol runs),
+# the portable core of GPT-2-style pre-tokenization — identical regex
+# semantics in Spark and DuckDB.
+BPE_ISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]+"
+
+
+def with_token_count_bpe(df: DataFrame) -> DataFrame:
+    """n_bpe_tokens per document: count of BPE-ish pre-token runs.
+
+    A whitespace count underestimates LLM token budgets (punctuation and
+    digit runs tokenize separately); this is the standard cheap proxy.
+    """
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH}', 0)")),
+    )
+
+
 def with_fingerprint(df: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 of lower + ws-collapsed."""
     return df.withColumn(
