@@ -128,7 +128,7 @@ _TAG_TOKEN_RE = re.compile(
       | !\[CDATA\[.*?(?:\]\]>|$)                         # cdata
       | [!?][^>]*(?:>|$)                                 # doctype / PI / bogus
       | (?P<end>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)
-        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)
+        (?P<attrs>(?:"[^"]*"|'[^']*'|/(?!>)|[^>"'/])*)
         (?P<selfclose>/)?>
     )""",
     re.DOTALL | re.VERBOSE,

@@ -64,6 +64,26 @@ def test_self_closing_emits_both_events():
     assert res.main_text == "text here"
 
 
+def test_self_closed_script_does_not_eat_document():
+    # regression: attrs class used to swallow the '/' so <script src=x/>
+    # was treated as an open script and raw-skipped to a </script> that
+    # never comes, deleting everything after it
+    assert _full('<p>keep</p><script src="x"/><p>after</p>') == "keep after"
+
+
+def test_self_closed_style_unquoted_attr():
+    assert _full("<p>a</p><style media=print/><p>b</p>") == "a b"
+
+
+def test_slash_inside_unquoted_attr_not_selfclose():
+    # '/' mid-attrs (href=/foo) must stay attr data, not end the tag
+    assert _full("<a href=/foo/bar>link</a><p>body</p>") == "link body"
+
+
+def test_self_closed_img_with_unquoted_src():
+    assert _full("<p>a</p><img src=a/><p>b</p>") == "a b"
+
+
 def test_void_br_does_not_break_unwinding():
     res = extract_html("<ul><li>one<br>two</li><li>three</li></ul>")
     assert res.full_text == "one two three"
