@@ -420,16 +420,20 @@ def q_media_frames(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal: deterministic feature vectors (rows-only check: the
-    byte-stripe means are not reasonably SQL-expressible)."""
+    """Multimodal: deterministic feature vectors, projected to scalar
+    columns f0..f7 (driver-canonicalizable; the raw ``array<float>``
+    column is unhashable on the driver side). The oracle recomputes the
+    byte-stripe means in SQL from hex(encode(text))."""
     from ocr_spark.operators import multimodal as M
 
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), "text"
     )
     media = M.encode_fake_media(docs, "text")
-    return M.extract_features(media, dims=8).select(
-        F.col("media_id").alias("doc_id"), "feature"
+    feats = M.extract_features(media, dims=8)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        *[F.element_at("feature", d + 1).alias(f"f{d}") for d in range(8)],
     )
 
 
@@ -682,5 +686,42 @@ ORACLES: dict[str, str] = {
         FROM documents,
              unnest(range(0, CAST(ceil(strlen(text)/64.0) AS BIGINT))) AS t(i)
     """,
-    # media_features: intentionally no oracle (rows-only driver check)
+    # media_features: byte-stripe means of the UTF-8 body, recomputed in
+    # SQL via hex(encode(text)); float32 cast on both sides so the values
+    # compare bit-identically (kernel stores array<float>)
+    "media_features": """
+        WITH p AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   strlen(text) AS n,
+                   greatest(1, strlen(text) // 8) AS stripe
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, i // stripe AS d,
+                   16 * (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1)
+                     AS v
+            FROM p, unnest(range(0, n)) AS t(i)
+            WHERE i // stripe < 8
+        ),
+        m AS (
+            SELECT doc_id, d,
+                   -- sum/count/256 is the same correctly-rounded IEEE
+                   -- double the kernel computes; FLOAT cast matches its
+                   -- Arrow float32 conversion bit-for-bit
+                   CAST(sum(v) / count(*) / 256.0 AS FLOAT) AS f
+            FROM b GROUP BY doc_id, d
+        )
+        SELECT p.doc_id,
+               CAST(coalesce(max(CASE WHEN d = 0 THEN f END), 0.0) AS FLOAT) AS f0,
+               CAST(coalesce(max(CASE WHEN d = 1 THEN f END), 0.0) AS FLOAT) AS f1,
+               CAST(coalesce(max(CASE WHEN d = 2 THEN f END), 0.0) AS FLOAT) AS f2,
+               CAST(coalesce(max(CASE WHEN d = 3 THEN f END), 0.0) AS FLOAT) AS f3,
+               CAST(coalesce(max(CASE WHEN d = 4 THEN f END), 0.0) AS FLOAT) AS f4,
+               CAST(coalesce(max(CASE WHEN d = 5 THEN f END), 0.0) AS FLOAT) AS f5,
+               CAST(coalesce(max(CASE WHEN d = 6 THEN f END), 0.0) AS FLOAT) AS f6,
+               CAST(coalesce(max(CASE WHEN d = 7 THEN f END), 0.0) AS FLOAT) AS f7
+        FROM p LEFT JOIN m ON p.doc_id = m.doc_id
+        GROUP BY p.doc_id
+    """,
 }

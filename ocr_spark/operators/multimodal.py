@@ -96,12 +96,17 @@ def decode_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             }
             for i, buf in enumerate(pdf["payload"].to_numpy()):
                 b = bytes(buf) if buf is not None else b""
-                if b.startswith(_MAGIC):
+                try:
+                    if not b.startswith(_MAGIC) or len(b) < 18:
+                        raise ValueError("not fake/v1")
                     w = int(b[10:14])
                     h = int(b[14:18])
                     body = b[18:]
                     codec = "fake/v1"
-                else:  # unknown container: metadata only, no decode
+                except ValueError:
+                    # corrupt or foreign container (truncated header,
+                    # non-digit dims): metadata-only row, never a stage
+                    # failure — the error channel is row-preserving
                     w = h = -1
                     body = b
                     codec = "unknown"
@@ -178,7 +183,11 @@ def extract_features(
                         (sum(chunk) / len(chunk) / 256.0) if chunk else 0.0
                     )
                 ids.append(int(mid))
-                vecs.append([float(round(v, 6)) for v in vec])
+                # no decimal rounding: sum/len/256 is the same correctly-
+                # rounded IEEE double everywhere, so the float32 cast at
+                # the Arrow boundary is bit-reproducible (incl. vs SQL
+                # engines recomputing the stripe means)
+                vecs.append([float(v) for v in vec])
             yield pd.DataFrame({"media_id": ids, "feature": vecs})
 
     return df.select(id_col, "payload").mapInPandas(run, FEATURE_SCHEMA)

@@ -79,6 +79,29 @@ def test_resize_reheaders(spark):
     assert (meta["sha256"].values == orig["sha256"].values).all()
 
 
+def test_decode_corrupt_magic_payload_row_preserved(spark):
+    # MAGIC prefix but truncated / non-digit header: must become a
+    # codec='unknown' row, never a stage-killing ValueError
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2, 3],
+            "kind": ["image"] * 4,
+            "payload": [
+                M._MAGIC,                          # truncated: no dims
+                M._MAGIC + b"12x4" + b"0005body",  # non-digit width
+                M._MAGIC + b"0004" + b"00",        # truncated height
+                b"not magic at all",               # foreign container
+            ],
+        }
+    )
+    meta = M.decode_media(spark.createDataFrame(pdf)).orderBy(
+        "media_id"
+    ).toPandas()
+    assert len(meta) == 4
+    assert (meta["codec"] == "unknown").all()
+    assert (meta["width"] == -1).all()
+
+
 def test_codec_gate_raises_not_implemented():
     import pytest
 
