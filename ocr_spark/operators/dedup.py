@@ -75,19 +75,18 @@ def _with_shingles(df: DataFrame, n: int) -> DataFrame:
     return sh
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    n: int = 3,
-    threshold: float = 0.05,
-    max_df: int = 1000,
+def _jaccard_from_shingles(
+    sh: DataFrame, threshold: float, max_df: int
 ) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+    """Exact-Jaccard pairs from an exploded (doc_id, shingle) relation.
 
     Inverted-index self-join on shingles (doc_a < doc_b), posting lists
-    longer than ``max_df`` pruned to bound skew. Returns
-    (doc_a, doc_b, inter, size_a, size_b, jaccard>=threshold).
+    longer than ``max_df`` pruned to bound skew. The size joins are
+    deliberately NOT broadcast-hinted: ``sizes`` has one row per
+    document, i.e. it is corpus-sized — a forced broadcast is a driver
+    OOM at 10^9 docs. AQE still turns them into broadcast joins at small
+    scale when the runtime size is under the threshold.
     """
-    sh = _with_shingles(df, n)
     # posting-list pruning: drop degenerate ultra-common shingles
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     sh = (
@@ -113,9 +112,9 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")
     )
-    out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -127,7 +126,19 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
     )
-    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Returns (doc_a, doc_b, inter, size_a, size_b, jaccard>=threshold).
+    """
+    return _jaccard_from_shingles(_with_shingles(df, n), threshold, max_df)
 
 
 def minhash_signatures(
@@ -172,7 +183,15 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, n=n, num_hashes=num_hashes)
+    sh = _with_shingles(df, n)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("#", F.lit(i), F.col("shingle")))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
     # band key = md5 of the band's (sorted) minhashes — unchanged hash
     # family, computed from the wide signature without another shuffle
     band_cols = []
@@ -209,17 +228,21 @@ def minhash_lsh_pairs(
     # verify ONLY candidate documents: at 100 TB the whole point of LSH
     # is that the exact-Jaccard join never touches non-candidate docs.
     # The candidate set is small by construction (that IS the LSH
-    # premise), so persist it instead of recomputing the shingle ->
-    # signature -> band subtree for each of its three consumers.
-    cands = cands.persist()
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # premise). localCheckpoint(eager=True) materializes it once for its
+    # three consumers AND lets the ContextCleaner drop the blocks when
+    # the result DataFrame is garbage-collected — an explicit persist()
+    # here leaked storage memory across calls in long-lived sessions.
+    cands = cands.localCheckpoint(eager=True)
+    # left_semi tolerates duplicate keys on the right: no distinct needed
+    cand_docs = cands.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cands.select(F.col("doc_b").alias("doc_id"))
     )
-    sub = df.join(cand_docs, "doc_id", "left_semi")
-    verified = ngram_jaccard_pairs(
-        sub, n=n, threshold=threshold, max_df=max_df
+    # verify from the SAME shingle relation the signatures were built
+    # from (semi-joined down to candidate docs) instead of re-tokenizing
+    # the raw text — one shingle definition, half the map work
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    verified = _jaccard_from_shingles(
+        sh_cand, threshold=threshold, max_df=max_df
     ).select("doc_a", "doc_b", "jaccard")
     return cands.join(verified, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"

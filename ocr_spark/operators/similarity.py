@@ -35,13 +35,26 @@ def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbours for each query vector.
 
     ``queries`` must carry (q_id, q_emb). Returns
     (q_id, vec_id, cos, rank) with rank 1..k, self-matches excluded.
     Tie-break: higher cos first, then lower vec_id (deterministic).
+
+    This is the exactness BASELINE: an O(N*Q) scan by construction, so
+    the query side must stay small. It is broadcast explicitly (one
+    corpus pass, no shuffle of the big side) and capped at
+    ``max_queries`` — beyond that, use ``lsh_cosine_topk``, the scale
+    path.
     """
+    n_q = queries.limit(max_queries + 1).count()  # bounded probe
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk is the brute-force baseline: got > {max_queries}"
+            " query vectors; use lsh_cosine_topk for large query sets"
+        )
     e = _with_norm(embeddings).select(
         "vec_id", F.col("embedding").alias("emb"), F.col("nrm").alias("n2")
     )
@@ -49,7 +62,7 @@ def cosine_topk(
         queries.select("q_id", F.col("q_emb").alias("embedding"))
     ).select("q_id", F.col("embedding").alias("q_emb"), F.col("nrm").alias("n1"))
     scored = (
-        q.crossJoin(e)
+        F.broadcast(q).crossJoin(e)
         .filter(F.col("q_id") != F.col("vec_id"))
         .withColumn(
             "cos",
@@ -96,7 +109,22 @@ def sign_buckets_multi(
     disjoint ``dims``-wide band of coordinates. Emits ``tables`` rows per
     vector keyed (table, bucket) — candidates match in ANY table, so
     recall is 1 - prod(miss_t) instead of a single table's hit rate.
+
+    Fails fast if the vectors are shorter than ``tables * dims``:
+    ``element_at`` past the end returns null, F.when(null >= 0) falls to
+    otherwise(0), and every vector would silently share bucket 0 in the
+    out-of-range tables — degenerating the candidate join toward a full
+    cross join, the opposite of LSH pruning.
     """
+    # one-row probe (LocalLimit-1 scan, not a corpus pass): embeddings
+    # are fixed-width, so a single row catches the config error
+    probe = df.select(F.size(F.col(col)).alias("d")).first()
+    if probe is not None and probe["d"] is not None and probe["d"] < tables * dims:
+        raise ValueError(
+            f"sign_buckets_multi needs {tables * dims} coordinates "
+            f"(tables={tables} x dims={dims}) but the vectors have "
+            f"{probe['d']}; lower tables/dims or pad the embeddings"
+        )
     entries = F.array(
         *[
             F.struct(

@@ -92,6 +92,32 @@ def test_cosine_topk_exact_neighbor(spark):
     assert out[0].cos > 0.99 and out[2].cos == -1.0
 
 
+def test_cosine_topk_rejects_oversized_query_set(spark):
+    import pytest
+
+    emb = spark.range(0, 30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    q = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    with pytest.raises(ValueError, match="brute-force baseline"):
+        cosine_topk(emb, q, k=3, max_queries=10)
+
+
+def test_sign_buckets_multi_rejects_out_of_range_bands(spark):
+    import pytest
+    from ocr_spark.operators.similarity import sign_buckets_multi
+
+    emb = spark.range(0, 10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(-1.0), F.lit(0.5)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="coordinates"):
+        sign_buckets_multi(emb, dims=2, tables=4)
+
+
 def test_textops_basics(spark):
     docs = _docs(spark, ["the quick fox is on the hill", "xyzzy plugh"])
     t = with_token_count(docs).collect()

@@ -67,3 +67,24 @@ def test_override_join_is_broadcast(spark, sf001_dir):
 
     plan = _formatted(QUERIES["override_join"](spark, sf001_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    # the brute-force baseline must broadcast its (small, capped) query
+    # side: the corpus side is scanned once, never shuffled
+    from ocr_spark.operators.similarity import cosine_topk
+
+    emb = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 3).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    plan = _formatted(cosine_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
