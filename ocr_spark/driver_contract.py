@@ -111,6 +111,53 @@ WHERE v.jaccard >= 0.05
 """
 
 
+def _simhash_pairs_sql(bits: int = 64, bands: int = 4,
+                       max_hamming: int = 3) -> str:
+    """Quadratic reference for the banded-Hamming pair query: every
+    pair with hamming <= max_hamming shares >= 1 exact band when
+    max_hamming < bands (pigeonhole), so the band join changes nothing
+    about the result set and the oracle can skip it."""
+    w = bits // bands
+    sums = []
+    for j in range(bits):
+        d = j // 4
+        shift = j % 4
+        digit = (
+            f"(strpos('0123456789abcdef', substring(hx, {d + 1}, 1)) - 1)"
+        )
+        sums.append(
+            f"sum(CASE WHEN (({digit} >> {shift}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS s{j}"
+        )
+    band_cols = []
+    for b in range(bands):
+        expr = " + ".join(
+            f"(CASE WHEN s{b * w + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(w)
+        )
+        band_cols.append(f"CAST({expr} AS INT) AS band{b}")
+    ham = " + ".join(
+        f"bit_count(xor(a.band{b}, b.band{b}))" for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+hexed AS (
+    SELECT doc_id, substring(md5(tok), 1, {bits // 4}) AS hx
+    FROM toks WHERE tok <> ''
+),
+agg AS (SELECT doc_id, {', '.join(sums)} FROM hexed GROUP BY doc_id),
+bands AS (SELECT doc_id, {', '.join(band_cols)} FROM agg)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS INT) AS hamming
+FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""
+
+
 def _simhash_sql(bits: int = 16) -> str:
     sums = []
     for j in range(bits):
@@ -253,6 +300,15 @@ def q_minhash_lsh(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return D.simhash(load(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """64-bit SimHash near-dup pairs via the Manku 4-band Hamming
+    bucket join (oracle verifies against the quadratic formulation —
+    equivalent by pigeonhole since max_hamming < bands)."""
+    return D.simhash_hamming_pairs(
+        load(spark, sf_dir, "documents"), bits=64, bands=4, max_hamming=3
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -468,6 +524,7 @@ QUERIES: dict[str, Callable] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "cosine_near_dup": q_cosine_near_dup,
@@ -571,6 +628,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": _JACCARD_SQL,
     "minhash_lsh": _MINHASH_SQL,
     "simhash": _simhash_sql(16),
+    "simhash_pairs": _simhash_pairs_sql(64, 4, 3),
     "cosine_topk": """
         SELECT q_id, vec_id, cos, rank FROM (
             SELECT q.vec_id AS q_id, e.vec_id,

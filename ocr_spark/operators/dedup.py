@@ -249,15 +249,12 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
-    """SimHash fingerprint over word tokens (md5 bit sampling;
-    Charikar, "Similarity estimation techniques from rounding
-    algorithms", STOC 2002 — the near-dup variant per Manku/Jain/Sarma,
-    WWW 2007).
+def _simhash_votes(df: DataFrame, bits: int) -> DataFrame:
+    """Per-document SimHash bit votes (doc_id, s0..s{bits-1}).
 
     bit_j of md5's first ``bits/4`` hex digits votes +1/-1 per distinct
-    token; the fingerprint sets bit_j where the vote is positive.
-    Expressed entirely with higher-order column functions.
+    word token; one explode + one groupBy(doc_id) aggregation (map-side
+    partial), all built-in expressions.
     """
     ndigits = bits // 4
     toks = _ensure_parallelism(df).select(
@@ -280,14 +277,105 @@ def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
             f"THEN 1 ELSE -1 END AS b{j}"
         )
     voted = hexed.selectExpr("doc_id", *bit_exprs)
-    agg = voted.groupBy("doc_id").agg(
+    return voted.groupBy("doc_id").agg(
         *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)]
     )
-    fp = agg.select(
+
+
+def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word tokens (md5 bit sampling;
+    Charikar, "Similarity estimation techniques from rounding
+    algorithms", STOC 2002 — the near-dup variant per Manku/Jain/Sarma,
+    WWW 2007).
+
+    The fingerprint sets bit_j where the vote is positive. ``bits`` <=
+    63 packs into a non-negative long; bit 63 of a 64-bit fingerprint
+    would need the sign bit (use ``simhash_hamming_pairs``, which works
+    band-wise and never packs, for 64-bit near-dup detection).
+    """
+    if bits > 63:
+        raise ValueError("simhash packs into a signed long: bits <= 63")
+    agg = _simhash_votes(df, bits)
+    return agg.select(
         "doc_id",
         sum(
             (F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
             for j in range(bits)
         ).cast("long").alias("simhash"),
     )
-    return fp
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """64-bit SimHash near-duplicate pairs via the banded-Hamming bucket
+    join (Manku/Jain/Sarma, "Detecting near-duplicates for web
+    crawling", WWW 2007 — the 4-band pigeonhole trick).
+
+    Any pair with Hamming distance <= ``max_hamming`` over ``bits`` bits
+    must agree EXACTLY on at least one of ``bands`` equal-width bands
+    (pigeonhole, requires ``max_hamming`` < ``bands``), so candidates
+    are found with a per-band equality join — never an all-pairs scan —
+    and verified with the full Hamming distance on candidates only.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b,
+    hamming <= max_hamming. Scale shape: one vote aggregation, one
+    band-bucket self-join on (band, value), distinct; band values are
+    16-bit ints so the fingerprint never touches long sign bits.
+    """
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            "max_hamming must be < bands for the pigeonhole guarantee"
+        )
+    w = bits // bands
+    votes = _simhash_votes(df, bits)
+    band_cols = [
+        sum(
+            (
+                F.when(F.col(f"s{b * w + i}") > 0, F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                )
+            )
+            for i in range(w)
+        ).cast("int").alias(f"band{b}")
+        for b in range(bands)
+    ]
+    wide = votes.select("doc_id", *band_cols)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), F.col(f"band{b}").alias("val")
+            )
+            for b in range(bands)
+        ]
+    )
+    # carry every band value alongside the exploded bucket key so the
+    # verify step needs no join back to the wide table
+    banded = wide.select(
+        "doc_id",
+        F.array(*[F.col(f"band{b}") for b in range(bands)]).alias("bv"),
+        F.explode(entries).alias("e"),
+    ).select("doc_id", "bv", F.col("e.band").alias("band"),
+             F.col("e.val").alias("val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.expr(
+        "aggregate(zip_with(a.bv, b.bv, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, v) -> acc + v)"
+    ).cast("int")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -70,6 +70,38 @@ def test_simhash_similar_docs_close(spark):
     assert ham(fp[0], fp[1]) < ham(fp[0], fp[2])
 
 
+def test_simhash_hamming_pairs_finds_near_identical(spark):
+    from ocr_spark.operators.dedup import simhash_hamming_pairs
+
+    base = " ".join(f"token{i}" for i in range(60))
+    docs = _docs(
+        spark,
+        [
+            base,                       # 0
+            base + " tail",             # 1: near-identical to 0
+            base,                       # 2: identical to 0
+            "completely different words with nothing shared at all "
+            "other vocabulary entirely disjoint from the base corpus",
+        ],
+    )
+    out = simhash_hamming_pairs(docs, bits=64, bands=4, max_hamming=3)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    assert pairs[(0, 2)] == 0          # identical docs: hamming 0
+    assert (0, 1) in pairs             # near-identical within threshold
+    assert all(3 not in p for p in pairs)  # disjoint doc never pairs
+
+
+def test_simhash_hamming_pairs_parameter_guards(spark):
+    import pytest
+    from ocr_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = _docs(spark, ["a b c"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(docs, bits=64, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_hamming_pairs(docs, bits=64, bands=5)
+
+
 def test_cosine_topk_exact_neighbor(spark):
     emb = spark.createDataFrame(
         pd.DataFrame(
