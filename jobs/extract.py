@@ -31,10 +31,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--reset", action="store_true", help="forget run commits")
     ap.add_argument("--export-json", default=None)
+    ap.add_argument(
+        "--iceberg-table",
+        default=None,
+        help="write to this Iceberg table (catalog.db.name) instead of "
+        "the Parquet-layout warehouse; requires the Iceberg runtime jar "
+        "on the classpath (--packages)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
+    from ocr_spark.extract import ExtractCounters
     from ocr_spark.io import ExtractWriter
 
     spark = (
@@ -43,11 +51,14 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
-    writer = ExtractWriter(args.output)
+    writer = ExtractWriter(
+        args.output, iceberg_table=args.iceberg_table, spark=spark
+    )
     if args.reset:
-        writer.reset(args.run_id)
+        writer.reset(args.run_id, spark=spark)
 
     transcripts = spark.read.parquet(args.input)
+    counters = ExtractCounters(spark)
     committed = writer.run(
         spark,
         transcripts,
@@ -57,8 +68,15 @@ def main(argv: list[str] | None = None) -> int:
         partitions=args.partitions,
         salt_buckets=args.salt_buckets,
         salt_threshold=args.salt_threshold,
+        counters=counters,
     )
     print(f"committed buckets this run: {sorted(committed)}")
+    # live accumulator view (O15); lineage rows are the committed truth
+    print(
+        "progress counters: n_turns={n_turns} n_errors={n_errors}".format(
+            **counters.snapshot()
+        )
+    )
     if args.export_json:
         writer.export_json(spark, args.export_json)
     spark.stop()

@@ -1,11 +1,13 @@
 """Table IO, lineage commit protocol, checkpoint/resume (SURVEY.md O14-O16).
 
 No Iceberg runtime jar is available in this environment (verified: none in
-the pyspark 4.1.2 jars dir, no network), so this module implements an
-**Iceberg-layout-compatible Parquet backend**: a warehouse directory with
-hash-bucket partition layout and a manifest-last commit protocol. If an
-Iceberg jar appears, the same call sites switch to ``writeTo(...).append()``
-via ``--packages`` with no semantic change.
+the pyspark 4.1.2 jars dir, no network), so the default backend is an
+**Iceberg-layout-compatible Parquet warehouse**: hash-bucket partition
+layout and a manifest-last commit protocol. The real Iceberg path exists
+as code behind ``ExtractWriter(iceberg_table=...)`` — every read/write
+site branches to ``spark.read.table`` / ``writeTo(...).overwritePartitions
+/ .append()`` — and activates by shipping the jar via ``--packages``
+(tested skip-if-no-jar).
 
 Commit protocol (graft of the reference's server-held resumable batch
 state + reset.bat, /root/reference/README.md:54-56):
@@ -31,7 +33,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ocr_spark.extract import extract
+from ocr_spark.extract import ExtractCounters, extract
 from ocr_spark.partitioning import ordered
 
 BUCKET_COL = "bucket"
@@ -43,19 +45,65 @@ def add_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-class ExtractWriter:
-    """Warehouse-directory writer with lineage-gated resume."""
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg runtime jar is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 - Py4J raises wrapped ClassNotFound
+        return False
 
-    def __init__(self, root: str) -> None:
+
+class ExtractWriter:
+    """Warehouse writer with lineage-gated resume.
+
+    Two backends behind the same commit protocol:
+
+    - default: Iceberg-layout Parquet warehouse directory (this sandbox
+      has no Iceberg jar — verified, no network);
+    - ``iceberg_table='catalog.db.extracted'``: the real Iceberg path —
+      ``writeTo(t).overwritePartitions()`` for data (dynamic partition
+      overwrite == the Parquet mode's idempotent bucket rewrite) and
+      ``writeTo(t_lineage).append()`` manifest-last. Drops in via
+      ``spark-submit --packages org.apache.iceberg:...`` with no other
+      change; construction fails fast when the jar is absent.
+    """
+
+    def __init__(self, root: str, iceberg_table: str | None = None,
+                 spark: SparkSession | None = None) -> None:
         self.root = Path(root)
         self.data_dir = self.root / "extracted"
         self.lineage_dir = self.root / "lineage"
+        self.iceberg_table = iceberg_table
+        if iceberg_table and spark is not None and not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg_table was set but no Iceberg runtime jar is on "
+                "the classpath; add --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-4.0_2.13:<version> (or leave "
+                "iceberg_table unset for the Parquet-layout backend)"
+            )
+
+    @property
+    def _lineage_table(self) -> str:
+        return f"{self.iceberg_table}_lineage"
 
     # -- lineage ------------------------------------------------------
     def _run_lineage_dir(self, run_id: str) -> Path:
         return self.lineage_dir / f"run_id={run_id}"
 
     def committed_buckets(self, spark: SparkSession, run_id: str) -> set[int]:
+        if self.iceberg_table:
+            if not spark.catalog.tableExists(self._lineage_table):
+                return set()
+            rows = (
+                spark.read.table(self._lineage_table)
+                .filter(F.col("run_id") == run_id)
+                .select("partition_id")
+                .collect()
+            )
+            return {r.partition_id for r in rows}
         d = self._run_lineage_dir(run_id)
         if not d.exists() or not any(d.glob("*.parquet")):
             return set()
@@ -64,14 +112,25 @@ class ExtractWriter:
         )
         return {r.partition_id for r in rows}
 
-    def reset(self, run_id: str) -> None:
+    def reset(self, run_id: str, spark: SparkSession | None = None) -> None:
         """Forget a run's commits (reset.bat graft); data dirs are
         overwritten idempotently on the next run."""
+        if self.iceberg_table:
+            if spark is not None and spark.catalog.tableExists(
+                self._lineage_table
+            ):
+                spark.sql(
+                    f"DELETE FROM {self._lineage_table} "
+                    f"WHERE run_id = '{run_id}'"
+                )
+            return
         d = self._run_lineage_dir(run_id)
         if d.exists():
             shutil.rmtree(d)
 
     def lineage(self, spark: SparkSession) -> DataFrame:
+        if self.iceberg_table:
+            return spark.read.table(self._lineage_table)
         return spark.read.option("basePath", str(self.lineage_dir)).parquet(
             str(self.lineage_dir)
         )
@@ -89,6 +148,7 @@ class ExtractWriter:
         salt_buckets: int = 16,
         salt_threshold: int = 10_000,
         fail_after_groups: int | None = None,
+        counters: "ExtractCounters | None" = None,
     ) -> list[int]:
         """Extract + write all uncommitted buckets. Returns the bucket ids
         committed by THIS invocation. ``fail_after_groups`` injects a
@@ -115,20 +175,36 @@ class ExtractWriter:
                 salt_buckets=salt_buckets,
                 salt_threshold=salt_threshold,
                 passthrough=[BUCKET_COL],
+                counters=counters,
             )
-            (
-                ext.sortWithinPartitions("conv_id", "turn_idx")
-                .write.partitionBy(BUCKET_COL)
-                .mode("overwrite")
-                .parquet(str(self.data_dir))
-            )
-            # metrics from the files just written (cheap 3-column scan,
-            # also verifies the write) -> lineage rows LAST
-            back = (
-                spark.read.option("basePath", str(self.data_dir))
-                .parquet(*(str(self.data_dir / f"{BUCKET_COL}={b}") for b in group))
-                .select(BUCKET_COL, "conv_id", "error")
-            )
+            ordered_ext = ext.sortWithinPartitions("conv_id", "turn_idx")
+            if self.iceberg_table:
+                if spark.catalog.tableExists(self.iceberg_table):
+                    ordered_ext.writeTo(
+                        self.iceberg_table
+                    ).overwritePartitions()
+                else:
+                    ordered_ext.writeTo(self.iceberg_table).partitionedBy(
+                        F.col(BUCKET_COL)
+                    ).create()
+                back = (
+                    spark.read.table(self.iceberg_table)
+                    .filter(F.col(BUCKET_COL).isin(group))
+                    .select(BUCKET_COL, "conv_id", "error")
+                )
+            else:
+                (
+                    ordered_ext.write.partitionBy(BUCKET_COL)
+                    .mode("overwrite")
+                    .parquet(str(self.data_dir))
+                )
+                # metrics from the files just written (cheap 3-column
+                # scan, also verifies the write) -> lineage rows LAST
+                back = (
+                    spark.read.option("basePath", str(self.data_dir))
+                    .parquet(*(str(self.data_dir / f"{BUCKET_COL}={b}") for b in group))
+                    .select(BUCKET_COL, "conv_id", "error")
+                )
             stats = (
                 back.groupBy(BUCKET_COL)
                 .agg(
@@ -155,7 +231,7 @@ class ExtractWriter:
                         r.n_errors if r else 0,
                     )
                 )
-            (
+            lin_df = (
                 spark.createDataFrame(
                     lineage_rows,
                     "run_id string, partition_id int, conv_min string, "
@@ -163,14 +239,23 @@ class ExtractWriter:
                 )
                 .withColumn("committed_at", F.current_timestamp())
                 .coalesce(1)
-                .write.mode("append")
-                .parquet(str(self._run_lineage_dir(run_id)))
             )
+            if self.iceberg_table:
+                if spark.catalog.tableExists(self._lineage_table):
+                    lin_df.writeTo(self._lineage_table).append()
+                else:
+                    lin_df.writeTo(self._lineage_table).create()
+            else:
+                lin_df.write.mode("append").parquet(
+                    str(self._run_lineage_dir(run_id))
+                )
             committed.extend(group)
         return committed
 
     # -- readers / exports ---------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
+        if self.iceberg_table:
+            return spark.read.table(self.iceberg_table)
         return spark.read.option("basePath", str(self.data_dir)).parquet(
             str(self.data_dir)
         )

@@ -68,6 +68,70 @@ def test_lineage_counters(spark, tiny_transcripts, tiny_golden, writer):
     assert (lin.run_id == "r1").all()
 
 
+def test_accumulator_counters_match_lineage(
+    spark, tiny_transcripts, writer
+):
+    # O15: the live accumulator view must agree with the committed
+    # lineage truth after a clean (retry-free local) run
+    from ocr_spark.extract import ExtractCounters
+
+    sdf = spark.createDataFrame(tiny_transcripts)
+    counters = ExtractCounters(spark)
+    writer.run(
+        spark, sdf, "racc", n_buckets=4, group_size=2, counters=counters
+    )
+    lin = writer.lineage(spark).filter("run_id = 'racc'").toPandas()
+    snap = counters.snapshot()
+    assert snap["n_turns"] == int(lin.n_turns.sum()) == len(tiny_transcripts)
+    assert snap["n_errors"] == int(lin.n_errors.sum())
+
+
+def test_iceberg_writer_requires_jar(spark, tmp_path):
+    # the iceberg_table branch is real code; without the runtime jar it
+    # must fail fast at construction, not at first write
+    import pytest
+
+    from ocr_spark.io import iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg jar present: fail-fast path not applicable")
+    with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+        ExtractWriter(
+            str(tmp_path / "wh"),
+            iceberg_table="local.db.extracted",
+            spark=spark,
+        )
+
+
+def test_iceberg_round_trip(spark, tiny_transcripts, tmp_path):
+    # executes only when an Iceberg runtime jar is on the classpath
+    # (e.g. spark-submit --packages org.apache.iceberg:...): full run ->
+    # resume no-op -> lineage counts, via the writeTo() code path
+    import pytest
+
+    from ocr_spark.io import iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar in this environment")
+    spark.conf.set(
+        "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.local.type", "hadoop")
+    spark.conf.set(
+        "spark.sql.catalog.local.warehouse", str(tmp_path / "icewh")
+    )
+    w = ExtractWriter(
+        str(tmp_path / "wh"), iceberg_table="local.db.extracted", spark=spark
+    )
+    sdf = spark.createDataFrame(tiny_transcripts)
+    done = w.run(spark, sdf, "ri", n_buckets=4, group_size=2)
+    assert sorted(done) == [0, 1, 2, 3]
+    assert w.run(spark, sdf, "ri", n_buckets=4) == []  # resume no-op
+    assert w.read(spark).count() == len(tiny_transcripts)
+    lin = w.lineage(spark).toPandas()
+    assert int(lin.n_turns.sum()) == len(tiny_transcripts)
+
+
 def test_run_stats_report(spark, tiny_transcripts, tiny_golden, writer):
     sdf = spark.createDataFrame(tiny_transcripts)
     writer.run(spark, sdf, "r2", n_buckets=4, group_size=2)
