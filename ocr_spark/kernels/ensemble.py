@@ -23,8 +23,36 @@ ELIGIBLE_FRAC = 0.6
 _TAG_RESIDUE_RE = re.compile(r"</?[a-zA-Z][a-zA-Z0-9]*(\s[^<>]*)?>")
 _WS_RE = re.compile(r"[ \t\f\v]+")
 
+# Mojibake confusion pairs (O11): the reference corrects known glyph
+# confusions ('B'<->'8', /root/reference/README.md:84); this engine's
+# text-domain analog is UTF-8-read-as-cp1252 mojibake. The pair table is
+# GENERATED from the intended characters (never hand-typed byte soup):
+# mojibake(ch) = ch.encode('utf-8').decode('cp1252'), latin-1 fallback
+# for the five cp1252 holes. Longest sequences first so a 2-byte pair
+# never shadows a 3-byte one (e.g. 'â€' inside 'â€™').
+_MOJIBAKE_CHARS = "’‘“”–—…•€™éèêëüöäñçàáíóúÉ °±×µ"
+
+
+def _mojibake_form(ch: str) -> str:
+    out = []
+    for byte in ch.encode("utf-8"):
+        b = bytes([byte])
+        try:
+            out.append(b.decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(b.decode("latin-1"))
+    return "".join(out)
+
+
+MOJIBAKE_PAIRS: list[tuple[str, str]] = sorted(
+    ((_mojibake_form(c), c) for c in _MOJIBAKE_CHARS if c != " "),
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+
 # Table-driven fixups (O11): the confusion-pair rewrite graft.
 FIXUPS: list[tuple[re.Pattern, str]] = [
+    *[(re.compile(re.escape(src)), dst) for src, dst in MOJIBAKE_PAIRS],
     (re.compile(r"\r\n?"), "\n"),
     (re.compile(r" |&nbsp;"), " "),
     (re.compile(r"&amp;"), "&"),

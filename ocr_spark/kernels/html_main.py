@@ -374,25 +374,23 @@ def extract_html(raw: str) -> HtmlResult:
     win_leaves = sorted(container_leaves[win], key=lambda b: (b.order, b.bid))
 
     # main text: leaf chunks joined by ' ' within a leaf, '\n' across
-    # leaves; record each winning chunk's main_text start offset
+    # leaves. ONE construction yields both the string and each winning
+    # chunk's main_text start offset (the separators live in main_parts,
+    # so text and offset map cannot drift apart). Chunks are collapse_ws
+    # output: never empty, never whitespace-edged.
     main_parts: list[str] = []
     main_len = 0
     chunk_main_start: dict[int, int] = {}
-    for li, b in enumerate(win_leaves):
+    for b in win_leaves:
         for k, ci in enumerate(b.chunk_ids):
             txt = p.chunks[ci][1]
             if main_parts:
-                main_len += 1  # '\n' between leaves, ' ' within — both 1 char
+                main_parts.append("\n" if k == 0 else " ")
+                main_len += 1
             chunk_main_start[ci] = main_len
             main_parts.append(txt)
             main_len += len(txt)
-    main_text = ""
-    pos = 0
-    pieces = []
-    for li, b in enumerate(win_leaves):
-        leaf_txt = " ".join(p.chunks[ci][1] for ci in b.chunk_ids)
-        pieces.append(leaf_txt)
-    main_text = "\n".join(pieces).strip()
+    main_text = "".join(main_parts)
 
     main_spans = _remap_spans(spans, p.chunks, chunk_main_start)
     dominance = container_score[win] / total

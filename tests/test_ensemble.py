@@ -49,3 +49,28 @@ def test_validate_rules():
     assert validate("good plain text") == ""
     assert validate("<div>residual</div>") == "residual markup"
     assert validate("....,,,;;;!!") == "low alnum ratio"
+
+
+def test_mojibake_pairs_generated_not_hand_typed():
+    # every pair must round-trip: encoding the intended char as UTF-8 and
+    # misreading it as cp1252 (latin-1 for the holes) yields the source
+    from ocr_spark.kernels.ensemble import MOJIBAKE_PAIRS, _mojibake_form
+
+    assert len(MOJIBAKE_PAIRS) >= 20
+    for src, dst in MOJIBAKE_PAIRS:
+        assert src == _mojibake_form(dst)
+        assert len(src) > 1  # mojibake is always multi-char
+
+
+def test_fixup_repairs_mojibake():
+    assert fixup("donâ€™t stop") == "don’t stop"
+    assert fixup("cafÃ© rÃ©sumÃ©") == "café résumé"
+    assert fixup("em â€” dash and â€¦ ellipsis") == "em — dash and … ellipsis"
+    assert fixup("price â‚¬5 Â±1Â°") == "price €5 ±1°"
+
+
+def test_fixup_longest_pair_wins():
+    # 'â€™' (3 bytes of ’) must not be half-eaten by a shorter prefix
+    # pair; clean text containing a lone 'â' stays untouched
+    assert fixup("â is not mojibake alone") == "â is not mojibake alone"
+    assert fixup("itâ€™s") == "it’s"

@@ -20,6 +20,16 @@ def _drain(spark, in_dir, out_dir, ckpt):
     q.awaitTermination(120)
 
 
+def _count(out_dir):
+    import glob
+
+    if not glob.glob(f"{out_dir}/*.parquet"):
+        return 0
+    return duckdb.sql(
+        f"select count(*) from '{out_dir}/*.parquet'"
+    ).fetchone()[0]
+
+
 def test_streaming_matches_oracle_and_is_incremental(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
@@ -49,6 +59,73 @@ def test_streaming_matches_oracle_and_is_incremental(spark, tmp_path):
     gold = oracle_extract(pd.concat([a, b], ignore_index=True))
     gold = gold[["conv_id", "turn_idx", "text", "score", "error"]]
     gold = gold.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got["turn_idx"] = got["turn_idx"].astype("int32")
+    pd.testing.assert_frame_equal(
+        gold, got.reset_index(drop=True), check_exact=False, rtol=1e-9
+    )
+
+
+def test_streaming_restart_resume_exactly_once(spark, tmp_path):
+    """Stop the stream mid-input (after >=1 committed micro-batch, with
+    later files still unprocessed), restart from the same checkpoint,
+    and require exactly-once totals + per-turn equality vs the batch
+    golden — the streaming twin of the batch crash/resume test."""
+    import time
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    parts = []
+    for i, seed in enumerate((31, 32, 33)):
+        p = gen_transcripts(12, seed=seed, whale_lo=30, whale_hi=40)
+        p["conv_id"] = f"f{i}-" + p["conv_id"]
+        write_transcripts_parquet(p, f"{in_dir}/batch-{i}.parquet")
+        parts.append(p)
+    full = pd.concat(parts, ignore_index=True)
+
+    # phase 1: continuous trigger, one file per micro-batch, long pause
+    # between triggers -> stopping inside the pause leaves file(s)
+    # unprocessed; a restart from checkpoint must pick them up
+    stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=1)
+    from ocr_spark.extract import extract
+
+    q = (
+        extract(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="30 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        done = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        if done:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    n_first = _count(out_dir)
+    assert 0 < n_first < len(full), (
+        f"mid-stream stop should leave work undone (got {n_first} of "
+        f"{len(full)})"
+    )
+
+    # phase 2: restart from the same checkpoint, drain the rest
+    _drain(spark, in_dir, out_dir, ckpt)
+    got = duckdb.sql(
+        f"""select conv_id, turn_idx, text, score, error
+            from '{out_dir}/*.parquet' order by conv_id, turn_idx"""
+    ).df()
+    assert len(got) == len(full), "exactly-once: no dup, no loss"
+    gold = oracle_extract(full)[
+        ["conv_id", "turn_idx", "text", "score", "error"]
+    ].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     got["turn_idx"] = got["turn_idx"].astype("int32")
     pd.testing.assert_frame_equal(
         gold, got.reset_index(drop=True), check_exact=False, rtol=1e-9
