@@ -119,6 +119,41 @@ def ensure_transcripts(spark, sf: float, cpus: int, n_convs=None) -> str:
     return str(out)
 
 
+def ensure_skew_transcripts(spark, sf: float, cpus: int, n_convs=None) -> str:
+    """Extreme-skew soak input: the normal corpus PLUS one whale
+    conversation holding the same number of turns (i.e. one conv_id owns
+    ~50% of all rows). Unsalted, that conversation is a single shuffle
+    key = one straggler task bounding wall time at every parallelism
+    level; this input exists to prove the turn-block salting holds."""
+    base = ensure_transcripts(spark, sf, cpus, n_convs)
+    n = n_convs or _n_convs(sf)
+    out = CACHE_ROOT / f"skew_c{n}_s{SEED}.parquet"
+    if (out / "_SUCCESS").exists():
+        return str(out)
+    normal = spark.read.parquet(base)
+    n_whale = normal.count()
+
+    def gen(batches):
+        from ocr_spark.synth import gen_whale_turns
+
+        for pdf in batches:
+            yield gen_whale_turns(pdf["id"].tolist(), seed=SEED)
+
+    whale = (
+        spark.range(n_whale)
+        .repartition(max(4 * cpus, 16))
+        .mapInPandas(gen, TRANSCRIPTS_DDL)
+    )
+    t0 = time.time()
+    normal.unionByName(whale).write.mode("overwrite").parquet(str(out))
+    print(
+        f"[bench] skew table: {n_whale} normal + {n_whale} whale turns "
+        f"-> {out} in {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    return str(out)
+
+
 def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -188,6 +223,13 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=CPUS_DEFAULT)
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="extreme-skew soak input: one conversation owns ~50%% of "
+        "all turns (with --scaling: proves salting holds the 2->8 "
+        "efficiency bar)",
+    )
     ap.add_argument("--n-convs", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -195,11 +237,12 @@ def main(argv=None) -> int:
     sf = _sf_of(args.sf_dir)
 
     if args.scaling:
-        return run_scaling(args.sf_dir, args.cpus)
+        return run_scaling(args.sf_dir, args.cpus, skew=args.skew)
 
     spark = build_spark(args.cpus, f"ocr_spark-bench-{args.cpus}")
     try:
-        tpath = ensure_transcripts(spark, sf, args.cpus, args.n_convs)
+        ensure = ensure_skew_transcripts if args.skew else ensure_transcripts
+        tpath = ensure(spark, sf, args.cpus, args.n_convs)
         extract_sec, n_turns = run_extract(spark, tpath, args.cpus)
         queries = {"extract": extract_sec}
         if not args.extract_only:
@@ -221,7 +264,7 @@ def main(argv=None) -> int:
         spark.stop()
 
 
-def run_scaling(sf_dir: str, cpus_hi: int) -> int:
+def run_scaling(sf_dir: str, cpus_hi: int, skew: bool = False) -> int:
     """North-rule scaling evidence: identical extraction job, same cached
     input, pinned to N then 4N cores; efficiency = (T_4N / T_N) / 4.
 
@@ -232,9 +275,14 @@ def run_scaling(sf_dir: str, cpus_hi: int) -> int:
     the same-host lower bound.
     """
     pairs = [(2, 8), (4, 16), (8, 32)]
+    if skew:
+        # the skew soak targets the unsaturated-socket pair only (the
+        # multi-node-faithful one; see BENCH/BASELINE.md's host-physics
+        # analysis of why 8->32 underreads on this box)
+        pairs = [(2, 8)]
     if cpus_hi != CPUS_DEFAULT:
         pairs = [(max(1, cpus_hi // 4), min(cpus_hi, 32))]
-    n_convs = 3 * _n_convs(_sf_of(sf_dir))
+    n_convs = (1 if skew else 3) * _n_convs(_sf_of(sf_dir))
     import shutil as _sh
 
     have_taskset = _sh.which("taskset") is not None
@@ -255,6 +303,8 @@ def run_scaling(sf_dir: str, cpus_hi: int) -> int:
             "--n-convs",
             str(n_convs),
         ]
+        if skew:
+            cmd.append("--skew")
         if have_taskset:
             # pin the whole process tree (JVM task threads AND python UDF
             # workers) to exactly `cpus` cores: local[N] alone only limits
@@ -291,7 +341,8 @@ def run_scaling(sf_dir: str, cpus_hi: int) -> int:
     best_pair = max(results, key=lambda k: results[k]["eff"])
     any_run = next(iter(runs_by_cpus.values()))
     result = {
-        "metric": "scaling_efficiency_N_to_4N",
+        "metric": "scaling_efficiency_N_to_4N"
+        + ("_extreme_skew" if skew else ""),
         "value": results[best_pair]["eff"],
         "unit": "ratio",
         "queries": {

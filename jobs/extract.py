@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--reset", action="store_true", help="forget run commits")
     ap.add_argument("--export-json", default=None)
     ap.add_argument(
+        "--export-xlsx",
+        default=None,
+        help="write an Excel report (capped at 100k rows; report "
+        "surface, not a data sink)",
+    )
+    ap.add_argument(
         "--iceberg-table",
         default=None,
         help="write to this Iceberg table (catalog.db.name) instead of "
@@ -79,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.export_json:
         writer.export_json(spark, args.export_json)
+    if args.export_xlsx:
+        n = writer.export_xlsx(spark, args.export_xlsx)
+        print(f"xlsx report: {n} rows -> {args.export_xlsx}")
     spark.stop()
     return 0
 

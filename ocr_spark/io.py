@@ -270,6 +270,56 @@ class ExtractWriter:
             "overwrite"
         ).json(out_dir)
 
+    def export_xlsx(
+        self, spark: SparkSession, out_path: str, limit: int = 100_000
+    ) -> int:
+        """Excel report export (graft of /root/reference/README.md:29 and
+        the flattened per-model Excel panel in readmeImage/result.png):
+        one row per turn with per-extractor candidate columns. A REPORT,
+        not a data sink — collects at most ``limit`` rows to the driver
+        (xlsx caps a sheet at ~1M rows; the data path stays columnar).
+        Returns the number of rows written."""
+        from ocr_spark.xlsx import write_xlsx
+
+        df = self.read_ordered(spark).drop(BUCKET_COL)
+        has_cands = "candidates" in df.columns
+        cols = [
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.date_format("processed_at", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "processed_at"
+            ),
+            F.col("text"),
+            F.round("score", 4).alias("score"),
+            F.col("error"),
+        ]
+        if has_cands:
+            # flatten the per-model panel: candidates is a fixed
+            # 3-extractor array (html/pdf/spans routes)
+            for i, name in enumerate(("a", "b", "c")):
+                cols.append(
+                    F.col("candidates")[i]["text"].alias(f"cand_{name}_text")
+                )
+                cols.append(
+                    F.round(
+                        F.col("candidates")[i]["score"], 4
+                    ).alias(f"cand_{name}_score")
+                )
+        flat = df.select(*cols).limit(limit)
+        pdf = flat.toPandas()
+        import pandas as pd
+
+        rows = (
+            [
+                None
+                if v is None or (isinstance(v, float) and pd.isna(v))
+                else (v.item() if hasattr(v, "item") else v)
+                for v in row
+            ]
+            for row in pdf.itertuples(index=False, name=None)
+        )
+        return write_xlsx(out_path, list(pdf.columns), rows)
+
     def run_stats(self, spark: SparkSession) -> DataFrame:
         """O17 aggregate report per run — the reference's efficiency
         accounting ("385 images in 4m18s", /root/reference/README.md:8)

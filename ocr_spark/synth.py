@@ -200,6 +200,43 @@ def gen_transcripts(
     )
 
 
+def gen_whale_turns(
+    turn_idxs,
+    conv_id: str = "whale-0",
+    seed: int = 0,
+    garbage_rate: float = 0.01,
+) -> pd.DataFrame:
+    """Rows for an explicit set of turn indices of ONE huge conversation.
+
+    Per-TURN rng streams (seeded from (seed, turn_idx)) make generation
+    order-free across workers, so an extreme-skew table — one
+    conversation holding ~half of all turns — can be synthesized
+    distributed via ``mapInPandas`` and still be bit-deterministic.
+    """
+    rows = []
+    for t in turn_idxs:
+        t = int(t)
+        rng = random.Random((seed << 21) ^ 0x5EED0000 ^ t)
+        role = rng.choices(_ROLES, _ROLE_W)[0]
+        tool = rng.choices(_TOOLS, _TOOL_W)[0]
+        if rng.random() < garbage_rate:
+            text = make_garbage(rng)
+        elif tool == "html":
+            text = make_html(rng)
+        elif tool == "pdf":
+            text = make_pdf(rng)
+        else:
+            text = make_plain(rng)
+        rows.append(
+            (conv_id, t, role, text, tool, _EPOCH + timedelta(seconds=7 * t))
+        )
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
 def write_transcripts_parquet(df: pd.DataFrame, path: str) -> None:
     """Write a transcripts DataFrame as Spark-readable parquet.
 
