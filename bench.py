@@ -174,7 +174,7 @@ def run_extract(
     # salt_threshold must sit well below the longest conversation or one
     # whale conv = one multi-second straggler task that bounds wall time
     # at every parallelism level (measured: eff 0.15 unsalted -> salted ok)
-    ext = extract(t, partitions=2 * cpus, salt_threshold=500, salt_buckets=32)
+    ext = extract(t, partitions=2 * cpus, salt_threshold=500, salt_buckets=1024)
     cold = timed(lambda: _noop(ext))  # python-worker spin-up, not reported
     # this sandbox VM is noisy (observed 2x run-to-run variance on an idle
     # box): report min of `repeats` steady-state runs
@@ -200,6 +200,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "quality_score",
         "minhash_lsh",
         "simhash",
+        "simhash_pairs",
         "cosine_topk",
         "ann_lsh",
         "cosine_near_dup",
@@ -353,13 +354,49 @@ def run_scaling(sf_dir: str, cpus_hi: int, skew: bool = False) -> int:
         "n_turns": any_run["extract_turns"],
     }
     print(json.dumps(result))
-    write_baseline_md(result)
+    write_baseline_md(result, skew=skew)
     return 0
 
 
-def write_baseline_md(r: dict) -> None:
+_SKEW_BEGIN = "<!-- SKEW-SOAK-BEGIN -->"
+_SKEW_END = "<!-- SKEW-SOAK-END -->"
+
+
+def write_baseline_md(r: dict, skew: bool = False) -> None:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    path = bench_dir / "BASELINE.md"
+    if skew:
+        # the skew soak updates ONLY its own marked section; the main
+        # scaling evidence above it is a separate measurement
+        v = r["pairs"]["2->8"]
+        verdict = "PASS" if v["eff"] >= 0.8 else "below-0.8"
+        section = f"""{_SKEW_BEGIN}
+## Extreme-skew soak (one conversation owns 50% of all turns)
+
+Same extraction job and pinning protocol, but the input is the normal
+corpus PLUS one whale conversation holding as many turns as the rest of
+the corpus combined ({r['n_turns']} total turns). Unsalted, that whale
+is ONE shuffle key = one straggler task at every parallelism level
+(measured round-1: efficiency 0.15). With stats-free round-robin
+salting (salt 0 below the threshold, `1 + turn_idx % salt_buckets`
+above):
+
+| pair | T_N (s) | T_4N (s) | turns/s @N | turns/s @4N | efficiency | verdict |
+|---|---|---|---|---|---|---|
+| 2 -> 8 cores | {v['sec_lo']} | {v['sec_hi']} | {v['tps_lo']} | {v['tps_hi']} | **{v['eff']}** | {verdict} |
+
+Regenerate: `python bench.py --scaling --skew`.
+{_SKEW_END}"""
+        text = path.read_text() if path.exists() else ""
+        if _SKEW_BEGIN in text:
+            pre = text.split(_SKEW_BEGIN)[0]
+            post = text.split(_SKEW_END, 1)[1]
+            path.write_text(pre + section + post)
+        else:
+            path.write_text(text.rstrip() + "\n\n" + section + "\n")
+        print(f"[scaling] wrote skew section in {path}", file=sys.stderr)
+        return
     rows = []
     for pair, v in r["pairs"].items():
         lo, hi = pair.split("->")
@@ -388,13 +425,14 @@ Efficiency = (throughput_4N / throughput_N) / 4.
 
 ## Reading these numbers
 
-- **2 -> 8 cores passes**: the pipeline itself scales linearly — one
-  shuffle, map-only Arrow-vectorized UDF stage, no driver-side row work,
-  no global sort, turn-block salting bounds every task. This pair keeps
-  the socket unsaturated at both levels, so it models a real multi-node
-  cluster, where adding nodes adds memory bandwidth (and keeps clock
-  speed) in proportion to cores.
-- **the larger pairs degrade to ~0.7** because all "executors" share ONE
+- **the unsaturated pairs (2->8, 4->16) pass**: the pipeline itself
+  scales linearly — one shuffle, map-only Arrow-vectorized UDF stage, no
+  driver-side row work, no global sort, round-robin whale salting keeps
+  every task bounded and every partition's load uniform. These pairs
+  keep the socket unsaturated at both levels, so they model a real
+  multi-node cluster, where adding nodes adds memory bandwidth (and
+  keeps clock speed) in proportion to cores.
+- **8 -> 32 degrades to ~0.6** because all "executors" share ONE
   socket: per-core throughput falls as more cores activate, from (a)
   DRAM/LLC contention — the same decay reproduces in a Spark-free
   multiprocessing pool running the bare kernel on this host — and
@@ -402,8 +440,8 @@ Efficiency = (throughput_4N / throughput_N) / 4.
   metrics show ~5s total JVM CPU vs ~100s python kernel CPU and <5%
   in-kernel stall, i.e. the loss is host physics, not engine
   serialization. Real N- and 4N-executor clusters hold per-node
-  bandwidth and clocks constant, so the 2->8 pair is the faithful
-  scaling signal; the 8->32 pair is a same-host lower bound.
+  bandwidth and clocks constant, so the unsaturated pairs are the
+  faithful scaling signal; 8->32 is a same-host lower bound.
 
 Reference baseline (BASELINE.md): 385 images in 4m18s = 1.49 records/s
 on a single office PC. This engine extracts
@@ -412,8 +450,17 @@ cores.
 
 Regenerate: `python bench.py --scaling` (~10 min).
 """
-    (bench_dir / "BASELINE.md").write_text(md)
-    print(f"[scaling] wrote {bench_dir / 'BASELINE.md'}", file=sys.stderr)
+    # preserve an existing skew-soak section (it is a separate run)
+    if path.exists() and _SKEW_BEGIN in path.read_text():
+        old = path.read_text()
+        section = (
+            _SKEW_BEGIN
+            + old.split(_SKEW_BEGIN, 1)[1].split(_SKEW_END, 1)[0]
+            + _SKEW_END
+        )
+        md = md.rstrip() + "\n\n" + section + "\n"
+    path.write_text(md)
+    print(f"[scaling] wrote {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -5,7 +5,7 @@ Usage (ships via --py-files, see jobs/package.sh):
     spark-submit --py-files dist/ocr_spark.zip jobs/extract.py \
         --input /path/to/transcripts --output /path/to/warehouse \
         --run-id R1 [--buckets 64] [--group-size 8] [--partitions 256] \
-        [--salt-threshold 10000] [--salt-buckets 16] [--reset] \
+        [--salt-threshold 10000] [--salt-buckets 1024] [--reset] \
         [--export-json /path/out_json]
 
 Graft of the reference's headless API mode (/root/reference/README.md:51-56:
@@ -28,7 +28,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--group-size", type=int, default=8)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--salt-threshold", type=int, default=10_000)
-    ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--salt-buckets", type=int, default=1024)
     ap.add_argument("--reset", action="store_true", help="forget run commits")
     ap.add_argument("--export-json", default=None)
     ap.add_argument(

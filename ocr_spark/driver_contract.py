@@ -311,6 +311,32 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_near_dup_groups(spark, sf_dir):
+    """Connected components over the LSH near-dup graph (iterative
+    min-label propagation; oracle = recursive CTE transitive min)."""
+    return D.near_dup_groups(load(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash sampling: short docs 20%,
+    long docs 60% (training-data curation shape)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.when(F.col("n_chars") < 400, F.lit("short")).otherwise(
+            F.lit("long")
+        ),
+    )
+    return X.stratified_sample(
+        docs, "stratum", {"short": 0.2, "long": 0.6}
+    ).select("doc_id", "stratum")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-100 by occurrence (distributed top-k:
+    hash-agg + TakeOrdered, no global sort)."""
+    return X.vocab_topk(load(spark, sf_dir, "documents"), k=100)
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -525,6 +551,9 @@ QUERIES: dict[str, Callable] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "near_dup_groups": q_near_dup_groups,
+    "stratified_sample": q_stratified_sample,
+    "vocab_topk": q_vocab_topk,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "cosine_near_dup": q_cosine_near_dup,
@@ -629,6 +658,51 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": _MINHASH_SQL,
     "simhash": _simhash_sql(16),
     "simhash_pairs": _simhash_pairs_sql(64, 4, 3),
+    # transitive min over the same LSH pair graph: every node's group is
+    # the min doc_id reachable through verified near-dup edges
+    "near_dup_groups": f"""
+        WITH RECURSIVE
+        pairs AS ({_MINHASH_SQL}),
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+        r AS (
+            SELECT doc_id, doc_id AS lab FROM nodes
+            UNION
+            SELECT e.doc_b AS doc_id, r.lab
+            FROM r JOIN edges e ON e.doc_a = r.doc_id
+        )
+        SELECT doc_id, min(lab) AS group_id FROM r GROUP BY doc_id
+    """,
+    "stratified_sample": """
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars < 400 THEN 'short' ELSE 'long' END
+                       AS stratum,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        )
+        SELECT doc_id, stratum FROM s
+        WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+            < CASE stratum WHEN 'short' THEN CAST(0.2 * 65536 AS INT)
+                           ELSE CAST(0.6 * 65536 AS INT) END
+    """,
+    "vocab_topk": """
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS token
+            FROM documents
+        ) WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 100
+    """,
     "cosine_topk": """
         SELECT q_id, vec_id, cos, rank FROM (
             SELECT q.vec_id AS q_id, e.vec_id,

@@ -66,7 +66,7 @@ def extract(
     df: DataFrame,
     *,
     partitions: int | None = None,
-    salt_buckets: int = 16,
+    salt_buckets: int = 1024,
     salt_threshold: int = 10_000,
     passthrough: list[str] | None = None,
     keep_candidates: bool = True,

@@ -145,7 +145,7 @@ class ExtractWriter:
         n_buckets: int = 8,
         group_size: int = 4,
         partitions: int | None = None,
-        salt_buckets: int = 16,
+        salt_buckets: int = 1024,
         salt_threshold: int = 10_000,
         fail_after_groups: int | None = None,
         counters: "ExtractCounters | None" = None,

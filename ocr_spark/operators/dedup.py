@@ -282,6 +282,73 @@ def _simhash_votes(df: DataFrame, bits: int) -> DataFrame:
     )
 
 
+def near_dup_groups(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.05,
+    max_df: int = 1000,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the MinHash+LSH near-dup pair graph:
+    every document that appears in a verified pair gets a ``group_id`` =
+    the minimum doc_id of its component (the canonical survivor — the
+    dedup-groups materialization a curation pipeline keeps).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbours' labels; converges in
+    O(component diameter) rounds (near-dup clusters are dense, so
+    usually 2-3). The edge list is LSH-verified pairs — SMALL by the LSH
+    premise — and each round localCheckpoints to truncate lineage, so
+    the loop is cheap joins over a small relation, not a growing plan.
+    The iteration count is bounded; convergence is detected with a
+    changed-row count (an O(|V|) aggregate per round).
+    """
+    pairs = minhash_lsh_pairs(
+        df, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, max_df=max_df,
+    ).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("group_id").alias("nbr_group"),
+            ),
+            "doc_b",
+        ).select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("nbr_group").alias("group_id"),
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("group_id").alias("group_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over word tokens (md5 bit sampling;
     Charikar, "Similarity estimation techniques from rounding

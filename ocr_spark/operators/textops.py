@@ -71,6 +71,63 @@ def with_lang_guess(df: DataFrame, min_hits: int = 2) -> DataFrame:
     )
 
 
+def _hash_selector(key_col: str):
+    """Deterministic per-row selector in [0, 65536): first 4 hex digits
+    of md5(key). Engine-portable (md5 is bit-identical everywhere),
+    stable across runs/partitions — the property random() lacks."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic uniform sample: keep ~``rate`` of rows by hash
+    threshold. Reproducible, partition-independent, join-stable (the
+    same key always samples the same way — so multiple tables sampled
+    on a shared key stay aligned)."""
+    return df.filter(_hash_selector(key_col) < int(rate * 65536))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (training-data curation: e.g.
+    keep 60%% of long documents but 20%% of short ones). Strata absent
+    from ``rates`` are dropped. Pure projection + filter: no shuffle,
+    fully pushed down."""
+    threshold = None
+    for value, rate in rates.items():
+        cond = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * 65536))
+        )
+        threshold = cond if threshold is None else threshold.when(
+            F.col(strata_col) == value, F.lit(int(rate * 65536))
+        )
+    threshold = threshold.otherwise(F.lit(0))
+    return df.filter(_hash_selector(key_col) < threshold)
+
+
+def vocab_topk(df: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary top-k by occurrence count (tokenizer-training /
+    corpus-inspection shape). Distributed top-k: groupBy(token) hash-agg
+    (map-side partial) then ``orderBy(...).limit(k)`` — Spark executes a
+    per-partition TakeOrdered + driver merge of k-row heads, NEVER a
+    single-partition global sort. Total order (count desc, token asc)
+    makes the boundary deterministic."""
+    toks = df.select(F.explode(F.expr(TOKENS)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def with_quality(df: DataFrame) -> DataFrame:
     """Quality score in [0,1]: length, alpha ratio, stopword ratio."""
     n_tokens = F.size(F.expr(TOKENS))

@@ -6,10 +6,10 @@ stable (conv_id, turn_idx) ordering contract. The north rule demands
 explicit conv_id-hash partitioning plus salted repartitioning for skewed
 ("whale") conversations:
 
-- whales are detected with one cheap partial aggregation
-  (``groupBy(conv_id).count``, map-side combined) and broadcast back,
-- whale turns get ``salt = pmod(hash(turn_idx), salt_buckets)``, others
-  salt 0, and the stage repartitions on (conv_id, salt),
+- salting is STATS-FREE (no count job, no broadcast): turns below
+  ``salt_threshold`` keep salt 0 (short conversations stay colocated),
+  a whale's tail is round-robined over ``salt_buckets`` keys, and the
+  stage repartitions on (conv_id, salt),
 - because whales are split across partitions, ordered exports re-sort on
   read (ordering contract lives in ``ordered`` below, not in a global
   ``orderBy`` — forbidden at 10^12 rows).
@@ -35,27 +35,31 @@ def whale_conv_ids(df: DataFrame, salt_threshold: int) -> DataFrame:
 def repartition_salted(
     df: DataFrame,
     num_partitions: int,
-    salt_buckets: int = 16,
+    salt_buckets: int = 1024,
     salt_threshold: int = 10_000,
 ) -> DataFrame:
-    """conv_id-hash repartition with turn-block salting of whale convs.
+    """conv_id-hash repartition with round-robin salting of whale turns.
 
-    ``salt = turn_idx // salt_threshold`` — a conversation shorter than
-    the threshold keeps salt 0 (fully colocated), a whale splits into
-    bounded blocks of ``salt_threshold`` turns each. Unlike stats-based
-    whale detection this needs NO extra aggregation job, NO broadcast
-    join, and no second scan of the input — the salt is a pure projection,
-    so the whole pipeline stays one shuffle — while giving the same
-    per-partition bound. ``salt_buckets`` caps the number of distinct
-    blocks so a 10^6-turn conversation cannot fan out into 10^2 single-use
-    shuffle keys per partition at 10^12-row scale.
+    ``salt = 0`` while ``turn_idx < salt_threshold``, else
+    ``1 + pmod(turn_idx, salt_buckets)``: a conversation shorter than the
+    threshold keeps salt 0 (fully colocated), and a whale's tail spreads
+    round-robin over ``salt_buckets`` keys — every key carries an EQUAL
+    share of the whale, so partition load is uniform by construction.
+    Stats-free like the round-1 turn-block scheme (the salt is a pure
+    projection: no count job, no broadcast, one shuffle total), but
+    strictly better balanced: blocks of ``threshold`` turns hashed 32
+    ways left multi-thousand-turn Poisson collisions on some partitions
+    (measured 2->8 skew-soak efficiency 0.741); round-robin keys of
+    ~n/salt_buckets turns shrink the straggler term to the hash
+    collision of SMALL keys. Distinct keys per conversation are bounded
+    by ``salt_buckets + 1`` — key count is shuffle-hash input, not
+    state, so a large bucket count costs nothing.
     """
+    t = F.col("turn_idx").cast("long")
     salted = df.withColumn(
         SALT_COL,
-        F.pmod(
-            (F.col("turn_idx").cast("long") / F.lit(int(salt_threshold)))
-            .cast("long"),
-            F.lit(int(salt_buckets)),
+        F.when(t < F.lit(int(salt_threshold)), F.lit(0)).otherwise(
+            F.pmod(t, F.lit(int(salt_buckets))) + F.lit(1)
         ),
     )
     return salted.repartition(num_partitions, "conv_id", SALT_COL).drop(

@@ -160,3 +160,65 @@ def test_textops_basics(spark):
     assert q[0] > q[1]
     fp = with_fingerprint(docs).collect()
     assert all(len(r.fingerprint) == 32 for r in fp)
+
+
+def test_near_dup_groups_connected_components(spark):
+    from ocr_spark.operators.dedup import near_dup_groups
+
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = _docs(
+        spark,
+        [
+            base,                 # 0 \
+            base + " tail",       # 1  > one component, min id 0
+            base + " more tail",  # 2 /
+            other,                # 3 \ second component, min id 3
+            other + " x",         # 4 /
+            "totally unrelated isolated text with its own words only",
+        ],
+    )
+    out = {
+        r.doc_id: r.group_id
+        for r in near_dup_groups(docs, threshold=0.5).collect()
+    }
+    assert out[0] == out[1] == out[2] == 0
+    assert out[3] == out[4] == 3
+    assert 5 not in out  # isolated docs are not in any group
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    from ocr_spark.operators.textops import hash_sample
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = sorted(r.doc_id for r in hash_sample(docs, 0.3).collect())
+    b = sorted(r.doc_id for r in hash_sample(docs, 0.3).collect())
+    assert a == b, "hash sampling must be reproducible"
+    assert 0.25 < len(a) / 2000 < 0.35
+    # nested rates: a 10% sample is a subset of the 30% sample
+    c = set(r.doc_id for r in hash_sample(docs, 0.1).collect())
+    assert c <= set(a)
+
+
+def test_stratified_sample_rates(spark):
+    from ocr_spark.operators.textops import stratified_sample
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+        .alias("stratum"),
+    )
+    out = stratified_sample(docs, "stratum", {"a": 0.5}).groupBy(
+        "stratum"
+    ).count().collect()
+    by = {r.stratum: r["count"] for r in out}
+    assert "b" not in by, "strata without a rate are dropped"
+    assert 0.4 < by["a"] / 1500 < 0.6
+
+
+def test_vocab_topk_order_and_boundary(spark):
+    from ocr_spark.operators.textops import vocab_topk
+
+    docs = _docs(spark, ["x x x y y z", "y x w", ""])
+    out = vocab_topk(docs, k=3).collect()
+    assert [(r.token, r.n) for r in out] == [("x", 4), ("y", 3), ("w", 1)]
