@@ -377,6 +377,7 @@ def simhash_hamming_pairs(
     bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash near-duplicate pairs via the banded-Hamming bucket
     join (Manku/Jain/Sarma, "Detecting near-duplicates for web
@@ -392,6 +393,17 @@ def simhash_hamming_pairs(
     hamming <= max_hamming. Scale shape: one vote aggregation, one
     band-bucket self-join on (band, value), distinct; band values are
     16-bit ints so the fingerprint never touches long sign bits.
+
+    Skew note: candidate volume is quadratic IN EACH BUCKET. On
+    low-entropy corpora (heavily templated text) a 16-bit band value can
+    collect thousands of docs, and the pigeonhole guarantee forces all
+    of those pairs through verification — exactness demands it. Two
+    levers at scale: (a) raise ``bits`` so bands are wider (e.g. 96/4 →
+    24-bit bands, 256x the value space; md5 supplies up to 128 bits) at
+    a stricter relative threshold, or (b) set ``max_bucket`` to drop
+    buckets larger than that many docs — EXPLICITLY trading recall
+    (a pair whose only shared band is dropped is lost); leave None for
+    the exact oracle-checked semantics.
     """
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
@@ -429,6 +441,15 @@ def simhash_hamming_pairs(
         F.explode(entries).alias("e"),
     ).select("doc_id", "bv", F.col("e.band").alias("band"),
              F.col("e.val").alias("val"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = (
+            banded.join(sizes, ["band", "val"])
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.expr(
