@@ -49,7 +49,11 @@ def gen_partition(batches):
 def main() -> int:
     from pyspark.sql import SparkSession, functions as F
 
-    from ocr_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+    from ocr_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_cosine_topk,
+    )
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -98,6 +102,21 @@ def main() -> int:
         t_approx = time.time() - t0
         results[f"lsh_t{tables}_s"] = round(t_approx, 1)
         results[f"lsh_t{tables}_recall_at_5"] = round(
+            len(exact & approx) / len(exact), 4
+        )
+    # untimed warmup: first mapInPandas pays python-worker spin-up
+    ivf_topk(emb, queries, k=K, n_centroids=256, n_probe=1).count()
+    for n_cent, n_probe in ((256, 8), (256, 32)):
+        t0 = time.time()
+        approx = {
+            (r.q_id, r.vec_id)
+            for r in ivf_topk(
+                emb, queries, k=K, n_centroids=n_cent, n_probe=n_probe
+            ).collect()
+        }
+        t_approx = time.time() - t0
+        results[f"ivf_c{n_cent}_p{n_probe}_s"] = round(t_approx, 1)
+        results[f"ivf_c{n_cent}_p{n_probe}_recall_at_5"] = round(
             len(exact & approx) / len(exact), 4
         )
     print(json.dumps(results))

@@ -203,6 +203,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "simhash_pairs",
         "cosine_topk",
         "ann_lsh",
+        "ann_ivf",
         "cosine_near_dup",
         "media_decode",
         "media_frames",

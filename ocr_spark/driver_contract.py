@@ -331,10 +331,28 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "stratum")
 
 
+def q_doc_length_stats(spark, sf_dir):
+    """Exact grouped quantiles of document length per language
+    (percentile == ANSI percentile_cont == DuckDB quantile_cont)."""
+    return R.group_quantiles(
+        load(spark, sf_dir, "documents"), "lang", "n_chars"
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-100 by occurrence (distributed top-k:
     hash-agg + TakeOrdered, no global sort)."""
     return X.vocab_topk(load(spark, sf_dir, "documents"), k=100)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: sampled coarse quantizer (32 lists), probe 4, exact
+    re-score top-5 — the second ANN scale path beside ann_lsh."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.ivf_topk(emb, queries, k=5, n_centroids=32, n_probe=4)
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -554,6 +572,8 @@ QUERIES: dict[str, Callable] = {
     "near_dup_groups": q_near_dup_groups,
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
+    "ann_ivf": q_ann_ivf,
+    "doc_length_stats": q_doc_length_stats,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "cosine_near_dup": q_cosine_near_dup,
@@ -692,6 +712,65 @@ ORACLES: dict[str, str] = {
             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
             < CASE stratum WHEN 'short' THEN CAST(0.2 * 65536 AS INT)
                            ELSE CAST(0.6 * 65536 AS INT) END
+    """,
+    "ann_ivf": """
+        WITH c AS (
+            SELECT vec_id AS cid, embedding AS cent
+            FROM embeddings ORDER BY vec_id LIMIT 32
+        ),
+        a AS (
+            SELECT vec_id, embedding FROM embeddings
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT a.vec_id, a.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               a.embedding::DOUBLE[], c.cent::DOUBLE[]), 4)
+                               DESC, c.cid
+                       ) AS rn
+                FROM a CROSS JOIN c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT q_id, q_emb, cid FROM (
+                SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.cent::DOUBLE[]), 4)
+                               DESC, c.cid
+                       ) AS rn
+                FROM embeddings q CROSS JOIN c
+                WHERE q.vec_id < 10
+            ) WHERE rn <= 4
+        ),
+        cand AS (
+            SELECT DISTINCT p.q_id, p.q_emb, s.vec_id, s.embedding
+            FROM probes p JOIN assign s USING (cid)
+            WHERE p.q_id <> s.vec_id
+        )
+        SELECT q_id, vec_id, cos, rank FROM (
+            SELECT q_id, vec_id,
+                   round(list_cosine_similarity(
+                       q_emb::DOUBLE[], embedding::DOUBLE[]), 4) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY round(list_cosine_similarity(
+                           q_emb::DOUBLE[], embedding::DOUBLE[]), 4)
+                           DESC, vec_id
+                   ) AS rank
+            FROM cand
+        ) WHERE rank <= 5
+    """,
+    "doc_length_stats": """
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.5), 4) AS p5,
+               round(quantile_cont(n_chars, 0.9), 4) AS p9,
+               round(quantile_cont(n_chars, 0.99), 4) AS p99,
+               count(*) AS n
+        FROM documents GROUP BY lang
     """,
     "vocab_topk": """
         SELECT token, count(*) AS n FROM (

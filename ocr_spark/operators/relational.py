@@ -56,3 +56,32 @@ def run_stats(extracted: DataFrame) -> DataFrame:
         F.min("conv_id").alias("conv_min"),
         F.max("conv_id").alias("conv_max"),
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact grouped quantiles (corpus inspection: length/score
+    distributions per stratum). Uses Spark's exact ``percentile``
+    aggregate — linear-interpolation semantics identical to ANSI
+    ``percentile_cont`` / DuckDB ``quantile_cont``, so results are
+    engine-portable. Exact percentile sorts within each group: right
+    for bounded group counts (per-language/source stats); for
+    per-document groups at 10^12 rows use approx_percentile instead
+    (sketch-based, no sort) and drop the oracle equality claim.
+    """
+    arr = ", ".join(str(q) for q in quantiles)
+    agg = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cols = [
+        F.round(F.element_at("_q", i + 1), 4).alias(
+            f"p{str(q).replace('0.', '')}"
+        )
+        for i, q in enumerate(quantiles)
+    ]
+    return agg.select(group_col, *cols, "n")

@@ -188,6 +188,129 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, probe the ``n_probe`` nearest lists per query, exact
+    cosine re-score + top-k inside them. Same output schema as
+    ``cosine_topk`` / ``lsh_cosine_topk``.
+
+    Centroids are the ``n_centroids`` lowest-vec_id corpus vectors
+    (sampled coarse quantizer — deterministic and engine-reproducible;
+    a Lloyd refinement would add recall but makes results depend on
+    float summation order, so it belongs behind a recall soak, not an
+    equality oracle). Corpus->list assignment is the IVF build's hot
+    loop (N x C cosines): it runs as ONE numpy matmul per Arrow batch
+    inside ``mapInPandas`` against the (small, driver-collected)
+    centroid matrix — measured 100k x 256 x 64d: 46.7s as interpreted
+    ``zip_with`` expressions vs ~1s vectorized. Map-only, no shuffle.
+    Ties (round(cos,4)) break to the smaller centroid id (argmax over
+    ascending-cid columns) so list assignment is total-ordered.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        embeddings.orderBy("vec_id").limit(n_centroids).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.array([list(r.embedding) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    id_field = embeddings.schema["vec_id"].dataType.simpleString()
+    assign_schema = (
+        f"vec_id {id_field}, emb array<float>, n2 double, cid long"
+    )
+
+    def assign_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n2 = np.sqrt((m * m).sum(axis=1))
+            sims = np.round(
+                (m @ cmat.T) / np.outer(n2, cnorm), 4
+            )
+            # argmax returns the FIRST max column; columns are in
+            # ascending cid order, so ties break to the smaller cid
+            best = cids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": pdf["embedding"],
+                    "n2": n2,
+                    "cid": best,
+                }
+            )
+
+    lists = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign_batches, assign_schema
+    )
+
+    # query probes: tiny side (Q x C) — the expression path suffices
+    cents = F.broadcast(
+        embeddings.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+        )
+    )
+    cent_norm = cents.withColumn("cn", F.expr(_NORM.format(a="cent")))
+    q = _with_norm(
+        queries.select("q_id", F.col("q_emb").alias("embedding"))
+    )
+    q_scored = q.crossJoin(cent_norm).withColumn(
+        "ccos",
+        F.round(
+            F.expr(_DOT.format(a="embedding", b="cent"))
+            / (F.col("nrm") * F.col("cn")),
+            4,
+        ),
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q_scored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select(
+            "q_id", F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("n1"), "cid",
+        )
+    )
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = cand.withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="q_emb", b="emb"))
+            / (F.col("n1") * F.col("n2")),
+            4,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,

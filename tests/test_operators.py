@@ -222,3 +222,30 @@ def test_vocab_topk_order_and_boundary(spark):
     docs = _docs(spark, ["x x x y y z", "y x w", ""])
     out = vocab_topk(docs, k=3).collect()
     assert [(r.token, r.n) for r in out] == [("x", 4), ("y", 3), ("w", 1)]
+
+
+def test_ivf_topk_recalls_true_neighbors(spark):
+    import numpy as np
+
+    from ocr_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 8)
+    vecs = []
+    for i in range(200):
+        v = base[i % 8] + 0.05 * rng.randn(8)  # 8 tight clusters
+        vecs.append([float(x) for x in v])
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(200), "embedding": vecs})
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    truth = {(r.q_id, r.vec_id) for r in exact}
+    got = {(r.q_id, r.vec_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # clustered data + 4/16 probes: near-perfect recall expected
+    assert recall >= 0.8, f"IVF recall {recall}"
+    assert all(r.rank <= 5 for r in approx)
