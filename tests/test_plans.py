@@ -69,6 +69,54 @@ def test_override_join_is_broadcast(spark, sf001_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_minhash_lsh_never_cartesian(spark, sf001_dir):
+    # the whole point of LSH: candidates come from an equi-join on
+    # (band, band_key), never an all-pairs product
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["minhash_lsh"](spark, sf001_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_never_cartesian(spark, sf001_dir):
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["simhash_pairs"](spark, sf001_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_topk_is_take_ordered(spark, sf001_dir):
+    # top-k must be TakeOrderedAndProject (per-partition heads + driver
+    # merge), never a global Sort of the vocabulary
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["vocab_topk"](spark, sf001_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_pushes_scan_filter(spark, sf001_dir):
+    # pure projection+filter: no Exchange anywhere in the plan
+    from ocr_spark.driver_contract import QUERIES
+
+    tree = _tree(_formatted(QUERIES["stratified_sample"](spark, sf001_dir)))
+    assert "Exchange" not in tree
+
+
+def test_ann_ivf_assignment_is_map_only(spark, sf001_dir):
+    # the corpus->list assignment (the IVF build hot loop) must be an
+    # Arrow-batched map with NO exchange before it; shuffles may only
+    # appear downstream (probe join / top-k window)
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["ann_ivf"](spark, sf001_dir))
+    tree = _tree(plan)
+    assert "MapInPandas" in tree or "MapInPandas" in plan
+    # no row-at-a-time python anywhere
+    assert "BatchEvalPython" not in plan
+
+
 def test_cosine_topk_broadcasts_query_side(spark):
     # the brute-force baseline must broadcast its (small, capped) query
     # side: the corpus side is scanned once, never shuffled
