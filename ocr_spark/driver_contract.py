@@ -290,6 +290,19 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Composite curation pass — the operators composing the way a real
+    training-data job chains them: exact-dedup survivors -> language
+    gate -> quality gate. Returns kept (doc_id, quality)."""
+    docs = load(spark, sf_dir, "documents")
+    keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    scored = X.with_quality(X.with_lang_guess(survivors))
+    return scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_guess") == "en")
+    ).select("doc_id", "quality")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
@@ -574,6 +587,7 @@ QUERIES: dict[str, Callable] = {
     "vocab_topk": q_vocab_topk,
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
+    "curation_pipeline": q_curation_pipeline,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "cosine_near_dup": q_cosine_near_dup,
@@ -763,6 +777,40 @@ ORACLES: dict[str, str] = {
                    ) AS rank
             FROM cand
         ) WHERE rank <= 5
+    """,
+    "curation_pipeline": f"""
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                        'g'))
+        ),
+        s AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(
+                     0.4 * least(1.0,
+                         len(regexp_split_to_array(trim(text), '\\s+'))
+                             / 50.0)
+                   + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '',
+                                                  'g')) / length(text))
+                   + 0.3 * least(1.0,
+                         5.0 * len(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             t -> lower(t) IN ({_STOP_SQL})))
+                         / len(regexp_split_to_array(trim(text),
+                                                     '\\s+'))),
+                   4) AS quality,
+                   len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> lower(t) IN ({_STOP_SQL}))) AS stop_hits
+            FROM s
+        )
+        SELECT doc_id, quality FROM scored
+        WHERE quality >= 0.5 AND stop_hits >= 2
     """,
     "doc_length_stats": """
         SELECT lang,

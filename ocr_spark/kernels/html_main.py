@@ -86,12 +86,14 @@ SPAN_KIND = {
     "a": "link",
 }
 
-_WS_RE = re.compile(r"\s+")
-
-
 def collapse_ws(s: str) -> str:
-    """Whitespace canonicalization used across all kernels."""
-    return _WS_RE.sub(" ", s).strip()
+    """Whitespace canonicalization used across all kernels.
+
+    ``" ".join(s.split())`` is exactly ``re.sub(r"\\s+", " ", s).strip()``
+    (both use the Unicode whitespace predicate; fuzz-verified incl.
+    \\x1c-\\x1f and \\xa0) and ~6x faster — this runs once per text
+    chunk, one of the kernel's hottest lines under profile."""
+    return " ".join(s.split())
 
 
 @dataclass
@@ -190,6 +192,9 @@ class _Extractor:
         self.blocks: list[_Block] = [_Block(0, "<root>", -1)]
         self.block_stack: list[int] = [0]
         self.tag_stack: list[str] = []
+        # open-tag multiset mirroring tag_stack: O(1) "is this end tag
+        # matched?" instead of an O(depth) list scan per end tag
+        self._open_counts: dict[str, int] = {}
         self.skip_depth = 0
         self.link_depth = 0
         self._order = 0
@@ -208,6 +213,8 @@ class _Extractor:
         if self.skip_depth:
             return
         self.tag_stack.append(tag)
+        oc = self._open_counts
+        oc[tag] = oc.get(tag, 0) + 1
         if tag == "a":
             self.link_depth += 1
         if tag in BLOCK_TAGS:
@@ -225,9 +232,11 @@ class _Extractor:
         if self.skip_depth:
             return
         # tolerant unwinding for malformed nesting
-        if tag in self.tag_stack:
+        if self._open_counts.get(tag, 0):
+            oc = self._open_counts
             while self.tag_stack:
                 popped = self.tag_stack.pop()
+                oc[popped] -= 1
                 self._close_for(popped)
                 if popped == tag:
                     break
