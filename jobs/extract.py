@@ -21,7 +21,18 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="ocr_spark extraction job")
-    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--input", required=True, help="transcripts input dir")
+    ap.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=("parquet", "json", "jsonl", "csv"),
+        help="transcript wire format (json = JSONL; csv needs a header)",
+    )
+    ap.add_argument(
+        "--dedup",
+        action="store_true",
+        help="drop duplicate (conv_id, turn_idx) rows on ingest",
+    )
     ap.add_argument("--output", required=True, help="warehouse root dir")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--buckets", type=int, default=64)
@@ -49,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     from ocr_spark.extract import ExtractCounters
-    from ocr_spark.io import ExtractWriter
+    from ocr_spark.io import ExtractWriter, read_transcripts
 
     spark = (
         SparkSession.builder.appName(f"ocr_spark-extract-{args.run_id}")
@@ -63,7 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.reset:
         writer.reset(args.run_id, spark=spark)
 
-    transcripts = spark.read.parquet(args.input)
+    transcripts = read_transcripts(
+        spark, args.input, fmt=args.input_format, dedup=args.dedup
+    )
     counters = ExtractCounters(spark)
     committed = writer.run(
         spark,

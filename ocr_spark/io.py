@@ -45,6 +45,63 @@ def add_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def read_transcripts(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    dedup: bool = False,
+) -> DataFrame:
+    """Typed transcript source for the three wire formats agent logs
+    arrive in: parquet (native), JSONL, headered CSV. JSON/CSV are read
+    WITH the TRANSCRIPTS schema (no inference pass over 100 TB; bad
+    rows null out instead of failing the scan — the row-preserving
+    error-channel philosophy at ingest). ``dedup=True`` applies the
+    (conv_id, turn_idx) duplicate drop on ingest — the reference's
+    ZIP duplicate-filename rule (documents/…2학기_8주차.md:52).
+    """
+    from ocr_spark.schema import TRANSCRIPTS
+
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt in ("json", "jsonl"):
+        df = (
+            spark.read.schema(TRANSCRIPTS)
+            .option(
+                "timestampFormat",
+                "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX][xx]",
+            )
+            .json(path)
+        )
+    elif fmt == "csv":
+        # multiLine: transcript text carries embedded newlines inside
+        # RFC4180 quotes (escape='"' = doubled-quote convention). This
+        # disables input splitting per file — CSV is the convenience
+        # ingest, parquet/JSONL are the scale paths.
+        df = (
+            spark.read.schema(TRANSCRIPTS)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .option(
+                "timestampFormat",
+                "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX][xx]",
+            )
+            .csv(path)
+        )
+    else:
+        raise ValueError(f"unknown transcript format {fmt!r}")
+    df = df.select(*[f.name for f in TRANSCRIPTS.fields])
+    if fmt != "parquet":
+        # CSV cannot distinguish '' from null (and JSON rows may omit
+        # the field); TRANSCRIPTS declares text non-null, so ingest
+        # enforces it — empty payloads flow to the error channel
+        # downstream instead of crashing the kernel on None
+        df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    if dedup:
+        df = df.dropDuplicates(["conv_id", "turn_idx"])
+    return df
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg runtime jar is on the session classpath."""
     try:

@@ -27,7 +27,7 @@ def html_doc(draw):
     """Random tag-soup document from a small grammar (incl. malformed)."""
     parts = []
     for _ in range(draw(st.integers(1, 12))):
-        kind = draw(st.integers(0, 3))
+        kind = draw(st.integers(0, 5))
         tag = draw(st.sampled_from(_TAGS))
         words = " ".join(draw(st.lists(_WORD, min_size=1, max_size=8)))
         if kind == 0:
@@ -36,8 +36,14 @@ def html_doc(draw):
             parts.append(f"<{tag}>{words}")  # unclosed
         elif kind == 2:
             parts.append(words)
-        else:
+        elif kind == 3:
             parts.append(f"<{tag} attr='x>y'>{words}</{tag}>")
+        elif kind == 4:
+            # self-closing (incl. the script/style regression class)
+            sc = draw(st.sampled_from(["script", "style", tag]))
+            parts.append(f"<{sc} src=x/>{words}")
+        else:
+            parts.append(f"<{tag} href=/a/b>{words}</{tag}>")
     return "".join(parts)
 
 
