@@ -290,6 +290,56 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_rollup_stats(spark, sf_dir):
+    """Grouping sets / rollup coverage (SURVEY §2.2): lineitem stats at
+    (flag, status), (flag) and grand-total levels in ONE pass — Catalyst
+    expands the rollup, partial aggregation still applies."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Explicit set-operation coverage: customers in AUTOMOBILE or
+    BUILDING segments (union), minus those with account balance < 0
+    (except), intersected with custkey % 3 == 0 (intersect)."""
+    c = load(spark, sf_dir, "customer")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    neg = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    third = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey")
+    return auto.union(bld).exceptAll(neg).intersect(third)
+
+
+def q_events_by_day(spark, sf_dir):
+    """Date/time function coverage: per-day event counts + daily value
+    sums via date_trunc (the time-rollup shape of telemetry tables)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """Composite curation pass — the operators composing the way a real
     training-data job chains them: exact-dedup survivors -> language
@@ -588,6 +638,9 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
     "curation_pipeline": q_curation_pipeline,
+    "rollup_stats": q_rollup_stats,
+    "set_ops": q_set_ops,
+    "events_by_day": q_events_by_day,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "cosine_near_dup": q_cosine_near_dup,
@@ -777,6 +830,38 @@ ORACLES: dict[str, str] = {
                    ) AS rank
             FROM cand
         ) WHERE rank <= 5
+    """,
+    "rollup_stats": """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "set_ops": """
+        -- parenthesized: INTERSECT binds tighter than EXCEPT in SQL,
+        -- but the Spark query chains left-to-right
+        SELECT c_custkey FROM (
+            SELECT c_custkey FROM (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'AUTOMOBILE'
+                UNION ALL
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            )
+            EXCEPT ALL
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        )
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+    """,
+    "events_by_day": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
     """,
     "curation_pipeline": f"""
         WITH keep AS (
