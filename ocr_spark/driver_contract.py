@@ -290,6 +290,14 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sample packing: contiguous doc->sequence assignment inside hash
+    shards (per-shard window cumsum; never a global sort)."""
+    return X.pack_sequences(
+        load(spark, sf_dir, "documents"), seq_len=512, shards=8
+    )
+
+
 def q_rollup_stats(spark, sf_dir):
     """Grouping sets / rollup coverage (SURVEY §2.2): lineitem stats at
     (flag, status), (flag) and grand-total levels in ONE pass — Catalyst
@@ -639,6 +647,7 @@ QUERIES: dict[str, Callable] = {
     "doc_length_stats": q_doc_length_stats,
     "curation_pipeline": q_curation_pipeline,
     "rollup_stats": q_rollup_stats,
+    "pack_sequences": q_pack_sequences,
     "set_ops": q_set_ops,
     "events_by_day": q_events_by_day,
     "cosine_topk": q_cosine_topk,
@@ -830,6 +839,26 @@ ORACLES: dict[str, str] = {
                    ) AS rank
             FROM cand
         ) WHERE rank <= 5
+    """,
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 512) AS BIGINT) AS seq_idx,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) % 512 AS BIGINT) AS seq_offset
+        FROM t
     """,
     "rollup_stats": """
         SELECT coalesce(l_returnflag, 'ALL') AS flag,

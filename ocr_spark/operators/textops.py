@@ -143,3 +143,44 @@ def with_quality(df: DataFrame) -> DataFrame:
         * F.least(F.lit(1.0), F.lit(5.0) * stop_hits / n_tokens)
     )
     return df.withColumn("quality", F.round(quality, 4))
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    shards: int = 32,
+) -> DataFrame:
+    """Greedy contiguous sequence packing (the sample-packing step of an
+    LLM data pipeline): documents are laid end-to-end in deterministic
+    (doc_id) order and cut into ``seq_len``-token training sequences;
+    each document reports the sequence it STARTS in and its token
+    offset within it.
+
+    Scale shape: a single global running sum would be one sort + one
+    partition — forbidden. Packing instead happens independently inside
+    ``shards`` hash shards (pmod(doc_id, shards)): the window cumsum
+    partitions by shard, so the sort is per-shard and parallel, and a
+    sequence never crosses a shard boundary (standard practice — shards
+    map to training-data files). Returns
+    (doc_id, shard, n_tokens, seq_idx, seq_offset).
+    """
+    from pyspark.sql import Window
+
+    toks = with_token_count(df).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).alias("shard"),
+        "n_tokens",
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / F.lit(seq_len)).cast("long").alias("seq_idx"),
+        F.pmod(cum_before, F.lit(seq_len)).cast("long").alias("seq_offset"),
+    )

@@ -249,3 +249,23 @@ def test_ivf_topk_recalls_true_neighbors(spark):
     # clustered data + 4/16 probes: near-perfect recall expected
     assert recall >= 0.8, f"IVF recall {recall}"
     assert all(r.rank <= 5 for r in approx)
+
+
+def test_pack_sequences_contiguous_within_shard(spark):
+    from ocr_spark.operators.textops import pack_sequences
+
+    # 6 docs, 1 shard, seq_len 10; token counts 4,4,4,4,4,4
+    docs = _docs(spark, ["a b c d"] * 6)
+    out = pack_sequences(docs, seq_len=10, shards=1).orderBy(
+        "doc_id"
+    ).collect()
+    # cum_before: 0,4,8,12,16,20 -> seq 0,0,0,1,1,2; offsets 0,4,8,2,6,0
+    assert [(r.seq_idx, r.seq_offset) for r in out] == [
+        (0, 0), (0, 4), (0, 8), (1, 2), (1, 6), (2, 0),
+    ]
+    # shards are independent: same docs over 2 shards restart packing
+    out2 = pack_sequences(docs, seq_len=10, shards=2).collect()
+    per_shard = {}
+    for r in sorted(out2, key=lambda r: (r.shard, r.doc_id)):
+        per_shard.setdefault(r.shard, []).append(r.seq_offset)
+    assert all(v[0] == 0 for v in per_shard.values())
