@@ -256,11 +256,21 @@ class ExtractWriter:
                     .parquet(str(self.data_dir))
                 )
                 # metrics from the files just written (cheap 3-column
-                # scan, also verifies the write) -> lineage rows LAST
+                # scan, also verifies the write) -> lineage rows LAST.
+                # A bucket with no rows writes no directory — read only
+                # the ones that exist (its lineage row still lands with
+                # n_turns=0 so resume marks it done).
+                paths = [
+                    str(self.data_dir / f"{BUCKET_COL}={b}")
+                    for b in group
+                    if (self.data_dir / f"{BUCKET_COL}={b}").exists()
+                ]
                 back = (
                     spark.read.option("basePath", str(self.data_dir))
-                    .parquet(*(str(self.data_dir / f"{BUCKET_COL}={b}") for b in group))
+                    .parquet(*paths)
                     .select(BUCKET_COL, "conv_id", "error")
+                    if paths
+                    else None
                 )
             stats = (
                 back.groupBy(BUCKET_COL)
@@ -273,6 +283,8 @@ class ExtractWriter:
                     ),
                 )
                 .collect()
+                if back is not None
+                else []
             )
             stats_by_bucket = {r[BUCKET_COL]: r for r in stats}
             lineage_rows = []

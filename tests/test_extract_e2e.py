@@ -76,3 +76,52 @@ def test_keep_candidates_false_drops_panel_only(
         .reset_index(drop=True)
     )
     _assert_equal(out, tiny_golden)
+
+
+def test_cjk_text_survives_pipeline_and_report(spark, tmp_path):
+    # the reference's domain is Korean text; CJK must survive the full
+    # path: extraction (html + plain routes), warehouse write, xlsx
+    # report round-trip
+    import pandas as pd
+
+    from ocr_spark.io import ExtractWriter
+    from ocr_spark.xlsx import read_xlsx
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["k0"] * 4,
+            "turn_idx": pd.array(range(4), dtype="int32"),
+            "role": ["user"] * 4,
+            "text": [
+                "<nav>메뉴 항목 링크</nav><article><p>차량 번호판 인식"
+                " 결과를 확인합니다 전체 목록은 아래와 같습니다</p>"
+                "</article>",
+                "안녕하세요 세계 hello world",
+                "<p>混合 content 漢字 と かな</p>",
+                "번호판: 12가3456 인식 완료",
+            ],
+            "tool": ["html", None, "html", None],
+            "ts": [pd.Timestamp("2026-01-01", tz="UTC")] * 4,
+        }
+    )
+    w = ExtractWriter(str(tmp_path / "wh"))
+    w.run(spark, spark.createDataFrame(rows), "rk", n_buckets=2,
+          group_size=2)
+    got = (
+        w.read_ordered(spark)
+        .select("turn_idx", "text", "error")
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert (got["error"] == "").all()
+    assert "차량 번호판 인식 결과를 확인합니다" in got["text"][0]
+    assert "메뉴" not in got["text"][0]  # nav boilerplate stripped
+    assert got["text"][1] == "안녕하세요 세계 hello world"
+    assert "漢字" in got["text"][2]
+    assert "12가3456" in got["text"][3]
+    out = str(tmp_path / "k.xlsx")
+    w.export_xlsx(spark, out)
+    cols, rrows = read_xlsx(out)
+    texts = [r[cols.index("text")] for r in rrows]
+    assert any("차량 번호판" in (t or "") for t in texts)

@@ -140,3 +140,32 @@ def test_run_stats_report(spark, tiny_transcripts, tiny_golden, writer):
     assert stats.n_errors == int((tiny_golden.error != "").sum())
     assert stats.n_buckets == 4
     assert stats.first_commit <= stats.last_commit
+
+
+def test_empty_bucket_in_group_commits_cleanly(spark, writer):
+    # one conversation -> every other bucket is EMPTY; empty buckets
+    # write no files but must still commit a zero-turn lineage row
+    # (previously: Path-does-not-exist crash on the metrics read-back)
+    import pandas as pd
+
+    one = pd.DataFrame(
+        {
+            "conv_id": ["only"] * 3,
+            "turn_idx": pd.array(range(3), dtype="int32"),
+            "role": ["user"] * 3,
+            "text": ["plain text body"] * 3,
+            "tool": [None] * 3,
+            "ts": [pd.Timestamp("2026-01-01", tz="UTC")] * 3,
+        }
+    )
+    done = writer.run(
+        spark, spark.createDataFrame(one), "re", n_buckets=4, group_size=4
+    )
+    assert sorted(done) == [0, 1, 2, 3]
+    lin = writer.lineage(spark).filter("run_id = 're'").toPandas()
+    assert len(lin) == 4
+    assert int(lin.n_turns.sum()) == 3
+    assert (lin[lin.n_turns == 0].conv_min.isna()).all()
+    # resume: everything (incl. empty buckets) is committed
+    assert writer.run(spark, spark.createDataFrame(one), "re",
+                      n_buckets=4) == []
