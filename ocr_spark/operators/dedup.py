@@ -433,14 +433,17 @@ def simhash_hamming_pairs(
             for b in range(bands)
         ]
     )
-    # carry every band value alongside the exploded bucket key so the
+    # carry every band value alongside the exploded bucket key (as
+    # PLAIN int columns, not an array: the Hamming sum then stays in
+    # whole-stage codegen — the zip_with/aggregate lambda formulation
+    # is interpreted per element and dominated the verify stage) so the
     # verify step needs no join back to the wide table
     banded = wide.select(
         "doc_id",
-        F.array(*[F.col(f"band{b}") for b in range(bands)]).alias("bv"),
+        *[F.col(f"band{b}") for b in range(bands)],
         F.explode(entries).alias("e"),
-    ).select("doc_id", "bv", F.col("e.band").alias("band"),
-             F.col("e.val").alias("val"))
+    ).select("doc_id", *[f"band{b}" for b in range(bands)],
+             F.col("e.band").alias("band"), F.col("e.val").alias("val"))
     if max_bucket is not None:
         sizes = banded.groupBy("band", "val").agg(
             F.count(F.lit(1)).alias("_bn")
@@ -452,9 +455,8 @@ def simhash_hamming_pairs(
         )
     a = banded.alias("a")
     b = banded.alias("b")
-    ham = F.expr(
-        "aggregate(zip_with(a.bv, b.bv, (x, y) -> bit_count(x ^ y)), "
-        "0, (acc, v) -> acc + v)"
+    ham = sum(
+        F.expr(f"bit_count(a.band{i} ^ b.band{i})") for i in range(bands)
     ).cast("int")
     return (
         a.join(b, ["band", "val"])

@@ -27,8 +27,43 @@ _NORM = (
 )
 
 
-def _with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
-    return df.withColumn("nrm", F.expr(_NORM.format(a=col)))
+def _probe_dims(df: DataFrame, col: str) -> int | None:
+    """One-row LocalLimit probe of the (fixed) embedding width."""
+    row = df.select(F.size(F.col(col)).alias("d")).first()
+    return None if row is None else row["d"]
+
+
+def _dot_expr(a: str, b: str, dims: int | None):
+    """Dot product of two vector columns. With a known width the sum is
+    UNROLLED into plain codegen'd arithmetic — the higher-order
+    aggregate/zip_with formulation is interpreted per element and was
+    the hot loop of every cosine operator. Left-to-right addition order
+    matches the lambda fold exactly, so scores are bit-identical."""
+    if dims is None:
+        return F.expr(_DOT.format(a=a, b=b))
+    terms = " + ".join(
+        f"(CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"element_at({b}, {i + 1}))"
+        for i in range(dims)
+    )
+    return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
+
+
+def _norm_expr(a: str, dims: int | None):
+    if dims is None:
+        return F.expr(_NORM.format(a=a))
+    terms = " + ".join(
+        f"(CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"CAST(element_at({a}, {i + 1}) AS DOUBLE))"
+        for i in range(dims)
+    )
+    return F.expr(f"sqrt(CAST(0.0 AS DOUBLE) + {terms})")
+
+
+def _with_norm(
+    df: DataFrame, col: str = "embedding", dims: int | None = None
+) -> DataFrame:
+    return df.withColumn("nrm", _norm_expr(col, dims))
 
 
 def cosine_topk(
@@ -55,11 +90,12 @@ def cosine_topk(
             f"cosine_topk is the brute-force baseline: got > {max_queries}"
             " query vectors; use lsh_cosine_topk for large query sets"
         )
-    e = _with_norm(embeddings).select(
+    d = _probe_dims(embeddings, "embedding")
+    e = _with_norm(embeddings, dims=d).select(
         "vec_id", F.col("embedding").alias("emb"), F.col("nrm").alias("n2")
     )
     q = _with_norm(
-        queries.select("q_id", F.col("q_emb").alias("embedding"))
+        queries.select("q_id", F.col("q_emb").alias("embedding")), dims=d
     ).select("q_id", F.col("embedding").alias("q_emb"), F.col("nrm").alias("n1"))
     scored = (
         F.broadcast(q).crossJoin(e)
@@ -67,7 +103,7 @@ def cosine_topk(
         .withColumn(
             "cos",
             F.round(
-                F.expr(_DOT.format(a="q_emb", b="emb"))
+                _dot_expr("q_emb", "emb", d)
                 / (F.col("n1") * F.col("n2")),
                 4,
             ),
@@ -157,7 +193,8 @@ def cosine_near_dup_pairs(
     path): LSH sign-bucket join prunes the O(N^2) pair space to
     same-bucket candidates, then exact cosine filters at ``threshold``.
     Returns (doc_a, doc_b, cos) with doc_a < doc_b."""
-    e = sign_bucket(_with_norm(embeddings), dims=dims).select(
+    d = _probe_dims(embeddings, "embedding")
+    e = sign_bucket(_with_norm(embeddings, dims=d), dims=dims).select(
         "vec_id", "embedding", "nrm", "bucket"
     )
     a = e.select(
@@ -178,7 +215,7 @@ def cosine_near_dup_pairs(
         .withColumn(
             "cos",
             F.round(
-                F.expr(_DOT.format(a="ea", b="eb"))
+                _dot_expr("ea", "eb", d)
                 / (F.col("na") * F.col("nb")),
                 4,
             ),
@@ -265,14 +302,15 @@ def ivf_topk(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
         )
     )
-    cent_norm = cents.withColumn("cn", F.expr(_NORM.format(a="cent")))
+    d = int(cmat.shape[1])
+    cent_norm = cents.withColumn("cn", _norm_expr("cent", d))
     q = _with_norm(
-        queries.select("q_id", F.col("q_emb").alias("embedding"))
+        queries.select("q_id", F.col("q_emb").alias("embedding")), dims=d
     )
     q_scored = q.crossJoin(cent_norm).withColumn(
         "ccos",
         F.round(
-            F.expr(_DOT.format(a="embedding", b="cent"))
+            _dot_expr("embedding", "cent", d)
             / (F.col("nrm") * F.col("cn")),
             4,
         ),
@@ -296,7 +334,7 @@ def ivf_topk(
     scored = cand.withColumn(
         "cos",
         F.round(
-            F.expr(_DOT.format(a="q_emb", b="emb"))
+            _dot_expr("q_emb", "emb", d)
             / (F.col("n1") * F.col("n2")),
             4,
         ),
@@ -325,7 +363,8 @@ def lsh_cosine_topk(
     ``tables``x the candidate-join volume; 100k-vector soak
     (BENCH/soak_ann.py): 1 table recall@5 0.29 (2.9s), 6 tables 0.936
     (4.3s) vs 18.5s brute force."""
-    e = sign_buckets_multi(_with_norm(embeddings), dims, tables).select(
+    d = _probe_dims(embeddings, "embedding")
+    e = sign_buckets_multi(_with_norm(embeddings, dims=d), dims, tables).select(
         "vec_id",
         F.col("embedding").alias("emb"),
         F.col("nrm").alias("n2"),
@@ -333,7 +372,10 @@ def lsh_cosine_topk(
         "bucket",
     )
     q = sign_buckets_multi(
-        _with_norm(queries.select("q_id", F.col("q_emb").alias("embedding"))),
+        _with_norm(
+            queries.select("q_id", F.col("q_emb").alias("embedding")),
+            dims=d,
+        ),
         dims,
         tables,
     ).select(
@@ -352,7 +394,7 @@ def lsh_cosine_topk(
     scored = cand.withColumn(
         "cos",
         F.round(
-            F.expr(_DOT.format(a="q_emb", b="emb"))
+            _dot_expr("q_emb", "emb", d)
             / (F.col("n1") * F.col("n2")),
             4,
         ),
