@@ -290,6 +290,14 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: duplicated 2/3-gram and line
+    fractions per document (curation quality rules)."""
+    return X.with_repetition(load(spark, sf_dir, "documents")).select(
+        "doc_id", "rep_2gram", "rep_3gram", "rep_line"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sample packing: contiguous doc->sequence assignment inside hash
     shards (per-shard window cumsum; never a global sort)."""
@@ -648,6 +656,7 @@ QUERIES: dict[str, Callable] = {
     "curation_pipeline": q_curation_pipeline,
     "rollup_stats": q_rollup_stats,
     "pack_sequences": q_pack_sequences,
+    "repetition": q_repetition,
     "set_ops": q_set_ops,
     "events_by_day": q_events_by_day,
     "cosine_topk": q_cosine_topk,
@@ -839,6 +848,40 @@ ORACLES: dict[str, str] = {
                    ) AS rank
             FROM cand
         ) WHERE rank <= 5
+    """,
+    "repetition": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS lines
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lines,
+                   CASE WHEN len(toks) < 2 THEN [] ELSE
+                       list_transform(generate_series(1, len(toks) - 1),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 1), ' '))
+                   END AS g2,
+                   CASE WHEN len(toks) < 3 THEN [] ELSE
+                       list_transform(generate_series(1, len(toks) - 2),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 2), ' '))
+                   END AS g3
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN len(g2) <= 0 THEN 0.0 ELSE
+                   round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                         / len(g2), 4) END AS rep_2gram,
+               CASE WHEN len(g3) <= 0 THEN 0.0 ELSE
+                   round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                         / len(g3), 4) END AS rep_3gram,
+               CASE WHEN len(lines) <= 0 THEN 0.0 ELSE
+                   round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                         / len(lines), 4) END AS rep_line
+        FROM g
     """,
     "pack_sequences": """
         WITH t AS (

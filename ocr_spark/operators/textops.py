@@ -184,3 +184,39 @@ def pack_sequences(
         F.floor(cum_before / F.lit(seq_len)).cast("long").alias("seq_idx"),
         F.pmod(cum_before, F.lit(seq_len)).cast("long").alias("seq_offset"),
     )
+
+
+def _ngrams_sql(n: int) -> str:
+    """Word n-gram array expression over the whitespace tokens.
+    Guarded: ``sequence(1, 0)`` counts DOWN in Spark, so short docs
+    must short-circuit to an empty array."""
+    return (
+        f"CASE WHEN size({TOKENS}) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size({TOKENS}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({TOKENS}, i, {n}))) END"
+    )
+
+
+def with_repetition(df: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", App. A1 repetition filters): the fraction of duplicated
+    word 2-grams / 3-grams and duplicated non-empty lines per document.
+    Repetitive boilerplate scores high and gets filtered by curation
+    rules. All built-in array expressions — ``1 - distinct/total``
+    without exploding (no shuffle, linear scan).
+    """
+
+    def dup_frac(items: str):
+        return F.expr(
+            f"CASE WHEN size({items}) <= 0 THEN 0.0 ELSE "
+            f"round(1.0 - CAST(size(array_distinct({items})) AS DOUBLE)"
+            f" / size({items}), 4) END"
+        )
+
+    lines = r"filter(split(text, '\\n'), x -> trim(x) <> '')"
+    return (
+        df.withColumn("rep_2gram", dup_frac(_ngrams_sql(2)))
+        .withColumn("rep_3gram", dup_frac(_ngrams_sql(3)))
+        .withColumn("rep_line", dup_frac(lines))
+    )

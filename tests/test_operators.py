@@ -269,3 +269,24 @@ def test_pack_sequences_contiguous_within_shard(spark):
     for r in sorted(out2, key=lambda r: (r.shard, r.doc_id)):
         per_shard.setdefault(r.shard, []).append(r.seq_offset)
     assert all(v[0] == 0 for v in per_shard.values())
+
+
+def test_repetition_signals(spark):
+    from ocr_spark.operators.textops import with_repetition
+
+    docs = _docs(
+        spark,
+        [
+            "a b a b a b",            # heavy bigram repetition
+            "x y z w q r",            # no repetition
+            "line\nline\nline\nother",  # duplicated lines
+            "",                        # empty: all zeros, no crash
+            "one",                     # shorter than any n-gram
+        ],
+    )
+    out = {r.doc_id: r for r in with_repetition(docs).collect()}
+    assert out[0].rep_2gram == 0.6 and out[0].rep_3gram == 0.5
+    assert out[1].rep_2gram == 0.0
+    assert out[2].rep_line == 0.5
+    assert out[3].rep_2gram == out[3].rep_line == 0.0
+    assert out[4].rep_2gram == 0.0
