@@ -290,6 +290,33 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing over documents with deterministically injected
+    emails/URLs/phones (the corpus has none naturally; injection is
+    identical in the oracle, so counts and redacted text hash-match)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" contact user7@example.com now"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" see https://example.org/page?id=1"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" call +1 555-123-4567 today"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return X.redact_pii(docs).select(
+        "doc_id", "n_emails", "n_urls", "n_phones", "text_redacted"
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition signals: duplicated 2/3-gram and line
     fractions per document (curation quality rules)."""
@@ -657,6 +684,7 @@ QUERIES: dict[str, Callable] = {
     "rollup_stats": q_rollup_stats,
     "pack_sequences": q_pack_sequences,
     "repetition": q_repetition,
+    "redact_pii": q_redact_pii,
     "set_ops": q_set_ops,
     "events_by_day": q_events_by_day,
     "cosine_topk": q_cosine_topk,
@@ -848,6 +876,39 @@ ORACLES: dict[str, str] = {
                    ) AS rank
             FROM cand
         ) WHERE rank <= 5
+    """,
+    "redact_pii": """
+        WITH injected AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user7@example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' see https://example.org/page?id=1'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' call +1 555-123-4567 today'
+                           ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS n_emails,
+               len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                   AS n_urls,
+               len(regexp_extract_all(text,
+                   '\\+?[0-9][0-9\\- ]{7,}[0-9]')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                   '\\+?[0-9][0-9\\- ]{7,}[0-9]', '<PHONE>', 'g')
+                   AS text_redacted
+        FROM injected
     """,
     "repetition": """
         WITH t AS (

@@ -220,3 +220,37 @@ def with_repetition(df: DataFrame) -> DataFrame:
         .withColumn("rep_3gram", dup_frac(_ngrams_sql(3)))
         .withColumn("rep_line", dup_frac(lines))
     )
+
+
+# PII scrubbing patterns — deliberately backreference/lookahead-free so
+# Java regex (Spark) and RE2 (DuckDB oracle) agree exactly.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9\- ]{7,}[0-9]",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction (training-data scrubbing): replace emails, URLs and
+    phone-number shapes with typed placeholder tokens and count the
+    matches per document. Pure regexp expressions — linear, pushed
+    down, no UDFs. Replacement order is fixed (email, url, phone) so a
+    URL containing an @ is first split by the email rewrite the same
+    way in every engine.
+    """
+    out = df
+    clean = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        # function API, not F.expr: embedding the pattern in a SQL
+        # string literal would re-parse (and eat) the backslashes
+        out = out.withColumn(
+            f"n_{kind}s",
+            F.size(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(pat), F.lit(0)
+                )
+            ),
+        )
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    return out.withColumn("text_redacted", clean)

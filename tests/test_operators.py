@@ -290,3 +290,23 @@ def test_repetition_signals(spark):
     assert out[2].rep_line == 0.5
     assert out[3].rep_2gram == out[3].rep_line == 0.0
     assert out[4].rep_2gram == 0.0
+
+
+def test_redact_pii_counts_and_rewrites(spark):
+    from ocr_spark.operators.textops import redact_pii
+
+    docs = _docs(
+        spark,
+        [
+            "write to alice@corp.example.org or bob.smith@mail.co",
+            "docs at https://spark.apache.org/docs and http://x.io",
+            "call +82 10-1234-5678 or 555-123-4567 now",
+            "clean text with no sensitive content at all",
+        ],
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[0].n_emails == 2 and "<EMAIL>" in out[0].text_redacted
+    assert "@" not in out[0].text_redacted
+    assert out[1].n_urls == 2 and "http" not in out[1].text_redacted
+    assert out[2].n_phones == 2 and "<PHONE>" in out[2].text_redacted
+    assert out[3].text_redacted == docs.collect()[3].text
