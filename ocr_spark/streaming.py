@@ -60,3 +60,56 @@ def extract_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def extract_stream_with_lineage(
+    transcripts: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    lineage_dir: str,
+    trigger_once: bool = False,
+):
+    """Streaming twin of the batch lineage protocol (observability
+    parity with ``ExtractWriter``): each micro-batch writes its data
+    partition idempotently (overwrite of batch_id=<n>, so a replayed
+    batch after a crash rewrites rather than duplicates), then appends
+    ONE lineage row (batch_id, n_turns, n_errors, committed_at) LAST —
+    manifest-last, exactly like the batch writer. Read lineage with
+    ``dropDuplicates(['batch_id'])``: a replayed batch may append its
+    row twice, and batch_id is the dedup key (the counts are identical
+    by determinism).
+    """
+    from pyspark.sql import functions as F
+
+    ext = extract(transcripts)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_dir}/batch_id={batch_id}"
+            )
+        )
+        stats = batch_df.agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("error") != "").cast("long")).alias("n_errors"),
+        ).collect()[0]
+        (
+            spark.createDataFrame(
+                [(batch_id, stats.n_turns, stats.n_errors or 0)],
+                "batch_id long, n_turns long, n_errors long",
+            )
+            .withColumn("committed_at", F.current_timestamp())
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(lineage_dir)
+        )
+
+    writer = (
+        ext.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

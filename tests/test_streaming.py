@@ -130,3 +130,53 @@ def test_streaming_restart_resume_exactly_once(spark, tmp_path):
     pd.testing.assert_frame_equal(
         gold, got.reset_index(drop=True), check_exact=False, rtol=1e-9
     )
+
+
+def test_streaming_lineage_parity(spark, tmp_path):
+    """foreachBatch variant: per-micro-batch lineage rows (the batch
+    writer's observability protocol) with idempotent batch dirs;
+    lineage totals must equal output rows, and an incremental drain
+    adds lineage only for NEW batches."""
+    from ocr_spark.streaming import extract_stream_with_lineage
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lin_dir = str(tmp_path / "lineage")
+    os.makedirs(in_dir)
+
+    a = gen_transcripts(15, seed=41, whale_lo=30, whale_hi=40)
+    write_transcripts_parquet(a, f"{in_dir}/a.parquet")
+    q = extract_stream_with_lineage(
+        read_transcript_stream(spark, in_dir), out_dir, ckpt, lin_dir,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    lin1 = (
+        spark.read.parquet(lin_dir)
+        .dropDuplicates(["batch_id"])
+        .toPandas()
+    )
+    n_out1 = duckdb.sql(
+        f"select count(*) from '{out_dir}/*/*.parquet'"
+    ).fetchone()[0]
+    assert int(lin1.n_turns.sum()) == n_out1 == len(a)
+
+    b = gen_transcripts(10, seed=42, whale_lo=30, whale_hi=40)
+    b["conv_id"] = "x" + b["conv_id"]
+    write_transcripts_parquet(b, f"{in_dir}/b.parquet")
+    q = extract_stream_with_lineage(
+        read_transcript_stream(spark, in_dir), out_dir, ckpt, lin_dir,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    lin2 = (
+        spark.read.parquet(lin_dir)
+        .dropDuplicates(["batch_id"])
+        .toPandas()
+    )
+    n_out2 = duckdb.sql(
+        f"select count(*) from '{out_dir}/*/*.parquet'"
+    ).fetchone()[0]
+    assert len(lin2) == len(lin1) + 1, "one new batch, one new lineage row"
+    assert int(lin2.n_turns.sum()) == n_out2 == len(a) + len(b)
