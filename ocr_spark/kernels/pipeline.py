@@ -30,10 +30,19 @@ EXTRACTOR_C = "dom_spans"
 
 
 def _normalize(raw: str) -> str:
-    """O4/O5 payload normalization: unicode NFC + newline canon."""
+    """O4/O5 payload normalization: unicode NFC + newline canon.
+
+    Fast paths (identical output): '\\r' absent skips the CRLF
+    rewrites; ASCII input skips NFC (NFC is the identity on ASCII —
+    this is the common case and the C-speed isascii check beats the
+    unicodedata call on every row)."""
     if not raw:
         return ""
-    return unicodedata.normalize("NFC", raw.replace("\r\n", "\n").replace("\r", "\n"))
+    if "\r" in raw:
+        raw = raw.replace("\r\n", "\n").replace("\r", "\n")
+    if raw.isascii():
+        return raw
+    return unicodedata.normalize("NFC", raw)
 
 
 def extract_one(raw: str, tool: str | None) -> dict:
