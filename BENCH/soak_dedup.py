@@ -96,6 +96,21 @@ def main() -> int:
     total_pairs = pairs.count()
     wall = time.time() - t0
 
+    # connected-components grouping over the same graph: proves the
+    # iterative min-label loop at ~100k-doc scale (twin pairs are
+    # disjoint 2-cliques, so every group must have exactly 2 members
+    # and group_id == the even base doc id)
+    from ocr_spark.operators.dedup import near_dup_groups
+
+    t0 = time.time()
+    groups = near_dup_groups(
+        corpus, n=3, num_hashes=16, bands=8, threshold=0.5, max_df=2000
+    )
+    g = groups.groupBy("group_id").count()
+    n_groups = g.count()
+    max_group = g.agg(F.max("count")).collect()[0][0]
+    groups_wall = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -105,6 +120,9 @@ def main() -> int:
                 "recalled": hits,
                 "recall": round(hits / injected, 4),
                 "extra_pairs": total_pairs - hits,
+                "groups_wall_s": round(groups_wall, 1),
+                "n_groups": n_groups,
+                "max_group_size": max_group,
             }
         )
     )
