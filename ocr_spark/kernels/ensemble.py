@@ -71,13 +71,26 @@ MIN_ALNUM_RATIO = 0.15
 # the per-char Python loop was 22% of kernel time under profile.
 _WORDISH_RE = re.compile(r"[^\W_]+")
 
+# ASCII fast path for the alnum count: bytes.translate with a deletion
+# table runs at memcpy speed, vs the sre NFA stepping every position.
+# On ASCII, [^\W_] is exactly [A-Za-z0-9], so the counts are identical;
+# non-ASCII text falls back to the regex. validate() runs on every
+# voted text and the sub was 12% of whole-kernel time.
+_ASCII_ALNUM = (
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+)
+
 
 def validate(text: str) -> str:
     """Structural validation (O10). Returns '' if valid, else a reason."""
     if not text or not text.strip():
         return "empty extraction"
     stripped = text.strip()
-    alnum = len(stripped) - len(_WORDISH_RE.sub("", stripped))
+    if stripped.isascii():
+        b = stripped.encode()
+        alnum = len(b) - len(b.translate(None, _ASCII_ALNUM))
+    else:
+        alnum = len(stripped) - len(_WORDISH_RE.sub("", stripped))
     if alnum / len(stripped) < MIN_ALNUM_RATIO:
         return "low alnum ratio"
     if _TAG_RESIDUE_RE.search(stripped):
