@@ -33,13 +33,23 @@ def _probe_dims(df: DataFrame, col: str) -> int | None:
     return None if row is None else row["d"]
 
 
+# Unrolling the dot/norm sums into element_at arithmetic only wins for
+# NARROW vectors: measured at sf0.1 (2000 x 64d, warm min-of-3) the
+# 64-term unrolled form is ~2.5x SLOWER than the zip_with lambda
+# (1.48s vs 0.60s for cosine_topk) — a 128-node expression tree blows
+# whole-stage-codegen method limits and falls back to interpreted
+# evaluation, which loses to the optimized higher-order loop. Keep the
+# unroll for small widths only (where it clearly wins, cf. the 4-int
+# simhash band Hamming), lambda otherwise.
+_UNROLL_MAX_DIMS = 16
+
+
 def _dot_expr(a: str, b: str, dims: int | None):
-    """Dot product of two vector columns. With a known width the sum is
-    UNROLLED into plain codegen'd arithmetic — the higher-order
-    aggregate/zip_with formulation is interpreted per element and was
-    the hot loop of every cosine operator. Left-to-right addition order
-    matches the lambda fold exactly, so scores are bit-identical."""
-    if dims is None:
+    """Dot product of two vector columns; unrolled for narrow vectors
+    (see _UNROLL_MAX_DIMS note), zip_with lambda otherwise. Addition
+    order is left-to-right in both forms, so scores are bit-identical
+    either way."""
+    if dims is None or dims > _UNROLL_MAX_DIMS:
         return F.expr(_DOT.format(a=a, b=b))
     terms = " + ".join(
         f"(CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
@@ -50,7 +60,7 @@ def _dot_expr(a: str, b: str, dims: int | None):
 
 
 def _norm_expr(a: str, dims: int | None):
-    if dims is None:
+    if dims is None or dims > _UNROLL_MAX_DIMS:
         return F.expr(_NORM.format(a=a))
     terms = " + ".join(
         f"(CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
