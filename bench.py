@@ -217,7 +217,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         # give them a third run so a noise spike on run 2 can't pass for
         # steady state.
         runs = [timed(lambda: _noop(fn(spark, sf_dir))) for _ in range(2)]
-        if min(runs) > 2.0:
+        if min(runs) > 1.0:
             runs.append(timed(lambda: _noop(fn(spark, sf_dir))))
         out[name] = min(runs)
         print(f"[bench] {name}: {runs} -> {out[name]}s", file=sys.stderr)
