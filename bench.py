@@ -330,15 +330,28 @@ def run_scaling(sf_dir: str, cpus_hi: int, skew: bool = False) -> int:
         runs_by_cpus[cpus] = out
         return out
 
+    # in skew mode the single 2->8 pair repeats 3x (fresh subprocess
+    # pairs) and the MEDIAN efficiency is the headline: a single draw
+    # flips across the pass bar inside this VM's noise band (observed
+    # 0.749 / 0.846 / 0.904 for identical code)
+    reps = 3 if skew else 1
     for lo, hi in pairs:
-        rlo, rhi = run_level(lo), run_level(hi)
-        eff = round(
-            (rhi["extract_turns_per_sec"] / rlo["extract_turns_per_sec"])
-            / (hi / lo),
-            3,
-        )
+        effs = []
+        for r in range(reps):
+            if r > 0:
+                runs_by_cpus.clear()
+            rlo, rhi = run_level(lo), run_level(hi)
+            eff = round(
+                (rhi["extract_turns_per_sec"] / rlo["extract_turns_per_sec"])
+                / (hi / lo),
+                3,
+            )
+            effs.append((eff, rlo, rhi))
+        effs.sort(key=lambda t: t[0])
+        eff, rlo, rhi = effs[len(effs) // 2]  # median by efficiency
         results[f"{lo}->{hi}"] = {
             "eff": eff,
+            "eff_runs": [e for e, _, _ in effs],
             "sec_lo": rlo["queries"]["extract"],
             "sec_hi": rhi["queries"]["extract"],
             "tps_lo": rlo["extract_turns_per_sec"],
@@ -392,7 +405,11 @@ above):
 |---|---|---|---|---|---|---|
 | 2 -> 8 cores | {v['sec_lo']} | {v['sec_hi']} | {v['tps_lo']} | {v['tps_hi']} | **{v['eff']}** | {verdict} |
 
-Regenerate: `python bench.py --scaling --skew`.
+Median of {len(v.get('eff_runs', [v['eff']]))} independent subprocess
+pairs (all draws: {v.get('eff_runs', [v['eff']])}) — a single draw
+flips across the bar inside this VM's ±30-40% noise band.
+
+Regenerate: `python bench.py --scaling --skew` (~15 min, 3 pairs).
 {_SKEW_END}"""
         text = path.read_text() if path.exists() else ""
         if _SKEW_BEGIN in text:
