@@ -330,11 +330,11 @@ def run_scaling(sf_dir: str, cpus_hi: int, skew: bool = False) -> int:
         runs_by_cpus[cpus] = out
         return out
 
-    # in skew mode the single 2->8 pair repeats 3x (fresh subprocess
-    # pairs) and the MEDIAN efficiency is the headline: a single draw
-    # flips across the pass bar inside this VM's noise band (observed
-    # 0.749 / 0.846 / 0.904 for identical code)
-    reps = 3 if skew else 1
+    # every pair repeats 3x (fresh subprocess pairs) and the MEDIAN
+    # efficiency is the headline: a single draw flips across the pass
+    # bar inside this VM's noise band (observed 0.749 / 0.846 / 0.904
+    # for identical skew-mode code)
+    reps = 3
     for lo, hi in pairs:
         effs = []
         for r in range(reps):
@@ -429,6 +429,16 @@ Regenerate: `python bench.py --scaling --skew` (~15 min, 3 pairs).
             f"{v['tps_lo']} | {v['tps_hi']} | **{v['eff']}** | {verdict} |"
         )
     table = "\n".join(rows)
+    draws = "; ".join(
+        f"{pair}: {v['eff_runs']}"
+        for pair, v in r["pairs"].items()
+        if len(v.get("eff_runs", [])) > 1
+    )
+    draws_note = (
+        f"\nEach row is the MEDIAN of 3 independent subprocess pairs "
+        f"(all draws — {draws}); single draws swing inside this VM's "
+        f"±30-40% noise band.\n" if draws else ""
+    )
     md = f"""# BENCH/BASELINE.md — scaling evidence (north rule)
 
 The north rule requires >=0.8 throughput scaling efficiency from N to 4N
@@ -443,35 +453,38 @@ Timings are min-of-3 steady-state runs (cold run excluded).
 | pair | T_N (s) | T_4N (s) | turns/s @N | turns/s @4N | efficiency | verdict |
 |---|---|---|---|---|---|---|
 {table}
-
+{draws_note}
 Efficiency = (throughput_4N / throughput_N) / 4.
 
 ## Reading these numbers
 
-- **the unsaturated pairs (2->8, 4->16) pass**: the pipeline itself
-  scales linearly — one shuffle, map-only Arrow-vectorized UDF stage, no
-  driver-side row work, no global sort, round-robin whale salting keeps
-  every task bounded and every partition's load uniform. These pairs
-  keep the socket unsaturated at both levels, so they model a real
-  multi-node cluster, where adding nodes adds memory bandwidth (and
-  keeps clock speed) in proportion to cores.
-- **8 -> 32 degrades to ~0.6** because all "executors" share ONE
-  socket: per-core throughput falls as more cores activate, from (a)
-  DRAM/LLC contention — the same decay reproduces in a Spark-free
+- **2 -> 8 cores passes robustly** (0.86-0.93 across every recorded
+  session): the pipeline itself scales linearly — one shuffle, map-only
+  Arrow-vectorized UDF stage, no driver-side row work, no global sort,
+  round-robin whale salting keeps every task bounded and every
+  partition's load uniform. This pair keeps the socket unsaturated at
+  both levels, so it models a real multi-node cluster, where adding
+  nodes adds memory bandwidth (and keeps clock speed) in proportion to
+  cores.
+- **4 -> 16 straddles the bar run-to-run** (0.787-0.900 across
+  sessions) as socket saturation begins at the 16-core level, and
+  **8 -> 32 degrades to ~0.55-0.62** with the socket fully saturated:
+  per-core throughput falls as more cores activate, from (a) DRAM/LLC
+  contention — the same decay reproduces in a Spark-free
   multiprocessing pool running the bare kernel on this host — and
   (b) lower all-core turbo frequency vs few-core turbo. UDF-stage task
   metrics show ~5s total JVM CPU vs ~100s python kernel CPU and <5%
   in-kernel stall, i.e. the loss is host physics, not engine
   serialization. Real N- and 4N-executor clusters hold per-node
-  bandwidth and clocks constant, so the unsaturated pairs are the
-  faithful scaling signal; 8->32 is a same-host lower bound.
+  bandwidth and clocks constant, so the 2->8 pair is the faithful
+  scaling signal; the saturated pairs are same-host lower bounds.
 
 Reference baseline (BASELINE.md): 385 images in 4m18s = 1.49 records/s
 on a single office PC. This engine extracts
 {max(v['tps_hi'] for v in r['pairs'].values())} turns/s on 32 sandbox
 cores.
 
-Regenerate: `python bench.py --scaling` (~10 min).
+Regenerate: `python bench.py --scaling` (~30 min, 3 pairs per level).
 """
     # preserve an existing skew-soak section (it is a separate run)
     if path.exists() and _SKEW_BEGIN in path.read_text():
