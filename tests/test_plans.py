@@ -136,3 +136,31 @@ def test_cosine_topk_broadcasts_query_side(spark):
     plan = _formatted(cosine_topk(emb, q, k=3))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dot_unrolling_capped_for_wide_vectors(spark):
+    # regression pin: a 64-term unrolled dot blows codegen method limits
+    # and falls back to interpreted evaluation (~2.5x slower than the
+    # zip_with lambda) — wide vectors must use the lambda form, narrow
+    # ones the unrolled form
+    from ocr_spark.operators.similarity import cosine_topk
+
+    def emb_of(dims, n=40):
+        return spark.range(0, n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[((F.col("id") + i) % 7).cast("double") for i in range(dims)]
+            ).alias("embedding"),
+        )
+
+    def plan_for(dims):
+        e = emb_of(dims)
+        q = e.limit(2).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        return _formatted(cosine_topk(e, q, k=3))
+
+    wide = plan_for(64)
+    assert "zip_with" in wide and wide.count("element_at") < 10
+    narrow = plan_for(8)
+    assert "zip_with" not in narrow and narrow.count("element_at") >= 8
