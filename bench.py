@@ -165,7 +165,7 @@ def timed(fn) -> float:
 
 
 def run_extract(
-    spark, tpath: str, cpus: int, repeats: int = 3
+    spark, tpath: str, cpus: int, repeats: int = 4
 ) -> tuple[float, int]:
     from ocr_spark.extract import extract
 
@@ -211,14 +211,10 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in names:
         fn = dc.QUERIES[name]
-        # min of 2: the first run of a new plan pays codegen/JIT (and this
-        # VM adds multi-second noise spikes); the second is steady-state.
-        # Heavy queries (multi-stage, eager checkpoints) warm up slower —
-        # give them a third run so a noise spike on run 2 can't pass for
-        # steady state.
-        runs = [timed(lambda: _noop(fn(spark, sf_dir))) for _ in range(2)]
-        if min(runs) > 1.0:
-            runs.append(timed(lambda: _noop(fn(spark, sf_dir))))
+        # min-of-3 unconditionally: the first run of a new plan pays
+        # codegen/JIT, and this VM drifts through multi-minute
+        # slow windows where every run of a min-of-2 lands inflated
+        runs = [timed(lambda: _noop(fn(spark, sf_dir))) for _ in range(3)]
         out[name] = min(runs)
         print(f"[bench] {name}: {runs} -> {out[name]}s", file=sys.stderr)
     return out
