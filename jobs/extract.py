@@ -74,9 +74,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.reset:
         writer.reset(args.run_id, spark=spark)
 
-    transcripts = read_transcripts(
-        spark, args.input, fmt=args.input_format, dedup=args.dedup
-    )
+    if args.input.endswith(".zip"):
+        # ZIP batch container (reference upload shape): expand once,
+        # dedup by filename, then by (conv_id, turn_idx) if --dedup
+        from ocr_spark.io import ingest_zip
+
+        transcripts = ingest_zip(
+            spark, args.input, fmt=args.input_format, dedup=args.dedup
+        )
+    else:
+        transcripts = read_transcripts(
+            spark, args.input, fmt=args.input_format, dedup=args.dedup
+        )
     counters = ExtractCounters(spark)
     committed = writer.run(
         spark,

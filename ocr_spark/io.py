@@ -102,6 +102,42 @@ def read_transcripts(
     return df
 
 
+def ingest_zip(
+    spark: SparkSession,
+    zip_path: str,
+    fmt: str = "jsonl",
+    work_dir: str | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Expand a ZIP batch container and read it as transcripts — the
+    reference's ZIP-upload ingest graft including its
+    duplicate-FILENAME rule (first wins,
+    /root/reference/documents/…2학기_8주차.md:52), applied before the
+    row-level (conv_id, turn_idx) dedup.
+
+    ZIP is not a splittable format: expansion is a one-time driver-side
+    pass into ``work_dir`` (the landing zone), after which the member
+    files scan in parallel. It is the upload-convenience path;
+    parquet/JSONL directories are the scale paths.
+    """
+    import tempfile
+    import zipfile
+
+    out = Path(work_dir or tempfile.mkdtemp(prefix="ocr_spark_zip_"))
+    out.mkdir(parents=True, exist_ok=True)
+    seen: set[str] = set()
+    with zipfile.ZipFile(zip_path) as z:
+        for name in z.namelist():
+            if name.endswith("/"):
+                continue
+            base = Path(name).name
+            if base in seen:  # duplicate filename: first wins
+                continue
+            seen.add(base)
+            (out / base).write_bytes(z.read(name))
+    return read_transcripts(spark, str(out), fmt=fmt, dedup=dedup)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg runtime jar is on the session classpath."""
     try:

@@ -58,3 +58,38 @@ def test_unknown_format_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown transcript format"):
         read_transcripts(spark, str(tmp_path), "avro")
+
+
+def test_zip_ingest_dedups_by_filename_then_rows(
+    spark, tiny_transcripts, tmp_path
+):
+    # the reference's ZIP batch container: duplicate FILENAMES are
+    # dropped (first wins) before the row-level dedup
+    import zipfile
+
+    from ocr_spark.io import ingest_zip
+
+    df = tiny_transcripts.copy()
+    iso = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f%z")
+    df = df.assign(ts=iso)
+    half = len(df) // 2
+    a, b = df.iloc[:half], df.iloc[half:]
+    p_a, p_b, p_dup = (tmp_path / n for n in ("a.jsonl", "b.jsonl", "d.jsonl"))
+    a.to_json(p_a, orient="records", lines=True)
+    b.to_json(p_b, orient="records", lines=True)
+    b.to_json(p_dup, orient="records", lines=True)
+
+    zp = str(tmp_path / "batch.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.write(p_a, "a.jsonl")
+        z.write(p_b, "b.jsonl")
+        z.write(p_dup, "sub/a.jsonl")     # duplicate FILENAME: dropped
+        z.write(p_dup, "other/b.jsonl")   # duplicate FILENAME: dropped
+
+    got = ingest_zip(
+        spark, zp, fmt="jsonl", work_dir=str(tmp_path / "wz")
+    )
+    assert got.count() == len(df)
+    assert got.select("conv_id").distinct().count() == df[
+        "conv_id"
+    ].nunique()
