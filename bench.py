@@ -383,8 +383,10 @@ def write_baseline_md(r: dict, skew: bool = False) -> None:
     path = bench_dir / "BASELINE.md"
     if skew:
         # the skew soak updates ONLY its own marked section; the main
-        # scaling evidence above it is a separate measurement
-        v = r["pairs"]["2->8"]
+        # scaling evidence above it is a separate measurement. The skew
+        # run measures a single pair whose name depends on --cpus
+        # (default "2->8"), so index it generically.
+        pair_name, v = next(iter(r["pairs"].items()))
         verdict = "PASS" if v["eff"] >= 0.8 else "below-0.8"
         section = f"""{_SKEW_BEGIN}
 ## Extreme-skew soak (one conversation owns 50% of all turns)
@@ -399,7 +401,7 @@ above):
 
 | pair | T_N (s) | T_4N (s) | turns/s @N | turns/s @4N | efficiency | verdict |
 |---|---|---|---|---|---|---|
-| 2 -> 8 cores | {v['sec_lo']} | {v['sec_hi']} | {v['tps_lo']} | {v['tps_hi']} | **{v['eff']}** | {verdict} |
+| {pair_name.replace('->', ' -> ')} cores | {v['sec_lo']} | {v['sec_hi']} | {v['tps_lo']} | {v['tps_hi']} | **{v['eff']}** | {verdict} |
 
 Median of {len(v.get('eff_runs', [v['eff']]))} independent subprocess
 pairs (all draws: {v.get('eff_runs', [v['eff']])}) — a single draw

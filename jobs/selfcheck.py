@@ -87,6 +87,10 @@ def main(argv: list[str]) -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.shuffle.partitions", "32")
+        # pin the session timezone like tests/conftest.py: date_trunc /
+        # date_format oracles (events_by_day) diverge from DuckDB on any
+        # non-UTC host otherwise
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", "/dev/shm/selfcheck_spark")
         .appName("selfcheck")

@@ -77,12 +77,19 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
 _MINHASH_SQL = f"""
 WITH {_SH_CTE},
 mh AS (
-    SELECT doc_id, seed, min(md5(seed || '#' || shingle)) AS minhash
-    FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed)
-    GROUP BY 1, 2
+    -- hash family = ocr_spark.operators.dedup._minhash_agg: element
+    -- i = seed*4 + part is the part-th 32-bit hex slice of
+    -- md5(seed || '#' || shingle); min over a doc's shingles
+    SELECT doc_id, seed, part,
+           min(substring(md5(seed || '#' || shingle),
+                         part * 8 + 1, 8)) AS minhash
+    FROM sh
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS part)
+    GROUP BY 1, 2, 3
 ),
 bands AS (
-    SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+    SELECT doc_id, CAST((seed * 4 + part) // 2 AS INT) AS band,
            md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
     FROM mh GROUP BY doc_id, band
 ),

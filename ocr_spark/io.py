@@ -31,7 +31,12 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import (
+    DataFrame,
+    Observation,
+    SparkSession,
+    functions as F,
+)
 
 from ocr_spark.extract import ExtractCounters, extract
 from ocr_spark.partitioning import ordered
@@ -212,9 +217,13 @@ class ExtractWriter:
             if spark is not None and spark.catalog.tableExists(
                 self._lineage_table
             ):
+                # run_id comes straight from the CLI: escape single
+                # quotes so the DELETE predicate cannot be broken (or
+                # injected into) by a quoted run id
+                safe = run_id.replace("'", "''")
                 spark.sql(
                     f"DELETE FROM {self._lineage_table} "
-                    f"WHERE run_id = '{run_id}'"
+                    f"WHERE run_id = '{safe}'"
                 )
             return
         d = self._run_lineage_dir(run_id)
@@ -271,69 +280,61 @@ class ExtractWriter:
                 counters=counters,
             )
             ordered_ext = ext.sortWithinPartitions("conv_id", "turn_idx")
+            # per-bucket lineage stats ride the WRITE pass itself via
+            # Dataset.observe() (conditional aggregates, one set per
+            # bucket in the group) -> lineage rows LAST. The previous
+            # implementation re-read the just-written parquet — a second
+            # scan of 100% of the output at scale (measured: 19.1k ->
+            # 16.6k turns/s at group_size=32 in soak_pipeline). A bucket
+            # with no rows still gets a lineage row (n_turns=0, null
+            # conv range) so resume marks it done.
+            obs = Observation(f"lineage_{run_id}_g{gi}")
+            metric_cols = []
+            for b in group:
+                is_b = F.col(BUCKET_COL) == b
+                metric_cols.extend(
+                    [
+                        F.min(F.when(is_b, F.col("conv_id"))).alias(
+                            f"conv_min_{b}"
+                        ),
+                        F.max(F.when(is_b, F.col("conv_id"))).alias(
+                            f"conv_max_{b}"
+                        ),
+                        F.count(F.when(is_b, F.lit(1))).alias(
+                            f"n_turns_{b}"
+                        ),
+                        F.count(
+                            F.when(is_b & (F.col("error") != ""), F.lit(1))
+                        ).alias(f"n_errors_{b}"),
+                    ]
+                )
+            observed = ordered_ext.observe(obs, *metric_cols)
             if self.iceberg_table:
                 if spark.catalog.tableExists(self.iceberg_table):
-                    ordered_ext.writeTo(
+                    observed.writeTo(
                         self.iceberg_table
                     ).overwritePartitions()
                 else:
-                    ordered_ext.writeTo(self.iceberg_table).partitionedBy(
+                    observed.writeTo(self.iceberg_table).partitionedBy(
                         F.col(BUCKET_COL)
                     ).create()
-                back = (
-                    spark.read.table(self.iceberg_table)
-                    .filter(F.col(BUCKET_COL).isin(group))
-                    .select(BUCKET_COL, "conv_id", "error")
-                )
             else:
                 (
-                    ordered_ext.write.partitionBy(BUCKET_COL)
+                    observed.write.partitionBy(BUCKET_COL)
                     .mode("overwrite")
                     .parquet(str(self.data_dir))
                 )
-                # metrics from the files just written (cheap 3-column
-                # scan, also verifies the write) -> lineage rows LAST.
-                # A bucket with no rows writes no directory — read only
-                # the ones that exist (its lineage row still lands with
-                # n_turns=0 so resume marks it done).
-                paths = [
-                    str(self.data_dir / f"{BUCKET_COL}={b}")
-                    for b in group
-                    if (self.data_dir / f"{BUCKET_COL}={b}").exists()
-                ]
-                back = (
-                    spark.read.option("basePath", str(self.data_dir))
-                    .parquet(*paths)
-                    .select(BUCKET_COL, "conv_id", "error")
-                    if paths
-                    else None
-                )
-            stats = (
-                back.groupBy(BUCKET_COL)
-                .agg(
-                    F.min("conv_id").alias("conv_min"),
-                    F.max("conv_id").alias("conv_max"),
-                    F.count(F.lit(1)).alias("n_turns"),
-                    F.sum((F.col("error") != "").cast("long")).alias(
-                        "n_errors"
-                    ),
-                )
-                .collect()
-                if back is not None
-                else []
-            )
-            stats_by_bucket = {r[BUCKET_COL]: r for r in stats}
+            m = obs.get
             lineage_rows = []
             for b in group:
-                r = stats_by_bucket.get(b)
                 lineage_rows.append(
                     (
                         run_id,
                         b,
-                        r.conv_min if r else None,
-                        r.conv_max if r else None,
-                        r.n_turns if r else 0,
-                        r.n_errors if r else 0,
+                        m[f"conv_min_{b}"],
+                        m[f"conv_max_{b}"],
+                        m[f"n_turns_{b}"],
+                        m[f"n_errors_{b}"],
                     )
                 )
             lin_df = (

@@ -50,13 +50,25 @@ def exact_dedup(df: DataFrame) -> DataFrame:
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Guard against under-partitioned inputs: a single-file table scans
+    """Guard against under-partitioned inputs: a single small file scans
     as ONE partition, and everything computed map-side before the first
-    shuffle (shingle explode, the 16 md5 minhash projections, simhash bit
+    shuffle (shingle explode, the md5 minhash digests, simhash bit
     votes) then runs on one core. At real scale inputs have >= cluster
-    parallelism partitions and this is a no-op."""
+    parallelism partitions and this is a no-op.
+
+    The signal is the scan's FILE COUNT (plan metadata, no job): the
+    previous ``df.rdd.getNumPartitions()`` forced a plan->RDD conversion
+    per operator call. Repartition only on a >= 4x deficit — large files
+    are split by maxPartitionBytes anyway, so a few-files-short input
+    does not justify shuffling the full corpus; non-file inputs
+    (in-memory test relations) already parallelize to
+    defaultParallelism slices and pass through untouched."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files * 4 <= p:
         return df.repartition(p)
     return df
 
@@ -141,30 +153,59 @@ def ngram_jaccard_pairs(
     return _jaccard_from_shingles(_with_shingles(df, n), threshold, max_df)
 
 
-def minhash_signatures(
-    df: DataFrame, n: int = 3, num_hashes: int = 16
-) -> DataFrame:
-    """Per-document MinHash signature (md5-keyed hash family), WIDE form:
-    one row per doc with columns mh0..mh{k-1}.
+def _minhash_agg(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Wide MinHash signature (doc_id, mh0..mh{k-1}) from an exploded
+    (doc_id, shingle) relation.
 
-    hash_i(shingle) = md5(i || '#' || shingle); signature element i is
-    the lexicographic min over the document's shingles — md5 keeps the
-    family identical in any engine (no murmur-seed divergence).
+    Hash family: element i is the i%4-th 32-bit slice (8 hex chars) of
+    md5((i//4) || '#' || shingle) — ceil(k/4) md5 invocations per
+    shingle row instead of k (md5 dominated the signature stage: 16
+    digests per row measured ~2x the whole-query time of 4). Distinct
+    fixed-width slices of one digest are independent uniform 32-bit
+    hashes, and lexicographic min over fixed-width lowercase hex equals
+    numeric min, so each slice is a valid MinHash family member in any
+    engine (no murmur-seed divergence vs the DuckDB oracle). 32-bit
+    slices (not 16) keep the chance two unrelated documents share a min
+    by raw hash collision at ~shingles/2^33 per element — negligible
+    even at 10^9 docs, so LSH candidate sparsity is preserved; 16-bit
+    slices would leak O(pairs * 1e-5) false candidates into the verify
+    join at corpus scale.
 
-    Computed as ``num_hashes`` min-aggregates over ONE pass of the
-    shingle rows (map-side partial agg, one shuffle keyed by doc_id).
-    The previous long form exploded every shingle ``num_hashes``x and
-    shuffled 16x the rows — measured 2.5x slower end-to-end.
+    The digests are projected as explicit columns BEFORE the groupBy so
+    exactly ceil(k/4) md5 calls run per row regardless of whether
+    codegen's subexpression elimination fires inside the aggregate.
+    One pass, map-side partial agg, one shuffle keyed by doc_id.
     """
-    sh = _with_shingles(df, n)
-    return sh.groupBy("doc_id").agg(
+    n_seeds = (num_hashes + 3) // 4
+    digests = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("#", F.lit(s), F.col("shingle"))).alias(
+                f"d{s}"
+            )
+            for s in range(n_seeds)
+        ],
+    )
+    return digests.groupBy("doc_id").agg(
         *[
             F.min(
-                F.md5(F.concat_ws("#", F.lit(i), F.col("shingle")))
+                F.substring(F.col(f"d{i // 4}"), (i % 4) * 8 + 1, 8)
             ).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Per-document MinHash signature (md5-slice hash family), WIDE
+    form: one row per doc with columns mh0..mh{k-1}.
+
+    See ``_minhash_agg`` for the hash-family definition and why the
+    signature costs ceil(k/4) md5 calls per shingle row, not k.
+    """
+    return _minhash_agg(_with_shingles(df, n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -184,14 +225,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = _with_shingles(df, n)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws("#", F.lit(i), F.col("shingle")))
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    sig = _minhash_agg(sh, num_hashes)
     # band key = md5 of the band's (sorted) minhashes — unchanged hash
     # family, computed from the wide signature without another shuffle
     band_cols = []
@@ -232,6 +266,12 @@ def minhash_lsh_pairs(
     # three consumers AND lets the ContextCleaner drop the blocks when
     # the result DataFrame is garbage-collected — an explicit persist()
     # here leaked storage memory across calls in long-lived sessions.
+    # Fault-tolerance caveat: locally-checkpointed blocks are NOT
+    # recomputable after executor loss, so on a cluster with executor
+    # decommissioning (dynamic allocation / spot nodes) prefer
+    # reliable checkpointing (sparkContext.setCheckpointDir +
+    # .checkpoint()) or persist(DISK_ONLY) here — the blocks are small
+    # (candidate pairs only), so the reliability cost is negligible.
     cands = cands.localCheckpoint(eager=True)
     # left_semi tolerates duplicate keys on the right: no distinct needed
     cand_docs = cands.select(F.col("doc_a").alias("doc_id")).unionByName(
@@ -346,6 +386,16 @@ def near_dup_groups(
         labels = new
         if changed == 0:
             break
+    else:
+        # chain-shaped components with diameter > max_iters would exit
+        # here with WRONG (non-converged) labels — fail loudly rather
+        # than return silently-truncated groups
+        raise RuntimeError(
+            f"near_dup_groups did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — "
+            "near-dup components are normally dense (diameter 2-3), so "
+            "this signals a chain-shaped pair graph"
+        )
     return labels
 
 

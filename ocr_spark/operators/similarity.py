@@ -198,15 +198,36 @@ def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.8,
     dims: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     path): LSH sign-bucket join prunes the O(N^2) pair space to
     same-bucket candidates, then exact cosine filters at ``threshold``.
-    Returns (doc_a, doc_b, cos) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, cos) with doc_a < doc_b.
+
+    Skew note (mirrors ``simhash_hamming_pairs``): candidate volume is
+    quadratic IN EACH BUCKET. Random vectors spread evenly over the
+    2^dims sign patterns, but real encoder embeddings have correlated
+    coordinate signs — in the degenerate limit (all coordinates
+    positive, common for post-ReLU features) every vector shares ONE
+    bucket and the join is a full cross join. Two levers at scale:
+    (a) raise ``dims`` so the sign pattern is longer (2^dims buckets;
+    any coordinate up to the vector width can contribute), and (b) set
+    ``max_bucket`` to drop buckets holding more than that many vectors —
+    EXPLICITLY trading recall (pairs inside a dropped bucket are lost)
+    for a hard O(max_bucket) per-bucket bound. Leave None for the exact
+    oracle-checked semantics."""
     d = _probe_dims(embeddings, "embedding")
     e = sign_bucket(_with_norm(embeddings, dims=d), dims=dims).select(
         "vec_id", "embedding", "nrm", "bucket"
     )
+    if max_bucket is not None:
+        sizes = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        e = (
+            e.join(sizes, "bucket")
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = e.select(
         F.col("vec_id").alias("doc_a"),
         F.col("embedding").alias("ea"),

@@ -292,6 +292,28 @@ def test_repetition_signals(spark):
     assert out[4].rep_2gram == 0.0
 
 
+def test_cosine_near_dup_max_bucket_drops_degenerate_bucket(spark):
+    """Sign-degenerate fixture: all-positive embeddings (the post-ReLU
+    encoder shape) collapse into ONE sign bucket, so the candidate join
+    is quadratic. max_bucket must drop the hot bucket (bounded work,
+    explicit recall trade) instead of cross-joining it."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import cosine_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    vecs = [[float(x) for x in np.abs(rng.randn(8)) + 0.1] for _ in range(60)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": vecs})
+    )
+    # uncapped: every vector shares bucket 255 -> pairs exist
+    full = cosine_near_dup_pairs(emb, threshold=0.5, dims=8)
+    assert full.count() > 0
+    # capped below the bucket population: the whole bucket is dropped
+    capped = cosine_near_dup_pairs(emb, threshold=0.5, dims=8, max_bucket=30)
+    assert capped.count() == 0
+
+
 def test_redact_pii_counts_and_rewrites(spark):
     from ocr_spark.operators.textops import redact_pii
 
