@@ -196,6 +196,8 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "anti_join_resume",
         "override_join",
         "dedup_exact",
+        "line_dedup",
+        "decontaminate",
         "token_count",
         "quality_score",
         "minhash_lsh",
@@ -207,6 +209,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "cosine_near_dup",
         "media_decode",
         "media_frames",
+        "media_near_dup",
     ]
     out: dict[str, float] = {}
     for name in names:

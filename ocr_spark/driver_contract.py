@@ -43,19 +43,23 @@ _HTML_POST = (
     "</footer></body></html>"
 )
 
-# DuckDB word-3-gram shingle CTE (mirrors dedup._with_shingles n=3).
-_SH_CTE = """
+# DuckDB word-n-gram shingle CTE (mirrors dedup._with_shingles).
+def _sh_cte(n: int) -> str:
+    return f"""
 toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
     FROM documents
 ),
 sh AS (
     SELECT DISTINCT doc_id,
-           unnest([array_to_string(t[i + 1:i + 3], ' ')
-                   for i in range(0, len(t) - 2)]) AS shingle
-    FROM toks WHERE len(t) >= 3
+           unnest([array_to_string(t[i + 1:i + {n}], ' ')
+                   for i in range(0, len(t) - {n - 1})]) AS shingle
+    FROM toks WHERE len(t) >= {n}
 )
 """
+
+
+_SH_CTE = _sh_cte(3)
 
 _JACCARD_SQL = f"""
 WITH {_SH_CTE},
@@ -192,6 +196,45 @@ hexed AS (
 ),
 agg AS (SELECT doc_id, {', '.join(sums)} FROM hexed GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
+
+
+# media feature vectors recomputed in SQL: byte-stripe means of the
+# UTF-8 body via hex(encode(text)); sum/count/256 is the same correctly-
+# rounded IEEE double the kernel computes, and the FLOAT cast matches
+# its Arrow float32 conversion bit-for-bit. Shared by media_features
+# (scalar projection) and media_near_dup (feeds the ANN oracle).
+_MEDIA_FEATURES_SQL = """
+        WITH p AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   strlen(text) AS n,
+                   greatest(1, strlen(text) // 8) AS stripe
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, i // stripe AS d,
+                   16 * (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1)
+                     AS v
+            FROM p, unnest(range(0, n)) AS t(i)
+            WHERE i // stripe < 8
+        ),
+        m AS (
+            SELECT doc_id, d,
+                   CAST(sum(v) / count(*) / 256.0 AS FLOAT) AS f
+            FROM b GROUP BY doc_id, d
+        )
+        SELECT p.doc_id,
+               CAST(coalesce(max(CASE WHEN d = 0 THEN f END), 0.0) AS FLOAT) AS f0,
+               CAST(coalesce(max(CASE WHEN d = 1 THEN f END), 0.0) AS FLOAT) AS f1,
+               CAST(coalesce(max(CASE WHEN d = 2 THEN f END), 0.0) AS FLOAT) AS f2,
+               CAST(coalesce(max(CASE WHEN d = 3 THEN f END), 0.0) AS FLOAT) AS f3,
+               CAST(coalesce(max(CASE WHEN d = 4 THEN f END), 0.0) AS FLOAT) AS f4,
+               CAST(coalesce(max(CASE WHEN d = 5 THEN f END), 0.0) AS FLOAT) AS f5,
+               CAST(coalesce(max(CASE WHEN d = 6 THEN f END), 0.0) AS FLOAT) AS f6,
+               CAST(coalesce(max(CASE WHEN d = 7 THEN f END), 0.0) AS FLOAT) AS f7
+        FROM p LEFT JOIN m ON p.doc_id = m.doc_id
+        GROUP BY p.doc_id
 """
 
 
@@ -401,6 +444,44 @@ def q_curation_pipeline(spark, sf_dir):
     return scored.filter(
         (F.col("quality") >= 0.5) & (F.col("lang_guess") == "en")
     ).select("doc_id", "quality")
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style line-level dedup over documents with deterministically
+    injected boilerplate lines (the corpus has no newlines naturally;
+    injection is identical in the oracle). Lines shared across > 1
+    document — the injected banners AND body lines of exact-duplicate
+    docs — are removed everywhere."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("subscribe to our newsletter today\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nall rights reserved copyright notice"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nfollow us on example social network"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return D.line_dedup(docs, max_df=1)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the synthetic eval set is every 17th
+    document; any corpus doc sharing a 13-gram with it (including the
+    eval docs themselves and their exact duplicates) is flagged."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return D.decontaminate(docs, bench, n=13)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -650,6 +731,32 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_near_dup(spark, sf_dir):
+    """Multimodal chained into ANN end-to-end: decode-stage feature
+    vectors (``extract_features``) become a first-class similarity
+    input to ``lsh_cosine_topk`` — media near-dup by content. Byte-
+    stripe features live in [0, 1), so they are centered at 0.5 before
+    sign-LSH bucketing (all-positive vectors would collapse into one
+    bucket — the degenerate case ``cosine_near_dup_pairs`` documents)."""
+    from ocr_spark.operators import multimodal as M
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    media = M.encode_fake_media(docs, "text")
+    feats = M.extract_features(media, dims=8)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.expr(
+            "transform(feature, x -> CAST(x AS DOUBLE) - 0.5)"
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.lsh_cosine_topk(emb, queries, k=5, dims=8)
+
+
 def q_dedup_turns(spark, sf_dir):
     """O2 dropDuplicates on the natural key, over a table with injected
     duplicates (union with itself)."""
@@ -679,6 +786,8 @@ QUERIES: dict[str, Callable] = {
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
+    "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -705,6 +814,7 @@ QUERIES: dict[str, Callable] = {
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
+    "media_near_dup": q_media_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -795,6 +905,62 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "ngram_jaccard": _JACCARD_SQL,
+    "line_dedup": """
+        WITH injected AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'subscribe to our newsletter today' || chr(10)
+                        ELSE '' END
+                   || text
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'all rights reserved copyright notice'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'follow us on example social network'
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected
+        ),
+        lines AS (
+            SELECT doc_id, i AS pos, trim(ls[i + 1]) AS lnorm
+            FROM parts, unnest(range(0, len(ls))) AS t(i)
+        ),
+        ne AS (SELECT * FROM lines WHERE lnorm <> ''),
+        freq AS (
+            SELECT lnorm, count(DISTINCT doc_id) AS line_df
+            FROM ne GROUP BY lnorm
+        ),
+        j AS (
+            SELECT ne.doc_id, ne.pos, ne.lnorm, freq.line_df
+            FROM ne JOIN freq USING (lnorm)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   array_to_string(list(lnorm ORDER BY pos)
+                       FILTER (WHERE line_df <= 1), chr(10)) AS text_clean,
+                   count(*) FILTER (WHERE line_df <= 1) AS n_kept,
+                   count(*) FILTER (WHERE line_df > 1) AS n_dropped
+            FROM j GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.text_clean, '') AS text_clean,
+               coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.n_dropped, 0) AS n_dropped
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "decontaminate": f"""
+        WITH {_sh_cte(13)},
+        bsh AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+        ),
+        cont AS (
+            SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (shingle)
+        )
+        SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+    """,
     "minhash_lsh": _MINHASH_SQL,
     "simhash": _simhash_sql(16),
     "simhash_pairs": _simhash_pairs_sql(64, 4, 3),
@@ -1173,39 +1339,42 @@ ORACLES: dict[str, str] = {
     # media_features: byte-stripe means of the UTF-8 body, recomputed in
     # SQL via hex(encode(text)); float32 cast on both sides so the values
     # compare bit-identically (kernel stores array<float>)
-    "media_features": """
-        WITH p AS (
-            SELECT doc_id, hex(encode(text)) AS h,
-                   strlen(text) AS n,
-                   greatest(1, strlen(text) // 8) AS stripe
-            FROM documents
+    "media_features": _MEDIA_FEATURES_SQL,
+    "media_near_dup": f"""
+        WITH feats AS ({_MEDIA_FEATURES_SQL}),
+        emb AS (
+            SELECT doc_id AS vec_id,
+                   [CAST(f0 AS DOUBLE) - 0.5, CAST(f1 AS DOUBLE) - 0.5,
+                    CAST(f2 AS DOUBLE) - 0.5, CAST(f3 AS DOUBLE) - 0.5,
+                    CAST(f4 AS DOUBLE) - 0.5, CAST(f5 AS DOUBLE) - 0.5,
+                    CAST(f6 AS DOUBLE) - 0.5, CAST(f7 AS DOUBLE) - 0.5]
+                       AS embedding
+            FROM feats
         ),
-        b AS (
-            SELECT doc_id, i // stripe AS d,
-                   16 * (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
-                     + (strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1)
-                     AS v
-            FROM p, unnest(range(0, n)) AS t(i)
-            WHERE i // stripe < 8
-        ),
-        m AS (
-            SELECT doc_id, d,
-                   -- sum/count/256 is the same correctly-rounded IEEE
-                   -- double the kernel computes; FLOAT cast matches its
-                   -- Arrow float32 conversion bit-for-bit
-                   CAST(sum(v) / count(*) / 256.0 AS FLOAT) AS f
-            FROM b GROUP BY doc_id, d
+        bk AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+                   AS bucket
+            FROM emb
         )
-        SELECT p.doc_id,
-               CAST(coalesce(max(CASE WHEN d = 0 THEN f END), 0.0) AS FLOAT) AS f0,
-               CAST(coalesce(max(CASE WHEN d = 1 THEN f END), 0.0) AS FLOAT) AS f1,
-               CAST(coalesce(max(CASE WHEN d = 2 THEN f END), 0.0) AS FLOAT) AS f2,
-               CAST(coalesce(max(CASE WHEN d = 3 THEN f END), 0.0) AS FLOAT) AS f3,
-               CAST(coalesce(max(CASE WHEN d = 4 THEN f END), 0.0) AS FLOAT) AS f4,
-               CAST(coalesce(max(CASE WHEN d = 5 THEN f END), 0.0) AS FLOAT) AS f5,
-               CAST(coalesce(max(CASE WHEN d = 6 THEN f END), 0.0) AS FLOAT) AS f6,
-               CAST(coalesce(max(CASE WHEN d = 7 THEN f END), 0.0) AS FLOAT) AS f7
-        FROM p LEFT JOIN m ON p.doc_id = m.doc_id
-        GROUP BY p.doc_id
+        SELECT q_id, vec_id, cos, rank FROM (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   round(list_cosine_similarity(q.embedding, e.embedding),
+                         4) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    q.embedding, e.embedding), 4) DESC,
+                                e.vec_id) AS rank
+            FROM bk q JOIN bk e ON q.bucket = e.bucket
+            WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        ) WHERE rank <= 5
     """,
 }

@@ -289,6 +289,117 @@ def minhash_lsh_pairs(
     )
 
 
+def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
+    """Paragraph/line-level exact dedup — the C4 / RefinedWeb shape
+    (Raffel et al. JMLR '20 §2.2; Penedo et al. '23 §4.2): a line whose
+    trimmed form occurs in more than ``max_df`` distinct documents is
+    boilerplate (nav text, cookie banners, copyright footers — the most
+    common web-corpus contamination) and is removed from EVERY document
+    it appears in; the per-document remainder is reassembled in original
+    line order.
+
+    Returns one row per input document (rows never dropped):
+    (doc_id, text_clean, n_kept, n_dropped) — text_clean is '' when
+    every line was boilerplate or the text had no non-empty lines.
+
+    Scale shape: posexplode lines -> distinct (doc, line-fingerprint) ->
+    one hash-agg for document frequency (map-side partial, uniform md5
+    keys) -> hash join back -> one groupBy(doc_id) reassembly. No
+    windows, no sorts beyond the per-doc array_sort of its OWN lines;
+    the frequency relation is vocabulary-sized, not corpus-sized.
+    """
+    lines = df.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).select("doc_id", "pos", F.trim("line").alias("lnorm"))
+    nonempty = lines.filter(F.col("lnorm") != "").withColumn(
+        "fp", F.md5("lnorm")
+    )
+    docfreq = (
+        nonempty.select("doc_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    j = nonempty.join(docfreq, "fp")
+    keep = F.col("line_df") <= max_df
+    agg = j.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pos").alias("pos"),
+                    F.when(keep, F.col("lnorm")).alias("l"),
+                )
+            )
+        ).alias("ls"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum((~keep).cast("long")).alias("n_dropped"),
+    )
+    reassembled = agg.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.expr("transform(filter(ls, x -> x.l IS NOT NULL), x -> x.l)")
+        ).alias("text_clean"),
+        "n_kept",
+        "n_dropped",
+    )
+    return (
+        df.select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame, benchmark: DataFrame, n: int = 13
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing any
+    word ``n``-gram with an evaluation-set table (the GPT-3 appendix-C /
+    Gopher 13-gram overlap filter — Brown et al. '20, Rae et al. '21).
+    Run before training so eval answers are not memorized from the
+    corpus.
+
+    ``benchmark`` needs (bench_id, text). Returns one row per corpus
+    document: (doc_id, contaminated) — filter on it or anti-join to
+    materialize the clean corpus.
+
+    Scale shape: both sides explode to distinct shingles; the benchmark
+    side is distinct-deduped to vocabulary size (eval sets are tiny
+    relative to the corpus — typically < 1M shingles, so AQE broadcasts
+    it); contamination is a left_semi join on the shingle key — never a
+    cartesian product, never a full corpus self-join.
+    """
+    doc_sh = _with_shingles(df, n)
+    bench_sh = (
+        _with_shingles(
+            benchmark.select(
+                F.col("bench_id").alias("doc_id"), "text"
+            ),
+            n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select("doc_id")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def _simhash_votes(df: DataFrame, bits: int) -> DataFrame:
     """Per-document SimHash bit votes (doc_id, s0..s{bits-1}).
 

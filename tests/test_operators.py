@@ -292,6 +292,65 @@ def test_repetition_signals(spark):
     assert out[4].rep_2gram == 0.0
 
 
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from ocr_spark.operators.dedup import line_dedup
+
+    docs = _docs(
+        spark,
+        [
+            "unique alpha\nSHARED BANNER\nunique beta",
+            "SHARED BANNER\nunique gamma",
+            "only unique content here",
+            "",                       # empty doc survives as a row
+            "  \n SHARED BANNER \n",  # ws-only lines ignored; trim match
+        ],
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, max_df=1).collect()}
+    assert len(out) == 5, "rows never dropped"
+    assert out[0].text_clean == "unique alpha\nunique beta"
+    assert out[0].n_kept == 2 and out[0].n_dropped == 1
+    assert out[1].text_clean == "unique gamma"
+    assert out[2].text_clean == "only unique content here"
+    assert out[2].n_dropped == 0
+    assert out[3].text_clean == "" and out[3].n_kept == 0
+    assert out[4].text_clean == "" and out[4].n_dropped == 1
+
+
+def test_line_dedup_max_df_threshold(spark):
+    from ocr_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, ["twice shared\na0", "twice shared\nb1", "c2"])
+    # max_df=2: a line in exactly 2 docs is still kept
+    out = {
+        r.doc_id: r.text_clean
+        for r in line_dedup(docs, max_df=2).collect()
+    }
+    assert out[0] == "twice shared\na0"
+    assert out[1] == "twice shared\nb1"
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from ocr_spark.operators.dedup import decontaminate
+
+    eval_q = " ".join(f"q{i}" for i in range(13))  # exactly one 13-gram
+    docs = _docs(
+        spark,
+        [
+            "prefix words " + eval_q + " suffix words",  # contaminated
+            " ".join(f"clean{i}" for i in range(30)),    # clean
+            "short doc",                                  # < 13 tokens
+        ],
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"bench_id": [0], "text": [eval_q]})
+    )
+    out = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, bench, n=13).collect()
+    }
+    assert out == {0: True, 1: False, 2: False}
+
+
 def test_cosine_near_dup_max_bucket_drops_degenerate_bucket(spark):
     """Sign-degenerate fixture: all-positive embeddings (the post-ReLU
     encoder shape) collapse into ONE sign bucket, so the candidate join

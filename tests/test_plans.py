@@ -87,6 +87,16 @@ def test_simhash_pairs_never_cartesian(spark, sf001_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_decontaminate_never_cartesian(spark, sf001_dir):
+    # contamination = shingle equi-join (semi) + doc_id equi-join back;
+    # an eval set must never trigger an all-pairs comparison
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["decontaminate"](spark, sf001_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_vocab_topk_is_take_ordered(spark, sf001_dir):
     # top-k must be TakeOrderedAndProject (per-partition heads + driver
     # merge), never a global Sort of the vocabulary

@@ -132,6 +132,56 @@ def test_streaming_restart_resume_exactly_once(spark, tmp_path):
     )
 
 
+def test_streaming_watermarked_dedup_across_restart(spark, tmp_path):
+    """At-least-once source: the same rows redelivered in a second file
+    (and again after a restart) must be dropped by the watermarked
+    (conv_id, turn_idx) state — exactly-once OUTPUT from at-least-once
+    INPUT, with the dedup state surviving the checkpoint restart."""
+    from ocr_spark.streaming import extract_stream_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    a = gen_transcripts(12, seed=51, whale_lo=30, whale_hi=40)
+    write_transcripts_parquet(a, f"{in_dir}/a.parquet")
+    # redelivery within the same drain: identical rows, new file
+    write_transcripts_parquet(a.head(200), f"{in_dir}/a-redelivered.parquet")
+
+    stream = read_transcript_stream(spark, in_dir)
+    q = extract_stream_dedup(
+        stream, out_dir, ckpt, watermark="365 days", trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert _count(out_dir) == len(a), "in-drain redelivery deduped"
+
+    # restart: new data + ANOTHER redelivery of old rows; state must
+    # persist through the checkpoint so old keys still dedup
+    b = gen_transcripts(8, seed=52, whale_lo=30, whale_hi=40)
+    b["conv_id"] = "x" + b["conv_id"]
+    write_transcripts_parquet(b, f"{in_dir}/b.parquet")
+    write_transcripts_parquet(a.head(150), f"{in_dir}/a-again.parquet")
+    q = extract_stream_dedup(
+        read_transcript_stream(spark, in_dir), out_dir, ckpt,
+        watermark="365 days", trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    got = duckdb.sql(
+        f"""select conv_id, turn_idx, text, score, error
+            from '{out_dir}/*.parquet' order by conv_id, turn_idx"""
+    ).df()
+    assert len(got) == len(a) + len(b), "cross-restart dedup exact"
+    gold = oracle_extract(pd.concat([a, b], ignore_index=True))[
+        ["conv_id", "turn_idx", "text", "score", "error"]
+    ].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got["turn_idx"] = got["turn_idx"].astype("int32")
+    pd.testing.assert_frame_equal(
+        gold, got.reset_index(drop=True), check_exact=False, rtol=1e-9
+    )
+
+
 def test_streaming_lineage_parity(spark, tmp_path):
     """foreachBatch variant: per-micro-batch lineage rows (the batch
     writer's observability protocol) with idempotent batch dirs;
