@@ -433,6 +433,89 @@ def _simhash_votes(df: DataFrame, bits: int) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Min-label connected components over an undirected pair relation
+    (doc_a, doc_b). Returns (doc_id, group_id) where group_id is the
+    minimum doc_id of the node's component.
+
+    Each round does min-label propagation (every node takes the min of
+    its own and its neighbours' labels) followed by POINTER JUMPING
+    (label <- label's label): pointer depth doubles per round, so
+    convergence is O(log diameter) rounds instead of O(diameter) — a
+    20-round budget covers ~2^20-diameter chains, far beyond any real
+    near-dup graph. Every label is itself a node id, so the jump is a
+    self-join of the label relation. Each round localCheckpoints to
+    truncate lineage (cheap joins over a small relation, not a growing
+    plan); convergence is detected with a changed-row count and
+    NON-convergence raises rather than returning truncated groups.
+    """
+    edges = pairs.select("doc_a", "doc_b").unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    changed = -1
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("group_id").alias("nbr_group"),
+            ),
+            "doc_b",
+        ).select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("nbr_group").alias("group_id"),
+        )
+        prop = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("group_id").alias("group_id"))
+            # checkpoint BEFORE the pointer-jump self-join: joining the
+            # raw union+agg plan with itself trips Catalyst's Union
+            # constraint rewrite on ambiguous attributes
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: follow the label one hop (every label is a
+        # node id, so 'prop' doubles as the lookup table)
+        lookup = prop.select(
+            F.col("doc_id").alias("group_id"),
+            F.col("group_id").alias("_gg"),
+        )
+        new = (
+            prop.join(lookup, "group_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("_gg", "group_id").alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        # diameter > 2^max_iters (or a bug) would exit here with WRONG
+        # labels — fail loudly rather than return truncated groups
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"rounds ({changed} labels still changing); raise max_iters"
+        )
+    return labels
+
+
 def near_dup_groups(
     df: DataFrame,
     n: int = 3,
@@ -447,67 +530,16 @@ def near_dup_groups(
     the minimum doc_id of its component (the canonical survivor — the
     dedup-groups materialization a curation pipeline keeps).
 
-    Iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbours' labels; converges in
-    O(component diameter) rounds (near-dup clusters are dense, so
-    usually 2-3). The edge list is LSH-verified pairs — SMALL by the LSH
-    premise — and each round localCheckpoints to truncate lineage, so
-    the loop is cheap joins over a small relation, not a growing plan.
-    The iteration count is bounded; convergence is detected with a
-    changed-row count (an O(|V|) aggregate per round).
+    The edge list is LSH-verified pairs — SMALL by the LSH premise —
+    so the iterative part runs on a relation orders of magnitude
+    smaller than the corpus. See ``connected_components`` for the
+    label-propagation + pointer-jumping loop.
     """
     pairs = minhash_lsh_pairs(
         df, n=n, num_hashes=num_hashes, bands=bands,
         threshold=threshold, max_df=max_df,
-    ).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("group_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
-        nbr = edges.join(
-            labels.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("group_id").alias("nbr_group"),
-            ),
-            "doc_b",
-        ).select(
-            F.col("doc_a").alias("doc_id"),
-            F.col("nbr_group").alias("group_id"),
-        )
-        new = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("group_id").alias("group_id"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    else:
-        # chain-shaped components with diameter > max_iters would exit
-        # here with WRONG (non-converged) labels — fail loudly rather
-        # than return silently-truncated groups
-        raise RuntimeError(
-            f"near_dup_groups did not converge in {max_iters} rounds "
-            f"({changed} labels still changing); raise max_iters — "
-            "near-dup components are normally dense (diameter 2-3), so "
-            "this signals a chain-shaped pair graph"
-        )
-    return labels
+    return connected_components(pairs, max_iters=max_iters)
 
 
 def simhash(df: DataFrame, bits: int = 16) -> DataFrame:

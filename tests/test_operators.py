@@ -187,6 +187,25 @@ def test_near_dup_groups_connected_components(spark):
     assert 5 not in out  # isolated docs are not in any group
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node chain (diameter 59) must converge inside the default
+    20-round budget — only possible with pointer jumping (plain
+    min-propagation needs diameter rounds) — and a starved budget must
+    raise instead of returning truncated groups."""
+    import pytest
+
+    from ocr_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        pd.DataFrame({"doc_a": range(59), "doc_b": range(1, 60)})
+    )
+    out = {r.doc_id: r.group_id for r in connected_components(chain).collect()}
+    assert len(out) == 60 and set(out.values()) == {0}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+
+
 def test_hash_sample_deterministic_and_proportional(spark):
     from ocr_spark.operators.textops import hash_sample
 
