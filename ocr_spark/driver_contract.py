@@ -743,18 +743,25 @@ def q_media_near_dup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), "text"
     )
-    media = M.encode_fake_media(docs, "text")
-    feats = M.extract_features(media, dims=8)
-    emb = feats.select(
-        F.col("media_id").alias("vec_id"),
-        F.expr(
-            "transform(feature, x -> CAST(x AS DOUBLE) - 0.5)"
-        ).alias("embedding"),
-    )
-    queries = emb.filter(F.col("vec_id") < 10).select(
+
+    def emb_of(d):
+        feats = M.extract_features(M.encode_fake_media(d, "text"), dims=8)
+        return feats.select(
+            F.col("media_id").alias("vec_id"),
+            F.expr(
+                "transform(feature, x -> CAST(x AS DOUBLE) - 0.5)"
+            ).alias("embedding"),
+        )
+
+    # the query side re-encodes from a PRE-FILTERED doc set: a filter on
+    # the output id cannot push through mapInPandas (it's an analysis
+    # barrier), so filtering first keeps the small side small instead of
+    # decoding the full corpus twice
+    emb = emb_of(docs)
+    queries = emb_of(docs.filter(F.col("media_id") < 10)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return S.lsh_cosine_topk(emb, queries, k=5, dims=8)
+    return S.lsh_cosine_topk(emb, queries, k=5, dims=8, vec_dims=8)
 
 
 def q_dedup_turns(spark, sf_dir):

@@ -149,7 +149,11 @@ def sign_bucket(
 
 
 def sign_buckets_multi(
-    df: DataFrame, dims: int = 8, tables: int = 1, col: str = "embedding"
+    df: DataFrame,
+    dims: int = 8,
+    tables: int = 1,
+    col: str = "embedding",
+    width: int | None = None,
 ) -> DataFrame:
     """OR-amplified LSH: one bucket per hash table, each table reading a
     disjoint ``dims``-wide band of coordinates. Emits ``tables`` rows per
@@ -161,15 +165,22 @@ def sign_buckets_multi(
     otherwise(0), and every vector would silently share bucket 0 in the
     out-of-range tables — degenerating the candidate join toward a full
     cross join, the opposite of LSH pruning.
+
+    Pass ``width`` when the vector width is already known to skip the
+    probe job — worthwhile when ``df`` sits behind expensive upstream
+    stages (e.g. a mapInPandas feature extractor), where even a
+    LocalLimit-1 probe pays Python-worker spin-up.
     """
-    # one-row probe (LocalLimit-1 scan, not a corpus pass): embeddings
-    # are fixed-width, so a single row catches the config error
-    probe = df.select(F.size(F.col(col)).alias("d")).first()
-    if probe is not None and probe["d"] is not None and probe["d"] < tables * dims:
+    if width is None:
+        # one-row probe (LocalLimit-1 scan, not a corpus pass):
+        # embeddings are fixed-width, so one row catches the error
+        probe = df.select(F.size(F.col(col)).alias("d")).first()
+        width = None if probe is None else probe["d"]
+    if width is not None and width < tables * dims:
         raise ValueError(
             f"sign_buckets_multi needs {tables * dims} coordinates "
             f"(tables={tables} x dims={dims}) but the vectors have "
-            f"{probe['d']}; lower tables/dims or pad the embeddings"
+            f"{width}; lower tables/dims or pad the embeddings"
         )
     entries = F.array(
         *[
@@ -386,6 +397,7 @@ def lsh_cosine_topk(
     k: int = 5,
     dims: int = 8,
     tables: int = 1,
+    vec_dims: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: candidates share a sign-pattern bucket in any of
     ``tables`` hash tables (disjoint dimension bands), then exact cosine
@@ -393,9 +405,16 @@ def lsh_cosine_topk(
     ``cosine_topk``. More tables raise recall (OR-amplification) at
     ``tables``x the candidate-join volume; 100k-vector soak
     (BENCH/soak_ann.py): 1 table recall@5 0.29 (2.9s), 6 tables 0.936
-    (4.3s) vs 18.5s brute force."""
-    d = _probe_dims(embeddings, "embedding")
-    e = sign_buckets_multi(_with_norm(embeddings, dims=d), dims, tables).select(
+    (4.3s) vs 18.5s brute force. Pass ``vec_dims`` when the embedding
+    width is known to skip the three probe jobs (they re-execute the
+    full upstream plan for one row — expensive when the embeddings come
+    out of a mapInPandas feature extractor)."""
+    d = vec_dims if vec_dims is not None else _probe_dims(
+        embeddings, "embedding"
+    )
+    e = sign_buckets_multi(
+        _with_norm(embeddings, dims=d), dims, tables, width=d
+    ).select(
         "vec_id",
         F.col("embedding").alias("emb"),
         F.col("nrm").alias("n2"),
@@ -409,6 +428,7 @@ def lsh_cosine_topk(
         ),
         dims,
         tables,
+        width=d,
     ).select(
         "q_id",
         F.col("embedding").alias("q_emb"),
