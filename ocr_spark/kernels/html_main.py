@@ -96,7 +96,21 @@ def collapse_ws(s: str) -> str:
     return " ".join(s.split())
 
 
-@dataclass
+# One dict lookup per tag event instead of 3-4 set/dict membership
+# tests (SKIP_TAGS / BLOCK_TAGS / SPAN_KIND / == "a") — the handlers run
+# once per tag token and showed up as the kernel's hottest frames.
+_F_SKIP, _F_BLOCK, _F_SPAN, _F_LINK = 1, 2, 4, 8
+_TAG_FLAGS: dict[str, int] = {}
+for _t in SKIP_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in SPAN_KIND:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SPAN
+_TAG_FLAGS["a"] = _TAG_FLAGS.get("a", 0) | _F_LINK
+
+
+@dataclass(slots=True)
 class _Block:
     bid: int
     tag: str
@@ -160,7 +174,8 @@ def _parse_html(raw: str, h: "_Extractor") -> None:
             data = raw[pos:s]
             handle_data(_unescape(data) if "&" in data else data)
         pos = m.end()
-        end, name, selfclose = m.group("end", "name", "selfclose")
+        # positional fetch: named access re-resolves group names per call
+        end, name, selfclose = m.group(1, 2, 4)
         if name is None:  # comment / doctype / PI: no event
             continue
         tag = name.lower()
@@ -188,6 +203,12 @@ class _Extractor:
     """Single-pass parse state: block scoring + full-text-with-spans
     rendering. Events arrive from ``_parse_html``."""
 
+    __slots__ = (
+        "blocks", "block_stack", "tag_stack", "_open_counts",
+        "skip_depth", "link_depth", "_order", "chunks", "full_len",
+        "spans", "_open_spans",
+    )
+
     def __init__(self) -> None:
         self.blocks: list[_Block] = [_Block(0, "<root>", -1)]
         self.block_stack: list[int] = [0]
@@ -207,7 +228,8 @@ class _Extractor:
 
     # -- tag handling -------------------------------------------------
     def handle_starttag(self, tag, attrs):
-        if tag in SKIP_TAGS:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_SKIP:
             self.skip_depth += 1
             return
         if self.skip_depth:
@@ -215,18 +237,19 @@ class _Extractor:
         self.tag_stack.append(tag)
         oc = self._open_counts
         oc[tag] = oc.get(tag, 0) + 1
-        if tag == "a":
-            self.link_depth += 1
-        if tag in BLOCK_TAGS:
-            bid = len(self.blocks)
-            self.blocks.append(_Block(bid, tag, self.block_stack[-1]))
-            self.block_stack.append(bid)
-        if tag in SPAN_KIND:
-            start = self.full_len + (1 if self.chunks else 0)
-            self._open_spans.append([SPAN_KIND[tag], start, tag])
+        if f:
+            if f & _F_LINK:
+                self.link_depth += 1
+            if f & _F_BLOCK:
+                bid = len(self.blocks)
+                self.blocks.append(_Block(bid, tag, self.block_stack[-1]))
+                self.block_stack.append(bid)
+            if f & _F_SPAN:
+                start = self.full_len + (1 if self.chunks else 0)
+                self._open_spans.append([SPAN_KIND[tag], start, tag])
 
     def handle_endtag(self, tag):
-        if tag in SKIP_TAGS:
+        if _TAG_FLAGS.get(tag, 0) & _F_SKIP:
             self.skip_depth = max(0, self.skip_depth - 1)
             return
         if self.skip_depth:
@@ -242,11 +265,14 @@ class _Extractor:
                     break
 
     def _close_for(self, tag):
-        if tag == "a":
+        f = _TAG_FLAGS.get(tag, 0)
+        if not f:
+            return
+        if f & _F_LINK:
             self.link_depth = max(0, self.link_depth - 1)
-        if tag in BLOCK_TAGS and len(self.block_stack) > 1:
+        if f & _F_BLOCK and len(self.block_stack) > 1:
             self.block_stack.pop()
-        if tag in SPAN_KIND:
+        if f & _F_SPAN:
             for i in range(len(self._open_spans) - 1, -1, -1):
                 if self._open_spans[i][2] == tag:
                     kind, start, _ = self._open_spans.pop(i)
