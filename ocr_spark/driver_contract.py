@@ -433,6 +433,41 @@ def q_events_by_day(spark, sf_dir):
     )
 
 
+def q_as_of_join(spark, sf_dir):
+    """Point-in-time (as-of) join: every event gets the most recent
+    marker event (event_id % 10 == 0) at-or-before its timestamp for
+    the same user — union-tag + running last-non-null, never a range
+    join (see relational.as_of_join)."""
+    ev = load(spark, sf_dir, "events")
+    markers = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("rid"), "value"
+    )
+    out = R.as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        markers,
+        key="user_id",
+        ts="ts",
+        payload={"value": "marker_value", "rid": "marker_id"},
+        right_id="rid",
+    )
+    return out.select("event_id", "user_id", "marker_id", "marker_value")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min silence starts a new session),
+    aggregated to one row per session."""
+    ev = load(spark, sf_dir, "events")
+    s = R.sessionize(ev, gap_minutes=30)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "start_ts"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """Composite curation pass — the operators composing the way a real
     training-data job chains them: exact-dedup survivors -> language
@@ -810,6 +845,8 @@ QUERIES: dict[str, Callable] = {
     "redact_pii": q_redact_pii,
     "set_ops": q_set_ops,
     "events_by_day": q_events_by_day,
+    "as_of_join": q_as_of_join,
+    "sessionize": q_sessionize,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "cosine_near_dup": q_cosine_near_dup,
@@ -1175,6 +1212,66 @@ ORACLES: dict[str, str] = {
                round(sum(value), 2) AS sum_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
+    """,
+    # as-of oracle mirrors the union-tag + running last-non-null shape;
+    # right rows sort before left at equal ts (side 0 < 1), right ties
+    # break by rid. Left-row order among themselves is irrelevant (they
+    # carry null payload and all see the same right prefix), so the
+    # engines' opposite null-ordering defaults for the left rids don't
+    # matter.
+    "as_of_join": """
+        WITH l AS (
+            SELECT event_id, user_id, ts, 1 AS side,
+                   CAST(NULL AS DOUBLE) AS marker_value,
+                   CAST(NULL AS BIGINT) AS marker_id,
+                   CAST(NULL AS BIGINT) AS rid
+            FROM events
+        ),
+        r AS (
+            SELECT CAST(NULL AS BIGINT) AS event_id, user_id, ts,
+                   0 AS side, value AS marker_value,
+                   event_id AS marker_id, event_id AS rid
+            FROM events WHERE event_id % 10 = 0
+        ),
+        u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        f AS (
+            SELECT event_id, user_id, side,
+                   last_value(marker_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, rid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS marker_value,
+                   last_value(marker_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, rid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS marker_id
+            FROM u
+        )
+        SELECT event_id, user_id, marker_id, marker_value
+        FROM f WHERE side = 1
+    """,
+    "sessionize": """
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS is_new,
+                   event_id
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_idx
+            FROM o
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, session_idx
     """,
     "curation_pipeline": f"""
         WITH keep AS (

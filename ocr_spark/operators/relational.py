@@ -58,6 +58,106 @@ def run_stats(extracted: DataFrame) -> DataFrame:
     )
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    payload: dict[str, str] | None = None,
+    right_id: str = "rid",
+) -> DataFrame:
+    """Time-series as-of join: attach to every ``left`` row the most
+    recent ``right`` row with ``right.ts <= left.ts`` for the same key
+    (the point-in-time lookup of market-data and feature-store joins;
+    Spark has no native ASOF JOIN — DuckDB/Pandas do).
+
+    Implementation is the union-tag + running last-non-null trick, NOT
+    a range join: a theta-join on ``r.ts <= l.ts`` explodes to
+    O(|L|x|R|) per key before aggregation, while this is one
+    window-sort over |L|+|R| rows per key — the only shape that
+    survives 10^12 rows. Right rows sort BEFORE left rows at equal
+    timestamps (inclusive <= semantics), and equal-timestamp right
+    rows tie-break by ``right_id`` (the later id wins), which makes
+    the result total-ordered and engine-portable; the relative order
+    of left rows at the same instant is irrelevant (they all see the
+    same set of right rows, and left rows carry null payload).
+
+    ``payload`` maps right-side column -> output alias. Left rows with
+    no matching right row keep null payload (left-join semantics).
+    """
+    payload = payload or {}
+    out_cols = list(payload.values())
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rid", F.lit(None).cast("long")
+    )
+    for src, dst in payload.items():
+        l_tag = l_tag.withColumn(dst, F.lit(None).cast(
+            dict(right.dtypes)[src]
+        ))
+    r_tag = right.select(
+        key,
+        F.col(ts).alias(ts),
+        F.lit(0).alias("_side"),
+        F.col(right_id).cast("long").alias("_rid"),
+        *[F.col(src).alias(dst) for src, dst in payload.items()],
+    )
+    left_cols = [c for c in left.columns]
+    u = l_tag.select(
+        *left_cols, "_side", "_rid", *out_cols
+    ).unionByName(
+        r_tag, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(),
+                 F.col("_rid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *left_cols,
+        "_side",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in out_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one key belong
+    to the same session while the inter-event gap stays under
+    ``gap_minutes``; a longer silence starts a new session (the
+    standard web-analytics / agent-episode segmentation).
+
+    Lag + cumulative-sum of session-start flags inside one window —
+    two passes over each key partition, no self-join, no explosion.
+    Returns the input plus ``session_idx`` (0-based per key).
+    """
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    # exact integer microseconds (unix_micros == DuckDB epoch_us):
+    # second-level casts truncate/round differently across engines on
+    # sub-second timestamps. Parquet timestamps load as TIMESTAMP_NTZ,
+    # which unix_micros rejects — cast via the (UTC-pinned) session
+    # timezone; only gap DIFFERENCES matter, so the interpretation
+    # offset cancels even off-UTC
+    gap_us = gap_minutes * 60 * 1_000_000
+    mu = F.unix_micros(F.col(ts).cast("timestamp"))
+    is_new = (mu - F.lag(mu).over(w) > gap_us).cast("long")
+    return events.withColumn(
+        "session_idx",
+        F.sum(F.coalesce(is_new, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def group_quantiles(
     df: DataFrame,
     group_col: str,

@@ -187,6 +187,65 @@ def test_near_dup_groups_connected_components(spark):
     assert 5 not in out  # isolated docs are not in any group
 
 
+def test_as_of_join_point_in_time_semantics(spark):
+    from ocr_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"lid": [0, 1, 2, 3], "k": ["u"] * 4, "ts": [0, 1, 5, 10]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["u"] * 4,
+                "ts": [1, 5, 5, 7],
+                "rid": [1, 2, 3, 4],
+                "v": ["a", "b", "c", "d"],
+            }
+        )
+    )
+    out = {
+        r.lid: r.mv
+        for r in as_of_join(
+            left, right, key="k", ts="ts", payload={"v": "mv"}
+        ).collect()
+    }
+    assert out[0] is None          # before any marker
+    assert out[1] == "a"           # equal ts IS matched (<= semantics)
+    assert out[2] == "c"           # tie at ts=5: higher rid wins
+    assert out[3] == "d"           # latest earlier marker
+
+
+def test_sessionize_gap_segmentation(spark):
+    from ocr_spark.operators.relational import sessionize
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": range(5),
+                "user_id": [1, 1, 1, 1, 2],
+                "ts": pd.to_datetime(
+                    [
+                        "2026-01-01 00:00:00",
+                        "2026-01-01 00:10:00",
+                        "2026-01-01 00:50:00",  # 40-min gap: new session
+                        "2026-01-01 01:00:00",
+                        "2026-01-01 00:00:00",  # other user: own session
+                    ]
+                ),
+            }
+        )
+    )
+    out = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert out[(1, 0)] == 0 and out[(1, 1)] == 0
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1
+    assert out[(2, 4)] == 0
+
+
 def test_connected_components_long_chain_pointer_jumping(spark):
     """A 60-node chain (diameter 59) must converge inside the default
     20-round budget — only possible with pointer jumping (plain
