@@ -367,6 +367,19 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher A1 composite quality gate: per-doc signals + pass flag
+    (min_words lowered to 20 so the synthetic corpus straddles the
+    threshold instead of failing wholesale)."""
+    return X.with_gopher_rules(
+        load(spark, sf_dir, "documents"), min_words=20
+    ).select(
+        "doc_id", "word_count", "mean_word_len", "symbol_ratio",
+        "alpha_ratio", "bullet_ratio", "ellipsis_ratio", "stop_hits",
+        "gopher_pass",
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition signals: duplicated 2/3-gram and line
     fractions per document (curation quality rules)."""
@@ -839,6 +852,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
     "curation_pipeline": q_curation_pipeline,
+    "gopher_rules": q_gopher_rules,
     "rollup_stats": q_rollup_stats,
     "pack_sequences": q_pack_sequences,
     "repetition": q_repetition,
@@ -1126,6 +1140,55 @@ ORACLES: dict[str, str] = {
                    '\\+?[0-9][0-9\\- ]{7,}[0-9]', '<PHONE>', 'g')
                    AS text_redacted
         FROM injected
+    """,
+    "gopher_rules": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS ts,
+                   list_filter(list_transform(
+                       string_split(text, chr(10)), l -> trim(l)),
+                       l -> l <> '') AS ls
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS word_count,
+                   CASE WHEN len(ts) > 0 THEN round(
+                       CAST(list_sum(list_transform(ts, x -> strlen(x)))
+                            AS DOUBLE) / len(ts), 4) ELSE 0.0 END
+                       AS mean_word_len,
+                   CASE WHEN len(ts) > 0 THEN round(
+                       CAST(len(list_filter(ts, x ->
+                           strpos(x, '#') > 0 OR strpos(x, '...') > 0))
+                            AS DOUBLE) / len(ts), 4) ELSE 0.0 END
+                       AS symbol_ratio,
+                   CASE WHEN len(ts) > 0 THEN round(
+                       CAST(len(list_filter(ts, x ->
+                           regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                           / len(ts), 4) ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN len(ls) > 0 THEN round(
+                       CAST(len(list_filter(ls, l ->
+                           l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+                            AS DOUBLE) / len(ls), 4) ELSE 0.0 END
+                       AS bullet_ratio,
+                   CASE WHEN len(ls) > 0 THEN round(
+                       CAST(len(list_filter(ls, l -> l LIKE '%...'))
+                            AS DOUBLE) / len(ls), 4) ELSE 0.0 END
+                       AS ellipsis_ratio,
+                   CAST(len(list_filter(ts, x ->
+                       lower(x) IN ({_STOP_SQL}))) AS INT) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id, word_count, mean_word_len, symbol_ratio,
+               alpha_ratio, bullet_ratio, ellipsis_ratio, stop_hits,
+               (word_count >= 20 AND word_count <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+                AND stop_hits >= 2) AS gopher_pass
+        FROM s
     """,
     "repetition": """
         WITH t AS (

@@ -145,6 +145,99 @@ def with_quality(df: DataFrame) -> DataFrame:
     return df.withColumn("quality", F.round(quality, 4))
 
 
+def with_gopher_rules(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-quality rule set (Rae et al. 2021, App. A1 —
+    the standard web-corpus gate; also the RefinedWeb/Dolma baseline):
+    per-document signals plus the composite ``gopher_pass`` flag.
+
+    Signals (all built-in array expressions, no explode, linear scan):
+    - word_count in [min_words, max_words]
+    - mean_word_len in [3, 10]
+    - symbol_ratio (tokens containing '#' or '...') <= 0.1
+    - bullet_ratio (lines starting with a bullet) <= 0.9
+    - ellipsis_ratio (lines ending with '...') <= 0.3
+    - alpha_ratio (tokens containing a letter) >= 0.8
+    - stop_hits >= 2 (the Gopher "2 of a stop list" rule)
+
+    Ratios are rounded to 4dp BEFORE the flag comparison on both the
+    Spark and oracle sides, so the pass boolean is engine-portable.
+    """
+    toks = TOKENS
+    wc = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.expr(toks))
+    )
+    sum_len = F.expr(
+        f"aggregate({toks}, 0L, (a, t) -> a + length(t))"
+    )
+    sym = F.expr(
+        f"size(filter({toks}, t -> contains(t, '#') OR contains(t, '...')))"
+    )
+    alpha = F.expr(f"size(filter({toks}, t -> t rlike '[a-zA-Z]'))")
+    stop_hits = F.expr(
+        f"size(filter({toks}, t -> lower(t) IN ({_STOP_SQL})))"
+    )
+    lines = "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l <> '')"
+    n_lines = F.expr(f"size({lines})")
+    bullets = F.expr(
+        f"size(filter({lines}, l -> l LIKE '- %' OR l LIKE '* %' "
+        f"OR l LIKE '• %'))"
+    )
+    ellipsis = F.expr(f"size(filter({lines}, l -> l LIKE '%...'))")
+    out = (
+        df.withColumn("word_count", wc.cast("long"))
+        .withColumn(
+            "mean_word_len",
+            F.when(
+                F.col("word_count") > 0,
+                F.round(sum_len / F.col("word_count"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.when(
+                F.col("word_count") > 0,
+                F.round(sym / F.col("word_count"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.when(
+                F.col("word_count") > 0,
+                F.round(alpha / F.col("word_count"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "bullet_ratio",
+            F.when(n_lines > 0, F.round(bullets / n_lines, 4)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "ellipsis_ratio",
+            F.when(n_lines > 0, F.round(ellipsis / n_lines, 4)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("stop_hits", stop_hits)
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_ratio") <= 0.9)
+        & (F.col("ellipsis_ratio") <= 0.3)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("stop_hits") >= 2),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 2048,

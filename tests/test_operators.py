@@ -187,6 +187,35 @@ def test_near_dup_groups_connected_components(spark):
     assert 5 not in out  # isolated docs are not in any group
 
 
+def test_gopher_rules_composite_gate(spark):
+    from ocr_spark.operators.textops import with_gopher_rules
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then it runs "
+        "back to the barn with some friends for dinner tonight again"
+    )
+    docs = _docs(
+        spark,
+        [
+            good,                                   # passes everything
+            "short of the a",                       # too few words
+            good + " ##tag " * 5,                   # symbol-heavy
+            "- the item one\n- the item two",       # all bullet lines
+            "x1 y2 " * 15,                          # no stopwords/alpha mix
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in with_gopher_rules(docs, min_words=10).collect()
+    }
+    assert out[0].gopher_pass
+    assert not out[1].gopher_pass          # word_count < 10
+    assert out[2].symbol_ratio > 0.1 and not out[2].gopher_pass
+    assert out[3].bullet_ratio == 1.0 and not out[3].gopher_pass
+    assert not out[4].gopher_pass          # stop_hits == 0
+    assert out[0].mean_word_len > 3.0 and out[0].alpha_ratio == 1.0
+
+
 def test_as_of_join_point_in_time_semantics(spark):
     from ocr_spark.operators.relational import as_of_join
 
