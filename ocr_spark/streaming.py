@@ -104,6 +104,55 @@ def extract_stream_dedup(
     return writer.start()
 
 
+def sessionize_stream(
+    events: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    trigger_once: bool = False,
+):
+    """Stateful streaming sessionization: gap-based session windows per
+    key (``F.session_window`` — Spark's native merging-window state),
+    emitting (key, start_ts, end_ts, n_events) once the event-time
+    watermark passes a session's close (append mode: a session is only
+    final when no more events can extend it, which is exactly what the
+    watermark guarantees). State is bounded by the watermark horizon —
+    the streaming twin of the batch ``relational.sessionize``.
+
+    Late-data contract: events later than ``watermark`` after the
+    stream's max event time are dropped by the watermark, and a session
+    stays open (unemitted) until the watermark passes end + 0; size the
+    watermark to the source's lateness horizon.
+    """
+    from pyspark.sql import functions as F
+
+    agg = (
+        events.withWatermark(ts, watermark)
+        .groupBy(
+            F.session_window(F.col(ts), gap).alias("w"), F.col(key)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("start_ts"),
+            F.col("w.end").alias("end_ts"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def extract_stream_with_lineage(
     transcripts: DataFrame,
     output_dir: str,

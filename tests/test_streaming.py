@@ -182,6 +182,77 @@ def test_streaming_watermarked_dedup_across_restart(spark, tmp_path):
     )
 
 
+def test_streaming_session_windows(spark, tmp_path):
+    """Stateful windowed aggregation: session_window + watermark emits a
+    session only once the watermark passes its close — verified by
+    draining real files and advancing the watermark with a sentinel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.streaming import sessionize_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def write_events(path, rows):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    write_events(
+        f"{in_dir}/a.parquet",
+        [
+            ("A", "2026-01-01 00:00:00"),
+            ("A", "2026-01-01 00:10:00"),  # same session (gap < 30m)
+            ("A", "2026-01-01 01:00:00"),  # new session
+            ("B", "2026-01-01 00:05:00"),
+        ],
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .parquet(in_dir)
+        )
+        q = sessionize_stream(
+            stream, out_dir, ckpt, gap="30 minutes",
+            watermark="10 minutes", trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # sentinel far in the future advances the watermark past every
+    # file-a session close; its own session stays open (unemitted)
+    write_events(
+        f"{in_dir}/sentinel.parquet", [("Z", "2026-02-01 00:00:00")]
+    )
+    drain()
+
+    got = duckdb.sql(
+        f"""select user_id, strftime(start_ts, '%H:%M') as s,
+                   strftime(end_ts, '%H:%M') as e, n_events
+            from '{out_dir}/*.parquet' order by user_id, start_ts"""
+    ).df()
+    rows = {
+        (r.user_id, r.s, r.e): r.n_events for r in got.itertuples()
+    }
+    # session end = last event + gap
+    assert rows[("A", "00:00", "00:40")] == 2
+    assert rows[("A", "01:00", "01:30")] == 1
+    assert rows[("B", "00:05", "00:35")] == 1
+    assert not any(u == "Z" for u, _, _ in rows), "open session unemitted"
+    assert len(rows) == 3
+
+
 def test_streaming_lineage_parity(spark, tmp_path):
     """foreachBatch variant: per-micro-batch lineage rows (the batch
     writer's observability protocol) with idempotent batch dirs;
