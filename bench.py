@@ -194,12 +194,15 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "group_topk",
         "window_turn_order",
         "anti_join_resume",
+        "as_of_join",
+        "sessionize",
         "override_join",
         "dedup_exact",
         "line_dedup",
         "decontaminate",
         "token_count",
         "quality_score",
+        "gopher_rules",
         "minhash_lsh",
         "simhash",
         "simhash_pairs",
