@@ -55,6 +55,21 @@ def main(argv: list[str] | None = None) -> int:
         "the Parquet-layout warehouse; requires the Iceberg runtime jar "
         "on the classpath (--packages)",
     )
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="incremental mode: availableNow streaming drain of new "
+        "files under --input (exactly-once via checkpoint); rerun to "
+        "process only what landed since the last drain",
+    )
+    ap.add_argument(
+        "--stream-dedup",
+        default=None,
+        metavar="WATERMARK",
+        help="with --stream: drop redelivered (conv_id, turn_idx) rows "
+        "using keyed state bounded by this event-time watermark "
+        "(e.g. '1 hour')",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -68,6 +83,28 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
+    if args.stream:
+        from ocr_spark.streaming import (
+            extract_stream,
+            extract_stream_dedup,
+            read_transcript_stream,
+        )
+
+        out_dir = f"{args.output}/stream"
+        ckpt = f"{args.output}/_stream_checkpoint"
+        stream = read_transcript_stream(spark, args.input)
+        if args.stream_dedup:
+            q = extract_stream_dedup(
+                stream, out_dir, ckpt,
+                watermark=args.stream_dedup, trigger_once=True,
+            )
+        else:
+            q = extract_stream(stream, out_dir, ckpt, trigger_once=True)
+        q.awaitTermination()
+        print(f"stream drain complete -> {out_dir}")
+        spark.stop()
+        return 0
+
     writer = ExtractWriter(
         args.output, iceberg_table=args.iceberg_table, spark=spark
     )
