@@ -203,6 +203,9 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "token_count",
         "quality_score",
         "gopher_rules",
+        "bm25_topk",
+        "tfidf_keywords",
+        "domain_mix",
         "minhash_lsh",
         "simhash",
         "simhash_pairs",

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ocr_spark.operators import dedup as D
 from ocr_spark.operators import relational as R
+from ocr_spark.operators import search as SR
 from ocr_spark.operators import similarity as S
 from ocr_spark.operators import textops as X
 from ocr_spark.operators.textops import _STOP_SQL
@@ -587,6 +588,26 @@ def q_vocab_topk(spark, sf_dir):
     return X.vocab_topk(load(spark, sf_dir, "documents"), k=100)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for a 3-term probe query (sparse retrieval:
+    posting-list filter before any agg, broadcast df/corpus stats)."""
+    return SR.bm25_topk(
+        load(spark, sf_dir, "documents"), ["hash", "join", "merge"], k=10
+    )
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (stopwords excluded;
+    vocabulary-keyed hash join + bounded per-doc window)."""
+    return SR.tfidf_keywords(load(spark, sf_dir, "documents"), k=3)
+
+
+def q_domain_mix(spark, sf_dir):
+    """Derived-rate domain rebalancing: thin every source toward a
+    1000-token budget via the deterministic md5 selector."""
+    return X.domain_mix(load(spark, sf_dir, "documents"), 1000.0)
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: sampled coarse quantizer (32 lists), probe 4, exact
     re-score top-5 — the second ANN scale path beside ann_lsh."""
@@ -849,6 +870,9 @@ QUERIES: dict[str, Callable] = {
     "near_dup_groups": q_near_dup_groups,
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
+    "bm25_topk": q_bm25_topk,
+    "tfidf_keywords": q_tfidf_keywords,
+    "domain_mix": q_domain_mix,
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
     "curation_pipeline": q_curation_pipeline,
@@ -1387,6 +1411,87 @@ ORACLES: dict[str, str] = {
         GROUP BY token
         ORDER BY n DESC, token ASC
         LIMIT 100
+    """,
+    "bm25_topk": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term IN ('hash', 'join', 'merge')
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT doc_id,
+               round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+               ), 4) AS bm25,
+               count(*) AS n_terms
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 10
+    """,
+    "tfidf_keywords": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term NOT IN ({_STOP_SQL})
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        total AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term,
+                   round(tf * ln(n_docs / df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (term), total
+        )
+        SELECT doc_id, term, tfidf, rank FROM (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+    "domain_mix": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        tot AS (
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS domain_tokens
+            FROM t GROUP BY source
+        ),
+        r AS (
+            SELECT source, domain_tokens,
+                   CAST(floor(least(1.0, 1000.0 / domain_tokens) * 65536.0)
+                        AS INT) AS threshold
+            FROM tot
+        )
+        SELECT t.doc_id, t.source, r.domain_tokens
+        FROM t JOIN r USING (source)
+        WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+            < r.threshold
     """,
     "cosine_topk": """
         SELECT q_id, vec_id, cos, rank FROM (

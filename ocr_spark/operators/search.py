@@ -1,0 +1,150 @@
+"""Lexical retrieval operators: BM25 search and TF-IDF keyword extraction.
+
+The retrieval counterpart to the embedding ANN family in
+``operators/similarity.py``: classic sparse (term-based) ranking over the
+``documents`` table. Training-data pipelines use these for corpus
+inspection ("which documents match this probe query"), targeted
+decontamination ("find docs lexically close to an eval question"), and
+keyword-profile features.
+
+Plan shapes (100 TB posture):
+
+- Tokenization is one ``explode`` of a built-in ``split`` — JVM-side,
+  linear, no UDFs.
+- BM25 filters the exploded stream to the query terms BEFORE any
+  aggregation, so the per-(doc, term) frequency agg touches only the
+  posting lists of the query terms (inverted-index discipline), never
+  the full corpus vocabulary. Document-length stats are one corpus agg
+  computed once per corpus in practice (cheap here; cacheable as a
+  stats table at scale).
+- The per-term document frequencies and the single-row corpus stats are
+  explicitly ``broadcast`` — both are query-sized / O(1), never
+  shuffle-joined.
+- TF-IDF joins term frequencies to the corpus document-frequency table
+  on ``term`` — a hash join keyed on the vocabulary, the same shape as
+  the n-gram inverted index in ``operators/dedup.py``; the per-document
+  top-k is a bounded window (k rows per doc survive).
+- Every float is rounded 4 dp on BOTH engines BEFORE it participates in
+  ordering, so rank boundaries cannot flip on sub-ulp ln()/summation
+  differences (see driver_contract float policy).
+
+BM25 constants follow Robertson & Spärck Jones / the Okapi BM25 form
+with k1=1.2, b=0.75 (Robertson et al., TREC-3 '94); idf is the
+non-negative variant ln(1 + (N - df + 0.5) / (df + 0.5)) used by Lucene.
+
+Reference parity note: the reference (DAU-OCR/OCR) has no retrieval
+stage — this module is part of the beyond-reference training-data
+surface (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ocr_spark.operators.textops import STOPWORD_LIST
+
+# Lowercased whitespace tokenizer shared verbatim with the DuckDB oracles.
+TOKENS_LC = "split(lower(trim(text)), '\\\\s+')"
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) stream — empty strings dropped (empty docs vanish,
+    which also keeps them out of the length statistics)."""
+    return docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_LC)).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 score for a bag of query terms.
+
+    Returns (doc_id, bm25, n_terms) — n_terms is how many distinct query
+    terms the document matched. Deterministic total order: rounded score
+    desc, then doc_id asc.
+
+    The arithmetic is written with the exact literal/operation structure
+    the DuckDB oracle uses (k1 + 1 computed as ``k1 + 1.0``, 1 - b as
+    ``1.0 - b``) so both engines fold the same IEEE doubles.
+    """
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    w = (
+        idf
+        * (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", w)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (stopwords excluded).
+
+    idf = ln(N / df) with N = total documents (including empty ones —
+    both engines count the same table). Returns
+    (doc_id, term, tfidf, rank); ties broken by term asc on the ROUNDED
+    score so rank boundaries agree across engines.
+
+    Scale: the tf→df join is keyed on the vocabulary (hash join, the
+    inverted-index shape); the window keeps ≤ k rows per document, so
+    output is bounded by k × docs.
+    """
+    toks = _tokens(docs).filter(~F.col("term").isin(STOPWORD_LIST))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

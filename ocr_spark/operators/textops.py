@@ -110,6 +110,52 @@ def stratified_sample(
     return df.filter(_hash_selector(key_col) < threshold)
 
 
+def domain_mix(
+    df: DataFrame,
+    budget_tokens: float,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Derived-rate domain rebalancing (training-mix shaping): sample
+    each domain down to ~``budget_tokens`` whitespace tokens.
+
+    Unlike :func:`stratified_sample` (caller-supplied rates), the
+    per-domain rate is DERIVED from the corpus itself:
+    ``rate = min(1, budget / domain_token_total)`` — over-represented
+    domains are thinned toward the budget, domains already under budget
+    keep every row (floor(1.0 * 65536) = 65536 > any selector value).
+
+    Plan: one domain-count-sized aggregate (hash-agg with map-side
+    partials), broadcast back onto the corpus, then the same
+    deterministic md5-threshold selector as :func:`hash_sample` — one
+    pass over the data, no shuffle of the corpus itself, reproducible
+    across runs and partitionings. ``floor`` (not cast) fixes the
+    threshold: Spark's double→int cast truncates while DuckDB's rounds,
+    so an explicit floor on both engines is the portable choice.
+
+    Returns the sampled rows as (key, domain, domain_tokens).
+    """
+    toked = with_token_count(df)
+    totals = toked.groupBy(domain_col).agg(
+        F.sum("n_tokens").alias("domain_tokens")
+    )
+    rates = totals.withColumn(
+        "threshold",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens)) / F.col("domain_tokens"),
+            )
+            * F.lit(65536.0)
+        ).cast("int"),
+    )
+    return (
+        toked.join(F.broadcast(rates), domain_col)
+        .filter(_hash_selector(key_col) < F.col("threshold"))
+        .select(key_col, domain_col, "domain_tokens")
+    )
+
+
 def vocab_topk(df: DataFrame, k: int = 100) -> DataFrame:
     """Corpus vocabulary top-k by occurrence count (tokenizer-training /
     corpus-inspection shape). Distributed top-k: groupBy(token) hash-agg

@@ -1,0 +1,159 @@
+"""Semantics pins for the lexical retrieval operators (BM25, TF-IDF)
+and derived-rate domain rebalancing, on hand-built corpora. Cross-engine
+value checks live in the driver contract (bm25_topk / tfidf_keywords /
+domain_mix oracles)."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.search import bm25_topk, tfidf_keywords
+from ocr_spark.operators.textops import domain_mix
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # "zebra" appears in one doc, "cat" in three: for one occurrence
+    # each at equal doc length, the zebra doc must score higher.
+    docs = _docs(
+        spark,
+        [
+            "cat dog bird fish",
+            "cat dog fish bird",
+            "zebra dog bird fish",
+            "cat bird dog fish",
+        ],
+    )
+    out = bm25_topk(docs, ["cat", "zebra"], k=4).collect()
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert scores[2] > scores[0]
+    # equal-length, equal-tf cat docs tie exactly
+    assert scores[0] == scores[1] == scores[3]
+
+
+def test_bm25_tf_saturates_not_linear(spark):
+    # Double tf must raise the score by LESS than 2x (the k1 saturation
+    # that distinguishes BM25 from raw tf weighting). Same doc length so
+    # only tf varies.
+    docs = _docs(
+        spark,
+        [
+            "cat dog bird fish mouse horse",
+            "cat cat dog bird fish mouse",
+            "dog bird fish mouse horse goat",
+        ],
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["cat"], k=3).collect()}
+    assert 2 not in out  # no match -> no row
+    assert out[1] > out[0]
+    assert out[1] < 2 * out[0]
+
+
+def test_bm25_length_normalization(spark):
+    # Same tf=1, longer doc scores lower (b > 0).
+    docs = _docs(
+        spark,
+        [
+            "cat dog",
+            "cat dog bird fish mouse horse goat pig hen cow",
+        ],
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["cat"], k=2).collect()}
+    assert out[0] > out[1]
+
+
+def test_bm25_k_caps_and_orders(spark):
+    docs = _docs(spark, [f"cat {'pad ' * i}dog" for i in range(6)])
+    out = bm25_topk(docs, ["cat"], k=3).collect()
+    assert len(out) == 3
+    # shortest docs score highest -> doc_ids 0,1,2 in order
+    assert [r.doc_id for r in out] == [0, 1, 2]
+
+
+def test_bm25_matches_closed_form(spark):
+    # One query term, hand-computed Okapi BM25 with the Lucene idf.
+    docs = _docs(spark, ["cat dog", "dog bird", "dog fish"])
+    out = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["cat"], k=3).collect()}
+    n_docs, df, tf, dl, avgdl, k1, b = 3, 1, 1, 2, 2.0, 1.2, 0.75
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    expect = idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+    assert out[0] == pytest.approx(round(expect, 4), abs=1e-9)
+    assert set(out) == {0}
+
+
+def test_tfidf_excludes_stopwords_and_ranks(spark):
+    docs = _docs(
+        spark,
+        [
+            "the zebra zebra lion and the lion lion habitat",
+            "the lion habitat and the water",
+            "water water and the river",
+        ],
+    )
+    out = tfidf_keywords(docs, k=2)
+    rows = out.collect()
+    terms = {r.term for r in rows}
+    assert "the" not in terms and "and" not in terms
+    doc0 = sorted(
+        [r for r in rows if r.doc_id == 0], key=lambda r: r.rank
+    )
+    # zebra: tf=2, df=1 -> 2*ln(3); lion: tf=3, df=2 -> 3*ln(1.5)
+    assert doc0[0].term == "zebra"
+    assert doc0[0].tfidf == pytest.approx(round(2 * math.log(3.0), 4))
+    assert doc0[1].term == "lion"
+    # every doc emits at most k rows, ranks are 1..k
+    counts = {r.doc_id for r in rows}
+    for d in counts:
+        ranks = sorted(r.rank for r in rows if r.doc_id == d)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 2
+
+
+def _domain_docs(spark, spec):
+    # spec: {domain: [token_counts per doc]}
+    rows = []
+    i = 0
+    for dom, sizes in spec.items():
+        for n in sizes:
+            rows.append({"doc_id": i, "source": dom, "text": "w " * n})
+            i += 1
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_domain_mix_under_budget_domain_keeps_all(spark):
+    docs = _domain_docs(
+        spark, {"small": [10, 10], "big": [500] * 40}
+    )
+    out = domain_mix(docs, 100.0).collect()
+    small = [r for r in out if r.source == "small"]
+    big = [r for r in out if r.source == "big"]
+    # small: 20 tokens <= 100 budget -> rate 1.0 -> every row survives
+    assert len(small) == 2
+    # big: 20000 tokens, rate 0.005 -> thinned hard (floor(0.005*65536)
+    # = 327 of 65536 selector values); with 40 docs expect near-zero
+    assert len(big) < 40
+    assert all(r.domain_tokens == 20000 for r in big) or not big
+
+
+def test_domain_mix_deterministic_and_subset(spark):
+    docs = _domain_docs(spark, {"a": [50] * 30, "b": [10] * 5})
+    out1 = sorted(r.doc_id for r in domain_mix(docs, 300.0).collect())
+    out2 = sorted(r.doc_id for r in domain_mix(docs, 300.0).collect())
+    assert out1 == out2  # same hash selector -> identical sample
+    # a smaller budget selects a subset (nested-rate property of the
+    # threshold selector)
+    smaller = sorted(r.doc_id for r in domain_mix(docs, 150.0).collect())
+    assert set(smaller) <= set(out1)
+
+
+def test_domain_mix_broadcast_plan(spark):
+    docs = _domain_docs(spark, {"a": [5] * 4, "b": [5] * 4})
+    plan = domain_mix(docs, 10.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
