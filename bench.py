@@ -213,6 +213,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "ann_lsh",
         "ann_ivf",
         "cosine_near_dup",
+        "semantic_dedup",
         "media_decode",
         "media_frames",
         "media_near_dup",

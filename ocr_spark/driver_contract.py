@@ -643,6 +643,19 @@ def q_cosine_near_dup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup chain: embeddings → LSH-pruned cosine near-dup pairs →
+    greedy keep-min-id → anti-join survivors back onto documents
+    (vec_id ↔ doc_id). Same low threshold as cosine_near_dup (the
+    synthetic embeddings are random; real corpora use 0.9+)."""
+    return S.semantic_dedup(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        dims=8,
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_group_topk(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -888,6 +901,7 @@ QUERIES: dict[str, Callable] = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "cosine_near_dup": q_cosine_near_dup,
+    "semantic_dedup": q_semantic_dedup,
     "group_topk": q_group_topk,
     "revenue_by_nation": q_revenue_by_nation,
     "extract_plain_route": q_extract_plain_route,
@@ -1556,6 +1570,33 @@ ORACLES: dict[str, str] = {
             FROM b a JOIN b e
               ON a.bucket = e.bucket AND a.vec_id < e.vec_id
         ) WHERE cos >= 0.3
+    """,
+    "semantic_dedup": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+                   AS bucket
+            FROM embeddings
+        ),
+        losers AS (
+            SELECT DISTINCT doc_b AS doc_id FROM (
+                SELECT a.vec_id AS doc_a, e.vec_id AS doc_b,
+                       round(list_cosine_similarity(
+                           a.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+                           4) AS cos
+                FROM b a JOIN b e
+                  ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+            ) WHERE cos >= 0.3
+        )
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
     """,
     "group_topk": """
         SELECT l_returnflag, l_orderkey, l_linenumber, price, rank FROM (

@@ -267,6 +267,39 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    dims: int = 8,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. '23,
+    arXiv:2303.09540): drop every document whose embedding has a
+    near-duplicate (cosine >= ``threshold``) with a SMALLER id, keep the
+    rest. The end-to-end "dedup by meaning" chain: embeddings →
+    LSH-pruned near-dup pairs → survivor anti-join back onto the corpus.
+
+    Keep rule is greedy-by-id, not transitive closure: in a chain
+    a~b, b~c (a<b<c, a!~c) both b and c drop because each has a
+    smaller-id near-dup. That is the standard cheap rule (one pass, no
+    iteration); for exact one-per-connected-component semantics feed the
+    pair list through ``operators.dedup.near_dup_groups`` instead.
+
+    Plan shape: the pair list is small by the near-dup premise (and
+    bounded by ``max_bucket`` when set — see ``cosine_near_dup_pairs``'
+    skew levers); ``distinct(doc_b)`` is a hash-agg on it; the final
+    ``left_anti`` join is keyed on ``id_col`` and AQE broadcasts the
+    loser side when it is small, so the corpus itself never reshuffles.
+    """
+    pairs = cosine_near_dup_pairs(
+        embeddings, threshold=threshold, dims=dims, max_bucket=max_bucket
+    )
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

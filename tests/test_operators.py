@@ -498,3 +498,35 @@ def test_redact_pii_counts_and_rewrites(spark):
     assert out[1].n_urls == 2 and "http" not in out[1].text_redacted
     assert out[2].n_phones == 2 and "<PHONE>" in out[2].text_redacted
     assert out[3].text_redacted == docs.collect()[3].text
+
+
+def test_semantic_dedup_greedy_keep_min_id(spark):
+    """Pins the greedy-by-id rule (drop iff a SMALLER-id near-dup
+    exists), which differs from connected-components keep-min: with
+    edges (0,2) and (1,2) only, greedy keeps {0, 1} while a
+    per-component rule would keep only 0."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    pad = [0.0] * 6
+    vecs = [
+        [1.0, 0.0] + pad,            # v0
+        [0.0, 1.0] + pad,            # v1: orthogonal to v0
+        [0.7071, 0.7071] + pad,      # v2: cos 0.7071 to both
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(3), "embedding": vecs})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(3), "text": ["a", "b", "c"]})
+    )
+    kept = sorted(
+        r.doc_id
+        for r in semantic_dedup(docs, emb, threshold=0.7, dims=8).collect()
+    )
+    assert kept == [0, 1]
+    # higher threshold: no pairs, everything survives
+    kept_all = sorted(
+        r.doc_id
+        for r in semantic_dedup(docs, emb, threshold=0.9, dims=8).collect()
+    )
+    assert kept_all == [0, 1, 2]
