@@ -206,6 +206,8 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "bm25_topk",
         "tfidf_keywords",
         "domain_mix",
+        "unigram_logprob",
+        "pmi_bigrams",
         "minhash_lsh",
         "simhash",
         "simhash_pairs",

@@ -608,6 +608,20 @@ def q_domain_mix(spark, sf_dir):
     return X.domain_mix(load(spark, sf_dir, "documents"), 1000.0)
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Per-doc average unigram log-probability under the corpus's own
+    unigram LM — the offline stand-in for CCNet's perplexity filter."""
+    return X.unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """Top-50 bigram collocations by PMI (min count 5) — the
+    vocabulary/tokenizer-building statistic."""
+    return X.pmi_bigrams(
+        load(spark, sf_dir, "documents"), min_count=5, k=50
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: sampled coarse quantizer (32 lists), probe 4, exact
     re-score top-5 — the second ANN scale path beside ann_lsh."""
@@ -886,6 +900,8 @@ QUERIES: dict[str, Callable] = {
     "bm25_topk": q_bm25_topk,
     "tfidf_keywords": q_tfidf_keywords,
     "domain_mix": q_domain_mix,
+    "unigram_logprob": q_unigram_logprob,
+    "pmi_bigrams": q_pmi_bigrams,
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
     "curation_pipeline": q_curation_pipeline,
@@ -1506,6 +1522,60 @@ ORACLES: dict[str, str] = {
             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
             < r.threshold
+    """,
+    "unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+        tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+        lp AS (SELECT term, ln(tf / t) AS logp FROM tf, tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(logp) / count(*), 4) AS avg_logprob
+        FROM toks JOIN lp USING (term)
+        GROUP BY doc_id
+    """,
+    "pmi_bigrams": """
+        WITH arrs AS (
+            SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        big0 AS (
+            SELECT unnest([t[i + 1] || chr(9) || t[i + 2]
+                           for i in range(0, len(t) - 1)]) AS bg
+            FROM arrs WHERE len(t) >= 2
+        ),
+        big AS (
+            SELECT split_part(bg, chr(9), 1) AS term_a,
+                   split_part(bg, chr(9), 2) AS term_b
+            FROM big0
+        ),
+        cab AS (
+            SELECT term_a, term_b, count(*) AS c_ab FROM big
+            WHERE term_a <> '' AND term_b <> ''
+            GROUP BY term_a, term_b
+        ),
+        btot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS b FROM cab),
+        uni AS (
+            SELECT term, count(*) AS c
+            FROM (SELECT unnest(t) AS term FROM arrs)
+            WHERE term <> '' GROUP BY term
+        ),
+        ttot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni)
+        SELECT term_a, term_b, c_ab, pmi FROM (
+            SELECT term_a, term_b, c_ab,
+                   round(ln((c_ab / b)
+                            / ((ua.c / t) * (ub.c / t))), 4) AS pmi
+            FROM cab
+            JOIN uni ua ON ua.term = cab.term_a
+            JOIN uni ub ON ub.term = cab.term_b, btot, ttot
+            WHERE c_ab >= 5
+        )
+        ORDER BY pmi DESC, term_a, term_b
+        LIMIT 50
     """,
     "cosine_topk": """
         SELECT q_id, vec_id, cos, rank FROM (

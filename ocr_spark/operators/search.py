@@ -43,10 +43,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ocr_spark.operators.textops import STOPWORD_LIST
-
-# Lowercased whitespace tokenizer shared verbatim with the DuckDB oracles.
-TOKENS_LC = "split(lower(trim(text)), '\\\\s+')"
+from ocr_spark.operators.textops import STOPWORD_LIST, TOKENS_LC
 
 
 def _tokens(docs: DataFrame) -> DataFrame:

@@ -19,6 +19,9 @@ STOPWORD_LIST = STOPWORDS[0].split()
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORD_LIST)
 
 TOKENS = r"split(trim(text), '\\s+')"
+# Lowercased variant shared by the retrieval / corpus-statistics ops
+# (and their DuckDB oracles verbatim).
+TOKENS_LC = r"split(lower(trim(text)), '\\s+')"
 
 
 def with_token_count(df: DataFrame) -> DataFrame:
@@ -170,6 +173,106 @@ def vocab_topk(df: DataFrame, k: int = 100) -> DataFrame:
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def unigram_logprob(df: DataFrame) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own unigram distribution — the self-contained stand-in for the
+    LM-perplexity quality filter (CCNet, Wenzek et al. '19 trains a
+    KenLM; with no external model the corpus unigram LM is the honest
+    offline proxy). Low (very negative) scores = rare-token-heavy docs;
+    near-zero = docs made of the corpus's most common tokens.
+
+    Two corpus-sized aggregates (term frequencies, total token count —
+    both hash-aggs with map-side partials, the second a single row),
+    then the token stream joins the vocabulary-keyed probability table
+    (inverted-index-shaped hash join) and re-aggregates per doc. The
+    average is rounded 4 dp AFTER the divide so cross-engine summation
+    order cannot move the value.
+
+    Returns (doc_id, n_tokens, avg_logprob).
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.expr(TOKENS_LC)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("t"))
+    lp = tf.crossJoin(F.broadcast(tot)).select(
+        "term", F.log(F.col("tf") / F.col("t")).alias("logp")
+    )
+    return (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("logp") / F.count(F.lit(1)), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def pmi_bigrams(df: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks '90) — the vocabulary/tokenizer-building shape
+    (which adjacent token pairs co-occur far above chance).
+
+    PMI(a,b) = ln( (c_ab / B) / ((c_a / T) · (c_b / T)) ) with B = total
+    bigrams, T = total tokens. ``min_count`` floors c_ab (PMI is
+    notoriously noisy on rare pairs). The bigram stream is built with
+    array expressions (``transform`` over an index ``sequence`` — no
+    self-join on position), then one hash-agg; unigram counts join in
+    vocabulary-keyed. Final top-k is TakeOrdered on the ROUNDED pmi with
+    (term_a, term_b) tie-breaks, so the k-boundary is engine-portable.
+
+    Returns (term_a, term_b, c_ab, pmi, rank).
+    """
+    arr = df.select(F.expr(TOKENS_LC).alias("t"))
+    # size >= 2 guard is semantic, not just an optimization: Spark's
+    # sequence(1, 0) produces a DESCENDING [1, 0], not an empty array.
+    big = (
+        arr.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS term_a, t[i] AS term_b))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.term_a", "bg.term_b")
+        .filter((F.col("term_a") != "") & (F.col("term_b") != ""))
+    )
+    cab = big.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    btot = cab.agg(F.sum("c_ab").alias("b"))
+    toks = arr.select(F.explode("t").alias("term")).filter(
+        F.col("term") != ""
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ttot = uni.agg(F.sum("c").alias("t"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("b"))
+        / ((F.col("ca") / F.col("t")) * (F.col("cb") / F.col("t")))
+    )
+    return (
+        cab.filter(F.col("c_ab") >= min_count)
+        .join(
+            uni.select(F.col("term").alias("term_a"), F.col("c").alias("ca")),
+            "term_a",
+        )
+        .join(
+            uni.select(F.col("term").alias("term_b"), F.col("c").alias("cb")),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(ttot))
+        .withColumn("pmi", F.round(pmi, 4))
+        .select("term_a", "term_b", "c_ab", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("term_a"), F.col("term_b"))
         .limit(k)
     )
 

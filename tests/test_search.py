@@ -157,3 +157,54 @@ def test_domain_mix_broadcast_plan(spark):
     docs = _domain_docs(spark, {"a": [5] * 4, "b": [5] * 4})
     plan = domain_mix(docs, 10.0)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_unigram_logprob_closed_form(spark):
+    from ocr_spark.operators.textops import unigram_logprob
+
+    docs = _docs(spark, ["a a b"])
+    out = unigram_logprob(docs).collect()
+    assert len(out) == 1 and out[0].n_tokens == 3
+    expect = (2 * math.log(2 / 3) + math.log(1 / 3)) / 3
+    assert out[0].avg_logprob == pytest.approx(round(expect, 4), abs=1e-9)
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from ocr_spark.operators.textops import unigram_logprob
+
+    docs = _docs(
+        spark,
+        ["cat cat cat cat", "cat cat cat cat", "ultrarare singleton"],
+    )
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+    assert out[2] < out[0] == out[1]
+
+
+def test_pmi_bigrams_collocation_beats_chance(spark):
+    from ocr_spark.operators.textops import pmi_bigrams
+
+    # "new york" always adjacent; "dog"/"fish" co-occur only by chance
+    # within a shuffled filler stream.
+    texts = ["new york dog cat fish bird"] * 6 + [
+        "dog bird fish cat",
+        "fish dog cat bird",
+    ]
+    docs = _docs(spark, texts)
+    out = pmi_bigrams(docs, min_count=5, k=10).collect()
+    pairs = {(r.term_a, r.term_b): r.pmi for r in out}
+    assert ("new", "york") in pairs
+    assert pairs[("new", "york")] == max(pairs.values())
+    # min_count floor: a pair seen fewer than 5 times never appears
+    assert all(r.c_ab >= 5 for r in out)
+
+
+def test_pmi_bigrams_single_token_docs_contribute_nothing(spark):
+    from ocr_spark.operators.textops import pmi_bigrams
+
+    # Spark's sequence(1, 0) is DESCENDING [1, 0]; the size>=2 guard
+    # must keep single-token docs from fabricating bigrams.
+    docs = _docs(spark, ["solo"] * 8 + ["pair here"] * 5)
+    out = pmi_bigrams(docs, min_count=5, k=10).collect()
+    assert [(r.term_a, r.term_b, r.c_ab) for r in out] == [
+        ("pair", "here", 5)
+    ]
