@@ -174,3 +174,60 @@ def test_dot_unrolling_capped_for_wide_vectors(spark):
     assert "zip_with" in wide and wide.count("element_at") < 10
     narrow = plan_for(8)
     assert "zip_with" not in narrow and narrow.count("element_at") >= 8
+
+
+def test_bm25_take_ordered_and_no_join_blowup(spark, sf001_dir):
+    # final top-k must be TakeOrderedAndProject (never a global sort);
+    # the only non-equi join allowed is the deliberate single-row
+    # corpus-stats broadcast (BroadcastNestedLoopJoin over 1 row)
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["bm25_topk"](spark, sf001_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    tree = _tree(plan)
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_tfidf_keywords_window_no_global_sort(spark, sf001_dir):
+    # per-doc window (partitioned sort), never a single-partition global
+    # Sort; the one BroadcastNestedLoopJoin is the 1-row doc-count
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["tfidf_keywords"](spark, sf001_dir))
+    assert "CartesianProduct" not in plan
+    tree = _tree(plan)
+    assert "Window" in tree
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    # no rangepartitioning (global sort) anywhere
+    assert "rangepartitioning" not in plan
+
+
+def test_domain_mix_corpus_join_broadcasts_rates(spark, sf001_dir):
+    # the derived per-domain thresholds join back via broadcast; the
+    # corpus side must not shuffle for the join
+    from ocr_spark.driver_contract import QUERIES
+
+    tree = _tree(_formatted(QUERIES["domain_mix"](spark, sf001_dir)))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_semantic_dedup_never_cartesian(spark, sf001_dir):
+    # pair generation stays an LSH bucket equi-join and the survivor
+    # anti-join is an equi hash join on doc_id
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["semantic_dedup"](spark, sf001_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pmi_bigrams_take_ordered(spark, sf001_dir):
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["pmi_bigrams"](spark, sf001_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # exactly two deliberate 1-row broadcasts (bigram total, token total)
+    assert _tree(plan).count("BroadcastNestedLoopJoin") == 2
