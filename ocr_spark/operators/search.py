@@ -72,7 +72,14 @@ def bm25_topk(
     ``1.0 - b``) so both engines fold the same IEEE doubles.
     """
     toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Doc lengths WITHOUT exploding: split-on-\s+ of trimmed non-empty
+    # text yields no empty tokens, so size(array) == the exploded count
+    # the oracle's per-doc count(*) computes — one array-size projection
+    # instead of a second 40M-row explode+agg pass (measured 500k-doc
+    # soak: the dl aggregate dominated bm25 wall time before this).
+    dl = docs.filter(F.trim("text") != "").select(
+        "doc_id", F.size(F.expr(TOKENS_LC)).alias("dl")
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

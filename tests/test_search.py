@@ -208,3 +208,54 @@ def test_pmi_bigrams_single_token_docs_contribute_nothing(spark):
     assert [(r.term_a, r.term_b, r.c_ab) for r in out] == [
         ("pair", "here", 5)
     ]
+
+
+def test_pmi_and_logprob_invariant_under_corpus_duplication(spark):
+    """Exact scale-invariance: duplicating every document doubles all
+    counts (c_ab, c_a, B, T) so PMI ratios and unigram probabilities
+    cancel unchanged — a strong correctness pin on the normalization
+    terms (a missing total or a swapped numerator breaks it)."""
+    from ocr_spark.operators.textops import pmi_bigrams, unigram_logprob
+
+    texts = [
+        "neural network training data pipeline",
+        "training data quality matters most",
+        "neural network inference at scale",
+    ]
+    docs = _docs(spark, texts)
+    docs2 = _docs(spark, texts + texts)
+
+    p1 = {
+        (r.term_a, r.term_b): r.pmi
+        for r in pmi_bigrams(docs, min_count=1, k=100).collect()
+    }
+    p2 = {
+        (r.term_a, r.term_b): r.pmi
+        for r in pmi_bigrams(docs2, min_count=1, k=100).collect()
+    }
+    assert p1 == p2
+
+    l1 = sorted(
+        (r.doc_id % 3, r.n_tokens, r.avg_logprob)
+        for r in unigram_logprob(docs).collect()
+    )
+    l2 = sorted(
+        set(
+            (r.doc_id % 3, r.n_tokens, r.avg_logprob)
+            for r in unigram_logprob(docs2).collect()
+        )
+    )
+    assert l1 == l2
+
+
+def test_bm25_score_monotone_in_idf_rarity(spark):
+    """Adding more docs that contain the term lowers every matching
+    doc's score (df rises -> idf falls), holding the matching docs'
+    tf/dl fixed. Pins the idf direction."""
+    base = ["cat dog bird fish", "dog bird fish mouse"]
+    extra = ["cat mouse goat hen"]
+    d1 = _docs(spark, base)
+    d2 = _docs(spark, base + extra)
+    s1 = {r.doc_id: r.bm25 for r in bm25_topk(d1, ["cat"], k=5).collect()}
+    s2 = {r.doc_id: r.bm25 for r in bm25_topk(d2, ["cat"], k=5).collect()}
+    assert s2[0] < s1[0]
