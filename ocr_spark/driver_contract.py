@@ -588,6 +588,22 @@ def q_vocab_topk(spark, sf_dir):
     return X.vocab_topk(load(spark, sf_dir, "documents"), k=100)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-best exact dedup, exercised for real: the query unions in a
+    whitespace-mangled copy of the first 100 docs (same canonical
+    fingerprint, +50 claimed n_chars) so every one of those groups must
+    pick the higher-quality duplicate, not the first one."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    dups = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", " ", "  ").alias("text"),
+        (F.col("n_chars") + 50).alias("n_chars"),
+    )
+    return D.dedup_keep_best(docs.unionByName(dups), "n_chars")
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-10 for a 3-term probe query (sparse retrieval:
     posting-list filter before any agg, broadcast df/corpus stats)."""
@@ -882,6 +898,7 @@ QUERIES: dict[str, Callable] = {
     "anti_join_resume": q_anti_join_resume,
     "override_join": q_override_join,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_turns": q_dedup_turns,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
@@ -960,6 +977,31 @@ ORACLES: dict[str, str] = {
             SELECT doc_id, 'OVERRIDDEN' AS otext
             FROM documents WHERE doc_id % 50 = 0
         ) o ON d.doc_id = o.doc_id
+    """,
+    "dedup_keep_best": """
+        WITH corpus AS (
+            SELECT doc_id, text, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, replace(text, ' ', '  '),
+                   n_chars + 50
+            FROM documents WHERE doc_id < 100
+        ),
+        f AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint,
+                   n_chars
+            FROM corpus
+        )
+        SELECT fingerprint, keep_id, best_quality, n_dups FROM (
+            SELECT fingerprint, doc_id AS keep_id,
+                   n_chars AS best_quality,
+                   count(*) OVER (PARTITION BY fingerprint) AS n_dups,
+                   row_number() OVER (
+                       PARTITION BY fingerprint
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM f
+        ) WHERE rn = 1
     """,
     "dedup_exact": """
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))

@@ -49,6 +49,40 @@ def exact_dedup(df: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keep_best(
+    df: DataFrame, quality_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup with a keep-BEST policy: within each content-
+    fingerprint group the survivor is the row with the highest
+    ``quality_col`` (ties → min ``id_col``), not the min-id row
+    ``exact_dedup`` keeps. The production curation rule: among
+    canonically-identical copies keep the one the quality signal ranks
+    highest (the longer / cleaner-source / later-crawl copy).
+
+    Returns (fingerprint, keep_id, best_quality, n_dups).
+
+    Plan: ONE hash aggregation on fingerprint — survivor selection is
+    ``max_by`` over a (quality, -id) struct (lexicographic struct
+    comparison encodes the tie-break), which keeps map-side partial
+    aggregation; no window, so no per-group sort and no second shuffle.
+    """
+    return (
+        with_fingerprint(df)
+        .groupBy("fingerprint")
+        .agg(
+            F.max_by(
+                id_col,
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("nid"),
+                ),
+            ).alias("keep_id"),
+            F.max(quality_col).alias("best_quality"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Guard against under-partitioned inputs: a single small file scans
     as ONE partition, and everything computed map-side before the first

@@ -530,3 +530,24 @@ def test_semantic_dedup_greedy_keep_min_id(spark):
         for r in semantic_dedup(docs, emb, threshold=0.9, dims=8).collect()
     )
     assert kept_all == [0, 1, 2]
+
+
+def test_dedup_keep_best_picks_highest_quality_then_min_id(spark):
+    from ocr_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["same  text", "same text", "same   text", "other"],
+                "quality": [1, 5, 5, 2],
+            }
+        )
+    )
+    out = {r.fingerprint: r for r in dedup_keep_best(df, "quality").collect()}
+    assert len(out) == 2
+    grp = next(r for r in out.values() if r.n_dups == 3)
+    # highest quality wins; the 1-vs-2 tie breaks to the smaller id
+    assert grp.keep_id == 1 and grp.best_quality == 5
+    solo = next(r for r in out.values() if r.n_dups == 1)
+    assert solo.keep_id == 3 and solo.best_quality == 2
