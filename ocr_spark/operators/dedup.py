@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ocr_spark.operators.textops import with_fingerprint
+from ocr_spark.operators.textops import _ensure_parallelism, with_fingerprint
 
 SHINGLES = (
     "transform(sequence(0, size(toks) - {n}), "
@@ -81,30 +81,6 @@ def dedup_keep_best(
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
-
-
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Guard against under-partitioned inputs: a single small file scans
-    as ONE partition, and everything computed map-side before the first
-    shuffle (shingle explode, the md5 minhash digests, simhash bit
-    votes) then runs on one core. At real scale inputs have >= cluster
-    parallelism partitions and this is a no-op.
-
-    The signal is the scan's FILE COUNT (plan metadata, no job): the
-    previous ``df.rdd.getNumPartitions()`` forced a plan->RDD conversion
-    per operator call. Repartition only on a >= 4x deficit — large files
-    are split by maxPartitionBytes anyway, so a few-files-short input
-    does not justify shuffling the full corpus; non-file inputs
-    (in-memory test relations) already parallelize to
-    defaultParallelism slices and pass through untouched."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        return df
-    if 0 < n_files * 4 <= p:
-        return df.repartition(p)
-    return df
 
 
 def _with_shingles(df: DataFrame, n: int) -> DataFrame:

@@ -43,13 +43,19 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ocr_spark.operators.textops import STOPWORD_LIST, TOKENS_LC
+from ocr_spark.operators.textops import (
+    STOPWORD_LIST,
+    TOKENS_LC,
+    _ensure_parallelism,
+)
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, term) stream — empty strings dropped (empty docs vanish,
-    which also keeps them out of the length statistics)."""
-    return docs.select(
+    which also keeps them out of the length statistics). The explode is
+    the map-side hot loop, so the single-file-scan parallelism guard
+    applies (see textops._ensure_parallelism)."""
+    return _ensure_parallelism(docs).select(
         "doc_id", F.explode(F.expr(TOKENS_LC)).alias("term")
     ).filter(F.col("term") != "")
 

@@ -24,6 +24,30 @@ TOKENS = r"split(trim(text), '\\s+')"
 TOKENS_LC = r"split(lower(trim(text)), '\\s+')"
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Guard against under-partitioned inputs: a single small file scans
+    as ONE partition, and everything computed map-side before the first
+    shuffle (shingle/token/bigram explodes, the md5 minhash digests,
+    simhash bit votes) then runs on one core. At real scale inputs have
+    >= cluster parallelism partitions and this is a no-op.
+
+    The signal is the scan's FILE COUNT (plan metadata, no job): a
+    ``df.rdd.getNumPartitions()`` probe would force a plan->RDD
+    conversion per operator call. Repartition only on a >= 4x deficit —
+    large files are split by maxPartitionBytes anyway, so a
+    few-files-short input does not justify shuffling the full corpus;
+    non-file inputs (in-memory test relations) already parallelize to
+    defaultParallelism slices and pass through untouched."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files * 4 <= p:
+        return df.repartition(p)
+    return df
+
+
 def with_token_count(df: DataFrame) -> DataFrame:
     """n_tokens per document (whitespace tokenizer)."""
     return df.withColumn(
@@ -194,7 +218,7 @@ def unigram_logprob(df: DataFrame) -> DataFrame:
 
     Returns (doc_id, n_tokens, avg_logprob).
     """
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         "doc_id", F.explode(F.expr(TOKENS_LC)).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
@@ -229,7 +253,7 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
 
     Returns (term_a, term_b, c_ab, pmi, rank).
     """
-    arr = df.select(F.expr(TOKENS_LC).alias("t"))
+    arr = _ensure_parallelism(df).select(F.expr(TOKENS_LC).alias("t"))
     # size >= 2 guard is semantic, not just an optimization: Spark's
     # sequence(1, 0) produces a DESCENDING [1, 0], not an empty array.
     big = (
