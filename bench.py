@@ -200,6 +200,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "dedup_exact",
         "line_dedup",
         "decontaminate",
+        "web_curation",
         "token_count",
         "quality_score",
         "gopher_rules",

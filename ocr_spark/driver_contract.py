@@ -495,13 +495,11 @@ def q_curation_pipeline(spark, sf_dir):
     ).select("doc_id", "quality")
 
 
-def q_line_dedup(spark, sf_dir):
-    """C4-style line-level dedup over documents with deterministically
-    injected boilerplate lines (the corpus has no newlines naturally;
-    injection is identical in the oracle). Lines shared across > 1
-    document — the injected banners AND body lines of exact-duplicate
-    docs — are removed everywhere."""
-    docs = load(spark, sf_dir, "documents").withColumn(
+def _banner_injected_docs(spark, sf_dir):
+    """Documents with deterministically injected boilerplate banner
+    lines (the synthetic corpus has no newlines naturally; the same
+    injection appears verbatim in the oracles)."""
+    return load(spark, sf_dir, "documents").withColumn(
         "text",
         F.concat(
             F.when(
@@ -519,7 +517,42 @@ def q_line_dedup(spark, sf_dir):
             ).otherwise(F.lit("")),
         ),
     )
-    return D.line_dedup(docs, max_df=1)
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style line-level dedup over documents with deterministically
+    injected boilerplate lines. Lines shared across > 1 document — the
+    injected banners AND body lines of exact-duplicate docs — are
+    removed everywhere."""
+    return D.line_dedup(_banner_injected_docs(spark, sf_dir), max_df=1)
+
+
+def q_web_curation(spark, sf_dir):
+    """End-to-end RefinedWeb-style curation as ONE Catalyst plan:
+    banner-injected corpus -> line-level dedup -> exact-dedup survivors
+    on the CLEANED text -> 13-gram decontamination against the CLEANED
+    eval docs (soak-verified order: boilerplate removal FIRST, or
+    banner-spanning n-grams cross-contaminate unrelated docs) -> kept
+    documents. Proves the curation operators compose with the oracle
+    agreeing end-to-end, not just stage-by-stage."""
+    docs = _banner_injected_docs(spark, sf_dir)
+    cleaned = D.line_dedup(docs, max_df=1).select(
+        "doc_id",
+        F.col("text_clean").alias("text"),
+        "n_kept",
+        "n_dropped",
+    )
+    keep = D.exact_dedup(cleaned).select(F.col("keep_id").alias("doc_id"))
+    surv = cleaned.join(keep, "doc_id", "left_semi")
+    bench = cleaned.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    flags = D.decontaminate(surv, bench, n=13)
+    return (
+        surv.join(flags, "doc_id")
+        .filter(~F.col("contaminated"))
+        .select("doc_id", "n_kept", "n_dropped")
+    )
 
 
 def q_decontaminate(spark, sf_dir):
@@ -907,6 +940,7 @@ QUERIES: dict[str, Callable] = {
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "line_dedup": q_line_dedup,
+    "web_curation": q_web_curation,
     "decontaminate": q_decontaminate,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -1103,6 +1137,89 @@ ORACLES: dict[str, str] = {
                coalesce(a.n_kept, 0) AS n_kept,
                coalesce(a.n_dropped, 0) AS n_dropped
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "web_curation": """
+        WITH injected AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'subscribe to our newsletter today' || chr(10)
+                        ELSE '' END
+                   || text
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'all rights reserved copyright notice'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'follow us on example social network'
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected
+        ),
+        lines AS (
+            SELECT doc_id, i AS pos, trim(ls[i + 1]) AS lnorm
+            FROM parts, unnest(range(0, len(ls))) AS t(i)
+        ),
+        ne AS (SELECT * FROM lines WHERE lnorm <> ''),
+        freq AS (
+            SELECT lnorm, count(DISTINCT doc_id) AS line_df
+            FROM ne GROUP BY lnorm
+        ),
+        j AS (
+            SELECT ne.doc_id, ne.pos, ne.lnorm, freq.line_df
+            FROM ne JOIN freq USING (lnorm)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   array_to_string(list(lnorm ORDER BY pos)
+                       FILTER (WHERE line_df <= 1), chr(10)) AS text_clean,
+                   count(*) FILTER (WHERE line_df <= 1) AS n_kept,
+                   count(*) FILTER (WHERE line_df > 1) AS n_dropped
+            FROM j GROUP BY doc_id
+        ),
+        cleaned AS (
+            SELECT d.doc_id,
+                   coalesce(a.text_clean, '') AS text,
+                   coalesce(a.n_kept, 0) AS n_kept,
+                   coalesce(a.n_dropped, 0) AS n_dropped
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        ),
+        fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS f
+            FROM cleaned
+        ),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+        surv AS (
+            SELECT c.* FROM cleaned c JOIN keepers USING (doc_id)
+        ),
+        stoks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM surv
+        ),
+        ssh AS (
+            SELECT DISTINCT doc_id,
+                   unnest([array_to_string(t[i + 1:i + 13], ' ')
+                           for i in range(0, len(t) - 12)]) AS shingle
+            FROM stoks WHERE len(t) >= 13
+        ),
+        btoks AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM cleaned WHERE doc_id % 17 = 0
+        ),
+        bsh AS (
+            SELECT DISTINCT
+                   unnest([array_to_string(t[i + 1:i + 13], ' ')
+                           for i in range(0, len(t) - 12)]) AS shingle
+            FROM btoks WHERE len(t) >= 13
+        ),
+        cont AS (
+            SELECT DISTINCT ssh.doc_id FROM ssh JOIN bsh USING (shingle)
+        )
+        SELECT s.doc_id, s.n_kept, s.n_dropped
+        FROM surv s LEFT JOIN cont c ON s.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL
     """,
     "decontaminate": f"""
         WITH {_sh_cte(13)},

@@ -231,3 +231,13 @@ def test_pmi_bigrams_take_ordered(spark, sf001_dir):
     assert "CartesianProduct" not in plan
     # exactly two deliberate 1-row broadcasts (bigram total, token total)
     assert _tree(plan).count("BroadcastNestedLoopJoin") == 2
+
+
+def test_web_curation_chain_never_cartesian(spark, sf001_dir):
+    # the full line-dedup -> exact-dedup -> decontaminate chain must
+    # stay equi-joins end-to-end in ONE plan
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["web_curation"](spark, sf001_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
