@@ -198,6 +198,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "sessionize",
         "override_join",
         "dedup_exact",
+        "dedup_keep_best",
         "line_dedup",
         "decontaminate",
         "web_curation",
@@ -209,6 +210,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "domain_mix",
         "unigram_logprob",
         "pmi_bigrams",
+        "kmv_distinct",
         "minhash_lsh",
         "simhash",
         "simhash_pairs",

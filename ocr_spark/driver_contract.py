@@ -20,6 +20,7 @@ from ocr_spark.operators import dedup as D
 from ocr_spark.operators import relational as R
 from ocr_spark.operators import search as SR
 from ocr_spark.operators import similarity as S
+from ocr_spark.operators import sketches as SK
 from ocr_spark.operators import textops as X
 from ocr_spark.operators.textops import _STOP_SQL
 
@@ -657,6 +658,15 @@ def q_domain_mix(spark, sf_dir):
     return X.domain_mix(load(spark, sf_dir, "documents"), 1000.0)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-token sketch per source (k=8): a deterministic
+    md5-based cardinality estimator, so the approximate operator sits
+    under the exact DuckDB value gate (HLL never could)."""
+    return SK.kmv_distinct_tokens(
+        load(spark, sf_dir, "documents"), k=8, group_col="source"
+    )
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Per-doc average unigram log-probability under the corpus's own
     unigram LM — the offline stand-in for CCNet's perplexity filter."""
@@ -953,6 +963,7 @@ QUERIES: dict[str, Callable] = {
     "domain_mix": q_domain_mix,
     "unigram_logprob": q_unigram_logprob,
     "pmi_bigrams": q_pmi_bigrams,
+    "kmv_distinct": q_kmv_distinct,
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
     "curation_pipeline": q_curation_pipeline,
@@ -1681,6 +1692,52 @@ ORACLES: dict[str, str] = {
             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
             < r.threshold
+    """,
+    "kmv_distinct": """
+        WITH toks AS (
+            SELECT source AS grp,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        d AS (
+            SELECT grp, term, md5(term) AS h
+            FROM (SELECT DISTINCT grp, term FROM toks WHERE term <> '')
+        ),
+        u AS (
+            SELECT grp, term,
+                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                        * 268435456
+                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                        * 16777216
+                  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                        * 1048576
+                  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+                        * 65536
+                  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                        * 4096
+                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+                        * 256
+                  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+                        * 16
+                  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1))
+                   / 4294967296.0 AS u
+            FROM d
+        ),
+        counts AS (SELECT grp, count(*) AS n_exact FROM u GROUP BY grp),
+        kth AS (
+            SELECT grp, u FROM (
+                SELECT grp, u,
+                       row_number() OVER (
+                           PARTITION BY grp ORDER BY u ASC, term ASC
+                       ) AS rn
+                FROM u
+            ) WHERE rn = 8
+        )
+        SELECT c.grp AS source, c.n_exact,
+               CASE WHEN c.n_exact < 8 THEN CAST(c.n_exact AS DOUBLE)
+                    ELSE round(7.0 / k.u, 4) END AS est_distinct
+        FROM counts c LEFT JOIN kth k ON c.grp = k.grp
     """,
     "unigram_logprob": """
         WITH toks AS (

@@ -551,3 +551,34 @@ def test_dedup_keep_best_picks_highest_quality_then_min_id(spark):
     assert grp.keep_id == 1 and grp.best_quality == 5
     solo = next(r for r in out.values() if r.n_dups == 1)
     assert solo.keep_id == 3 and solo.best_quality == 2
+
+
+def test_kmv_distinct_small_group_exact_large_group_estimates(spark):
+    from ocr_spark.operators.sketches import kmv_distinct_tokens
+
+    # group "tiny": 3 distinct tokens < k -> exact count, no estimator;
+    # group "big": 2000 distinct tokens -> KMV estimate within 25%
+    # (k=64 -> relative std error ~ 1/sqrt(62) ~ 13%)
+    big_text = " ".join(f"tok{i}" for i in range(2000))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "source": ["tiny", "big"],
+                "text": ["alpha beta alpha gamma", big_text],
+            }
+        )
+    )
+    out = {
+        r.source: r for r in kmv_distinct_tokens(df, k=64).collect()
+    }
+    assert out["tiny"].n_exact == 3
+    assert out["tiny"].est_distinct == 3.0
+    assert out["big"].n_exact == 2000
+    assert 1500 <= out["big"].est_distinct <= 2500
+    # deterministic: same input -> bit-identical estimate
+    again = {
+        r.source: r.est_distinct
+        for r in kmv_distinct_tokens(df, k=64).collect()
+    }
+    assert again["big"] == out["big"].est_distinct
