@@ -211,6 +211,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "unigram_logprob",
         "pmi_bigrams",
         "kmv_distinct",
+        "bpe_tokenize",
         "minhash_lsh",
         "simhash",
         "simhash_pairs",

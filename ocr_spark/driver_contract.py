@@ -658,6 +658,19 @@ def q_domain_mix(spark, sf_dir):
     return X.domain_mix(load(spark, sf_dir, "documents"), 1000.0)
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Train 30 BPE merges on the corpus (distributed word-count pass +
+    vocab-sized driver merge loop) and count tokens per doc under the
+    trained tokenizer. Iterative (sequentially-dependent merges) — not
+    SQL-expressible, so no DuckDB oracle: the kernel-equality pytest is
+    the value check; the driver records rows-only."""
+    from ocr_spark.operators import bpe as B
+
+    docs = load(spark, sf_dir, "documents")
+    merges = B.train_bpe(docs, n_merges=30)
+    return B.bpe_encode_counts(docs, merges)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-token sketch per source (k=8): a deterministic
     md5-based cardinality estimator, so the approximate operator sits
@@ -964,6 +977,7 @@ QUERIES: dict[str, Callable] = {
     "unigram_logprob": q_unigram_logprob,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
+    "bpe_tokenize": q_bpe_tokenize,
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
     "curation_pipeline": q_curation_pipeline,
