@@ -202,6 +202,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "line_dedup",
         "decontaminate",
         "web_curation",
+        "extract_then_curate",
         "token_count",
         "quality_score",
         "gopher_rules",

@@ -824,6 +824,27 @@ def q_extract_html_route(spark, sf_dir):
     )
 
 
+def q_extract_then_curate(spark, sf_dir):
+    """The engine's two halves composed in ONE plan: the REAL pandas-UDF
+    extraction (html boilerplate strip) feeds the curation operators —
+    token count + quality score on the EXTRACTED text, then exact-dedup
+    survivors. The quality denominator uses the extracted (ws-collapsed)
+    length, so the oracle must apply the same collapse — the composition
+    is exercised, not just concatenated."""
+    from ocr_spark.extract import extract
+
+    t = _docs_as_transcripts(spark, sf_dir, "html")
+    ext = extract(t).select(
+        F.expr("CAST(substring(conv_id, 2) AS BIGINT)").alias("doc_id"),
+        F.col("text"),
+    )
+    scored = X.with_quality(X.with_token_count(ext))
+    keep = D.exact_dedup(scored).select(F.col("keep_id").alias("doc_id"))
+    return scored.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "n_tokens", "quality"
+    )
+
+
 def q_extract_pdf_route(spark, sf_dir):
     """The pdf route (reading-order reconstruction) on synthetic layout
     dumps derived from documents: with one full-width line per doc the
@@ -998,6 +1019,7 @@ QUERIES: dict[str, Callable] = {
     "revenue_by_nation": q_revenue_by_nation,
     "extract_plain_route": q_extract_plain_route,
     "extract_html_route": q_extract_html_route,
+    "extract_then_curate": q_extract_then_curate,
     "extract_pdf_route": q_extract_pdf_route,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
@@ -1078,6 +1100,43 @@ ORACLES: dict[str, str] = {
                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                END AS n_tokens
         FROM documents
+    """,
+    "extract_then_curate": f"""
+        WITH ext AS (
+            SELECT doc_id,
+                   regexp_replace(trim(text), '\\s+', ' ', 'g') AS text
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   round(
+                     0.4 * least(1.0,
+                         len(regexp_split_to_array(trim(text), '\\s+'))
+                             / 50.0)
+                   + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '',
+                                                  'g'))
+                            / length(text))
+                   + 0.3 * least(1.0,
+                         5.0 * len(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             t -> lower(t) IN ({_STOP_SQL})))
+                         / len(regexp_split_to_array(trim(text), '\\s+'))),
+                   4) AS quality
+            FROM ext
+        ),
+        keep AS (
+            SELECT min(doc_id) AS doc_id FROM (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                           'g')) AS f
+                FROM scored
+            ) GROUP BY f
+        )
+        SELECT s.doc_id, s.n_tokens, s.quality
+        FROM scored s JOIN keep USING (doc_id)
     """,
     "token_count_bpe": r"""
         SELECT doc_id,
