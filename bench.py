@@ -212,6 +212,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "unigram_logprob",
         "pmi_bigrams",
         "kmv_distinct",
+        "winnow",
         "bpe_tokenize",
         "minhash_lsh",
         "simhash",

@@ -658,6 +658,15 @@ def q_domain_mix(spark, sf_dir):
     return X.domain_mix(load(spark, sf_dir, "documents"), 1000.0)
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprint selection (MOSS): rightmost-min of every
+    4-window of word-4-gram hashes — a deterministic sketch, so exact
+    under the DuckDB gate."""
+    return SK.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), k=4, w=4
+    )
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Train 30 BPE merges on the corpus (distributed word-count pass +
     vocab-sized driver merge loop) and count tokens per doc under the
@@ -998,6 +1007,7 @@ QUERIES: dict[str, Callable] = {
     "unigram_logprob": q_unigram_logprob,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
+    "winnow": q_winnow,
     "bpe_tokenize": q_bpe_tokenize,
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
@@ -1765,6 +1775,55 @@ ORACLES: dict[str, str] = {
             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
             < r.threshold
+    """,
+    "winnow": """
+        WITH arr AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        ok AS (SELECT doc_id, t FROM arr WHERE len(t) >= 7),
+        kg AS (
+            SELECT doc_id, len(t) - 4 AS last_start, r.i AS pos,
+                   md5(array_to_string(t[r.i + 1:r.i + 4], ' ')) AS h
+            FROM ok, unnest(range(0, len(t) - 3)) AS r(i)
+        ),
+        ku AS (
+            SELECT doc_id, last_start, pos,
+                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                        * 268435456
+                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                        * 16777216
+                  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                        * 1048576
+                  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+                        * 65536
+                  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                        * 4096
+                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+                        * 256
+                  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+                        * 16
+                  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1))
+                   AS u
+            FROM kg
+        ),
+        covered AS (
+            SELECT doc_id, pos, u, sv.s AS s
+            FROM ku, unnest(range(greatest(0, pos - 3),
+                                  least(pos, last_start - 3) + 1))
+                     AS sv(s)
+        ),
+        sel AS (
+            SELECT doc_id, pos, u FROM (
+                SELECT doc_id, pos, u,
+                       row_number() OVER (
+                           PARTITION BY doc_id, s
+                           ORDER BY u ASC, pos DESC) AS rn
+                FROM covered
+            ) WHERE rn = 1
+        )
+        SELECT DISTINCT doc_id, pos, u AS fp FROM sel
     """,
     "kmv_distinct": """
         WITH toks AS (

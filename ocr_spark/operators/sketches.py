@@ -34,6 +34,72 @@ from ocr_spark.operators.textops import TOKENS_LC, _ensure_parallelism
 _TWO32 = 4294967296.0
 
 
+def winnow_fingerprints(
+    df: DataFrame, k: int = 4, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    SIGMOD '03 — the MOSS algorithm): from each document's word
+    ``k``-gram hash sequence, select the minimum hash of every sliding
+    window of ``w`` consecutive k-grams, ties to the RIGHTMOST position.
+    The selected set is the document's fingerprint sketch: ~2/(w+1)
+    density, with the guarantee that every match of length >= w+k-1
+    between two documents shares at least one selected fingerprint —
+    the local, position-robust alternative to taking all shingles.
+
+    Returns (doc_id, pos, fp) — fp the 32-bit k-gram hash prefix
+    (engine-portable md5 arithmetic), pos the k-gram start. Deterministic
+    end-to-end, so the approximate sketch sits under the exact DuckDB
+    gate, like :func:`kmv_distinct_tokens`.
+
+    Plan: one array transform builds positioned k-gram hashes (no
+    positional self-join); each k-gram row explodes to the <= w window
+    starts covering it (a bounded w-way fan-out, NOT a range join);
+    per-window rightmost-min is ONE ``max_by`` over a ((-u), pos)
+    struct — hash-agg with map-side partials, no window sort; a final
+    distinct dedups positions selected by several windows.
+    """
+    arr = _ensure_parallelism(df).select(
+        "doc_id", F.expr(TOKENS_LC).alias("t")
+    ).filter(F.size("t") >= k + w - 1)
+    kg = arr.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}), "
+                f"i -> struct(i AS pos, "
+                f"md5(concat_ws(' ', slice(t, i + 1, {k}))) AS h))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        (F.col("n") - F.lit(k)).alias("last_start"),
+        F.col("g.pos").alias("pos"),
+        F.conv(F.substring("g.h", 1, 8), 16, 10).cast("long").alias("u"),
+    )
+    covered = kg.select(
+        "doc_id",
+        "pos",
+        "u",
+        F.explode(
+            F.expr(
+                f"sequence(greatest(0, pos - {w - 1}), "
+                f"least(pos, last_start - {w - 1}))"
+            )
+        ).alias("s"),
+    )
+    sel = covered.groupBy("doc_id", "s").agg(
+        F.max_by(
+            F.struct(F.col("pos"), F.col("u")),
+            F.struct((-F.col("u")).alias("nu"), F.col("pos")),
+        ).alias("m")
+    )
+    return (
+        sel.select("doc_id", F.col("m.pos").alias("pos"), F.col("m.u").alias("fp"))
+        .distinct()
+    )
+
+
 def kmv_distinct_tokens(
     df: DataFrame, k: int = 8, group_col: str = "source"
 ) -> DataFrame:

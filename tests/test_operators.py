@@ -582,3 +582,46 @@ def test_kmv_distinct_small_group_exact_large_group_estimates(spark):
         for r in kmv_distinct_tokens(df, k=64).collect()
     }
     assert again["big"] == out["big"].est_distinct
+
+
+def test_winnow_matches_pure_python_reference(spark):
+    """Exact equality vs an independent winnowing implementation
+    (rightmost-min per window), plus the coverage guarantee: every
+    window of w consecutive k-grams contains a selected fingerprint."""
+    import hashlib
+
+    from ocr_spark.operators.sketches import winnow_fingerprints
+
+    k, w = 4, 4
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "a b c a b c a b c a b c a b c",   # periodic: tie-heavy
+        "one two three four five six seven",  # exactly k+w-1 tokens
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(docs, k=k, w=w).collect()
+    }
+
+    want = set()
+    for d, s in enumerate(texts):
+        toks = s.lower().split()
+        if len(toks) < k + w - 1:
+            continue
+        us = []
+        for i in range(len(toks) - k + 1):
+            h = hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            us.append(int(h[:8], 16))
+        for start in range(len(us) - w + 1):
+            win = us[start : start + w]
+            m = min(win)
+            pos = start + max(j for j, u in enumerate(win) if u == m)
+            want.add((d, pos, m))
+        # coverage: every window holds at least one selected position
+        sel_pos = {p for (dd, p, _) in want if dd == d}
+        for start in range(len(us) - w + 1):
+            assert any(start <= p <= start + w - 1 for p in sel_pos)
+    assert got == want
