@@ -51,52 +51,38 @@ def winnow_fingerprints(
     end-to-end, so the approximate sketch sits under the exact DuckDB
     gate, like :func:`kmv_distinct_tokens`.
 
-    Plan: one array transform builds positioned k-gram hashes (no
-    positional self-join); each k-gram row explodes to the <= w window
-    starts covering it (a bounded w-way fan-out, NOT a range join);
-    per-window rightmost-min is ONE ``max_by`` over a ((-u), pos)
-    struct — hash-agg with map-side partials, no window sort; a final
-    distinct dedups positions selected by several windows.
+    Plan: winnowing is DOC-LOCAL, so the whole selection runs as array
+    expressions inside the row — positioned k-gram hashes from one
+    ``transform``, each window folded to its rightmost-min with
+    ``aggregate`` (ties go right because later elements win on ``<=``),
+    ``array_distinct`` dedups in-row, one final explode. MAP-ONLY: zero
+    shuffles, zero UDFs. (A first cut fanned every k-gram out to its w
+    covering windows and hash-aggregated per (doc, window) — correct,
+    but it shuffled w x kgrams rows for a computation the row already
+    contains; measured 2.5s -> map-only at sf0.1.)
     """
     arr = _ensure_parallelism(df).select(
         "doc_id", F.expr(TOKENS_LC).alias("t")
     ).filter(F.size("t") >= k + w - 1)
-    kg = arr.select(
-        "doc_id",
-        F.size("t").alias("n"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(t) - {k}), "
-                f"i -> struct(i AS pos, "
-                f"md5(concat_ws(' ', slice(t, i + 1, {k}))) AS h))"
-            )
-        ).alias("g"),
-    ).select(
-        "doc_id",
-        (F.col("n") - F.lit(k)).alias("last_start"),
-        F.col("g.pos").alias("pos"),
-        F.conv(F.substring("g.h", 1, 8), 16, 10).cast("long").alias("u"),
+    us = (
+        f"transform(sequence(0, size(t) - {k}), "
+        f"i -> struct(i AS pos, "
+        f"CAST(conv(substring(md5(concat_ws(' ', slice(t, i + 1, {k}))), "
+        f"1, 8), 16, 10) AS BIGINT) AS u))"
     )
-    covered = kg.select(
-        "doc_id",
-        "pos",
-        "u",
-        F.explode(
-            F.expr(
-                f"sequence(greatest(0, pos - {w - 1}), "
-                f"least(pos, last_start - {w - 1}))"
-            )
-        ).alias("s"),
-    )
-    sel = covered.groupBy("doc_id", "s").agg(
-        F.max_by(
-            F.struct(F.col("pos"), F.col("u")),
-            F.struct((-F.col("u")).alias("nu"), F.col("pos")),
-        ).alias("m")
+    sel = (
+        f"array_distinct(transform(sequence(1, size(us) - {w - 1}), "
+        f"s -> aggregate(slice(us, s + 1, {w - 1}), us[s - 1], "
+        f"(acc, x) -> IF(x.u <= acc.u, x, acc))))"
     )
     return (
-        sel.select("doc_id", F.col("m.pos").alias("pos"), F.col("m.u").alias("fp"))
-        .distinct()
+        arr.select("doc_id", F.expr(us).alias("us"))
+        .select("doc_id", F.explode(F.expr(sel)).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.pos").alias("pos"),
+            F.col("m.u").alias("fp"),
+        )
     )
 
 

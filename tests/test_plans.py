@@ -241,3 +241,15 @@ def test_web_curation_chain_never_cartesian(spark, sf001_dir):
     plan = _formatted(QUERIES["web_curation"](spark, sf001_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_is_map_only(spark, sf001_dir):
+    # winnowing is doc-local: the only Exchange allowed is the
+    # single-file parallelism-guard repartition — no aggregation
+    # shuffle, no distinct shuffle (selection folds inside the row)
+    from ocr_spark.driver_contract import QUERIES
+
+    tree = _tree(_formatted(QUERIES["winnow"](spark, sf001_dir)))
+    assert tree.count("Exchange") <= 1
+    assert "HashAggregate" not in tree
+    assert "Sort" not in tree
