@@ -213,6 +213,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "pmi_bigrams",
         "kmv_distinct",
         "winnow",
+        "winnow_pairs",
         "bpe_tokenize",
         "minhash_lsh",
         "simhash",

@@ -667,6 +667,15 @@ def q_winnow(spark, sf_dir):
     )
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Near-dup candidate pairs from shared winnowing fingerprints —
+    the sketch's intended use, at ~2/(w+1) the posting volume of the
+    full shingle index."""
+    return SK.winnow_near_dup_pairs(
+        load(spark, sf_dir, "documents"), k=4, w=4, min_shared=2
+    )
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Train 30 BPE merges on the corpus (distributed word-count pass +
     vocab-sized driver merge loop) and count tokens per doc under the
@@ -1008,6 +1017,7 @@ QUERIES: dict[str, Callable] = {
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
     "winnow": q_winnow,
+    "winnow_pairs": q_winnow_pairs,
     "bpe_tokenize": q_bpe_tokenize,
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
@@ -1036,6 +1046,55 @@ QUERIES: dict[str, Callable] = {
     "media_features": q_media_features,
     "media_near_dup": q_media_near_dup,
 }
+
+# Winnowing CTE chain (k=4, w=4), shared by the winnow and winnow_pairs
+# oracles; ends with `sel` = one row per (doc, selected pos, 32-bit hash).
+_WINNOW_CTES = """arr AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        ok AS (SELECT doc_id, t FROM arr WHERE len(t) >= 7),
+        kg AS (
+            SELECT doc_id, len(t) - 4 AS last_start, r.i AS pos,
+                   md5(array_to_string(t[r.i + 1:r.i + 4], ' ')) AS h
+            FROM ok, unnest(range(0, len(t) - 3)) AS r(i)
+        ),
+        ku AS (
+            SELECT doc_id, last_start, pos,
+                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                        * 268435456
+                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                        * 16777216
+                  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                        * 1048576
+                  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+                        * 65536
+                  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                        * 4096
+                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+                        * 256
+                  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+                        * 16
+                  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1))
+                   AS u
+            FROM kg
+        ),
+        covered AS (
+            SELECT doc_id, pos, u, sv.s AS s
+            FROM ku, unnest(range(greatest(0, pos - 3),
+                                  least(pos, last_start - 3) + 1))
+                     AS sv(s)
+        ),
+        sel AS (
+            SELECT doc_id, pos, u FROM (
+                SELECT doc_id, pos, u,
+                       row_number() OVER (
+                           PARTITION BY doc_id, s
+                           ORDER BY u ASC, pos DESC) AS rn
+                FROM covered
+            ) WHERE rn = 1
+        )"""
 
 ORACLES: dict[str, str] = {
     "run_stats_lineitem": """
@@ -1776,54 +1835,26 @@ ORACLES: dict[str, str] = {
             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
             < r.threshold
     """,
-    "winnow": """
-        WITH arr AS (
-            SELECT doc_id,
-                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-            FROM documents WHERE trim(text) <> ''
-        ),
-        ok AS (SELECT doc_id, t FROM arr WHERE len(t) >= 7),
-        kg AS (
-            SELECT doc_id, len(t) - 4 AS last_start, r.i AS pos,
-                   md5(array_to_string(t[r.i + 1:r.i + 4], ' ')) AS h
-            FROM ok, unnest(range(0, len(t) - 3)) AS r(i)
-        ),
-        ku AS (
-            SELECT doc_id, last_start, pos,
-                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
-                        * 268435456
-                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
-                        * 16777216
-                  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
-                        * 1048576
-                  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
-                        * 65536
-                  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
-                        * 4096
-                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
-                        * 256
-                  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
-                        * 16
-                  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1))
-                   AS u
-            FROM kg
-        ),
-        covered AS (
-            SELECT doc_id, pos, u, sv.s AS s
-            FROM ku, unnest(range(greatest(0, pos - 3),
-                                  least(pos, last_start - 3) + 1))
-                     AS sv(s)
-        ),
-        sel AS (
-            SELECT doc_id, pos, u FROM (
-                SELECT doc_id, pos, u,
-                       row_number() OVER (
-                           PARTITION BY doc_id, s
-                           ORDER BY u ASC, pos DESC) AS rn
-                FROM covered
-            ) WHERE rn = 1
-        )
+    "winnow": f"""
+        WITH {_WINNOW_CTES}
         SELECT DISTINCT doc_id, pos, u AS fp FROM sel
+    """,
+    "winnow_pairs": f"""
+        WITH {_WINNOW_CTES},
+        fp AS (SELECT DISTINCT doc_id, u AS fp FROM sel),
+        dfreq AS (
+            SELECT fp, count(*) AS fp_df FROM fp GROUP BY fp
+        ),
+        pruned AS (
+            SELECT f.doc_id, f.fp FROM fp f JOIN dfreq USING (fp)
+            WHERE fp_df <= 100
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM pruned a JOIN pruned b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+        HAVING count(*) >= 2
     """,
     "kmv_distinct": """
         WITH toks AS (

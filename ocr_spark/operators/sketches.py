@@ -86,6 +86,46 @@ def winnow_fingerprints(
     )
 
 
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowing
+    fingerprints — the sketch's intended use (MOSS's match detection):
+    two documents sharing >= ``min_shared`` selected fingerprints are
+    candidates, at ~2/(w+1) the posting-list volume of the full-shingle
+    inverted index (``ngram_jaccard_pairs``).
+
+    Returns (doc_a, doc_b, n_shared), doc_a < doc_b.
+
+    Same skew discipline as the other inverted indexes: fingerprints
+    appearing in more than ``max_df`` documents are boilerplate and are
+    pruned BEFORE the self-join, bounding every posting list (the join
+    is quadratic per fingerprint otherwise).
+    """
+    fp = (
+        winnow_fingerprints(df, k=k, w=w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df"))
+    pruned = (
+        fp.join(dfreq, "fp").filter(F.col("fp_df") <= max_df).drop("fp_df")
+    )
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def kmv_distinct_tokens(
     df: DataFrame, k: int = 8, group_col: str = "source"
 ) -> DataFrame:

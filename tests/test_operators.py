@@ -625,3 +625,34 @@ def test_winnow_matches_pure_python_reference(spark):
         for start in range(len(us) - w + 1):
             assert any(start <= p <= start + w - 1 for p in sel_pos)
     assert got == want
+
+
+def test_winnow_pairs_finds_near_dup_not_unrelated(spark):
+    from ocr_spark.operators.sketches import winnow_near_dup_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("pi rho", "pie rho")  # one-token mutation
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, other]})
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_near_dup_pairs(docs, min_shared=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(p == (0, 1) for p in pairs)
+    # boilerplate pruning: a fingerprint in every doc never joins
+    many = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(8), "text": [base] * 8}
+        )
+    )
+    capped = winnow_near_dup_pairs(many, min_shared=1, max_df=4).collect()
+    assert capped == []
