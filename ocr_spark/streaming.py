@@ -204,3 +204,102 @@ def extract_stream_with_lineage(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def conv_progress_stream(
+    transcripts: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    idle_gap_ms: int = 30 * 60 * 1000,
+    trigger_once: bool = False,
+):
+    """CUSTOM stateful streaming operator (``applyInPandasWithState``):
+    per-conversation running progress counters — the streaming twin of
+    the batch accumulators/lineage half of O15, for conversations that
+    arrive incrementally across many micro-batches.
+
+    Each micro-batch emits one updated row per conversation touched:
+    (conv_id, n_turns, n_tool_turns, final=false) with counts
+    accumulated in keyed state (so a conversation whose turns land in
+    ten different drains still reports its running total). When the
+    event-time watermark passes a conversation's last activity plus
+    ``idle_gap_ms``, the state times out: a closing row with
+    final=true is emitted and the state is dropped — state size is
+    O(active conversations), not O(all conversations ever seen), the
+    bound that keeps this runnable forever. State (and therefore the
+    running counts) survives restarts via the checkpoint.
+
+    This is the escape hatch the built-in operators can't express:
+    ``dropDuplicates`` and ``session_window`` cover dedup and
+    sessionization, but an arbitrary per-key accumulator with custom
+    eviction semantics needs the Arrow-batched state API.
+    """
+    import pandas as pd  # noqa: PLC0415 - worker-side import
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n_turns, n_tools, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n_turns],
+                    "n_tool_turns": [n_tools],
+                    "final": [True],
+                }
+            )
+            return
+        turns = tools = 0
+        last_ms = 0
+        for pdf in pdfs:
+            turns += len(pdf)
+            tools += int(pdf["tool"].notna().sum())
+            if len(pdf):
+                last_ms = max(
+                    last_ms,
+                    int(pdf["ts"].max().timestamp() * 1000),
+                )
+        if state.exists:
+            n_turns, n_tools, prev_ms = state.get
+        else:
+            n_turns, n_tools, prev_ms = 0, 0, 0
+        n_turns += turns
+        n_tools += tools
+        last_ms = max(last_ms, prev_ms)
+        state.update((n_turns, n_tools, last_ms))
+        state.setTimeoutTimestamp(last_ms + idle_gap_ms)
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "n_tool_turns": [n_tools],
+                "final": [False],
+            }
+        )
+
+    prog = (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            "conv_id string, n_turns long, n_tool_turns long, "
+            "final boolean",
+            "n_turns long, n_tool_turns long, last_ms long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    writer = (
+        prog.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

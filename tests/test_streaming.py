@@ -301,3 +301,79 @@ def test_streaming_lineage_parity(spark, tmp_path):
     ).fetchone()[0]
     assert len(lin2) == len(lin1) + 1, "one new batch, one new lineage row"
     assert int(lin2.n_turns.sum()) == n_out2 == len(a) + len(b)
+
+
+def test_conv_progress_stateful_accumulates_and_evicts(spark, tmp_path):
+    """applyInPandasWithState custom operator: counts accumulate in
+    keyed state across separate drains (state survives the checkpoint
+    restart), and a conversation idle past the watermark + gap emits a
+    final=true row and drops its state."""
+    import pandas as pd
+
+    from ocr_spark.streaming import (
+        conv_progress_stream,
+        read_transcript_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        from ocr_spark.synth import write_transcripts_parquet
+
+        write_transcripts_parquet(pdf, str(in_dir / name))
+
+    t0 = "2026-01-01 00:00:00"
+    write_file(
+        "a.parquet",
+        [
+            ("A", 0, "user", "hi", None, t0),
+            ("A", 1, "assistant", "yo", "html", t0),
+            ("B", 0, "user", "hey", None, t0),
+        ],
+    )
+    q = conv_progress_stream(
+        read_transcript_stream(spark, str(in_dir)), out, ckpt,
+        watermark="10 minutes", idle_gap_ms=60 * 60 * 1000,
+        trigger_once=True,
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.final): (r.n_turns, r.n_tool_turns)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("A", False): (2, 1), ("B", False): (1, 0)}
+
+    # drain 2, hours later in event time: A gets more turns (running
+    # total must include drain 1's state), B idles past gap -> final
+    t1 = "2026-01-01 06:00:00"
+    write_file(
+        "b.parquet",
+        [
+            ("A", 2, "user", "more", None, t1),
+            ("A", 3, "assistant", "sure", "pdf", t1),
+        ],
+    )
+    q = conv_progress_stream(
+        read_transcript_stream(spark, str(in_dir)), out, ckpt,
+        watermark="10 minutes", idle_gap_ms=60 * 60 * 1000,
+        trigger_once=True,
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    a_updates = sorted(
+        (r.n_turns, r.n_tool_turns)
+        for r in rows
+        if r.conv_id == "A" and not r.final
+    )
+    assert a_updates == [(2, 1), (4, 2)]  # running total, not per-batch
+    b_final = [r for r in rows if r.conv_id == "B" and r.final]
+    assert len(b_final) == 1
+    assert (b_final[0].n_turns, b_final[0].n_tool_turns) == (1, 0)
