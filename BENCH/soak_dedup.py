@@ -111,6 +111,23 @@ def main() -> int:
     max_group = g.agg(F.max("count")).collect()[0][0]
     groups_wall = time.time() - t0
 
+    # winnowing sketch on the SAME corpus: the cheap candidate path
+    # (~2/(w+1) posting volume, no verify step). min_shared=3 measured
+    # recall 1.0 with single-digit extra pairs at 20k; reported here at
+    # full scale for the honest minhash-vs-winnow tradeoff.
+    from ocr_spark.operators.sketches import winnow_near_dup_pairs
+
+    t0 = time.time()
+    wp = winnow_near_dup_pairs(
+        corpus, k=4, w=4, min_shared=3, max_df=100
+    )
+    w_hits = wp.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1)
+        & (F.col("doc_a") % 2 == 0)
+    ).count()
+    w_total = wp.count()
+    winnow_wall = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -123,6 +140,9 @@ def main() -> int:
                 "groups_wall_s": round(groups_wall, 1),
                 "n_groups": n_groups,
                 "max_group_size": max_group,
+                "winnow_wall_s": round(winnow_wall, 1),
+                "winnow_recall": round(w_hits / injected, 4),
+                "winnow_extra_pairs": w_total - w_hits,
             }
         )
     )
