@@ -214,6 +214,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "kmv_distinct",
         "winnow",
         "winnow_pairs",
+        "winnow_verified",
         "bpe_tokenize",
         "minhash_lsh",
         "simhash",

