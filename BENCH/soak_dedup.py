@@ -128,6 +128,22 @@ def main() -> int:
     w_total = wp.count()
     winnow_wall = time.time() - t0
 
+    # full verified winnow path: candidates + exact Jaccard on
+    # candidate docs only (the minhash-equivalent OUTPUT at sketch cost)
+    from ocr_spark.operators.sketches import winnow_verified_pairs
+
+    t0 = time.time()
+    wv = winnow_verified_pairs(
+        corpus, k=4, w=4, min_shared=3, max_df=100,
+        shingle_n=3, threshold=0.5, jaccard_max_df=2000,
+    )
+    wv_hits = wv.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1)
+        & (F.col("doc_a") % 2 == 0)
+    ).count()
+    wv_total = wv.count()
+    wv_wall = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -143,6 +159,9 @@ def main() -> int:
                 "winnow_wall_s": round(winnow_wall, 1),
                 "winnow_recall": round(w_hits / injected, 4),
                 "winnow_extra_pairs": w_total - w_hits,
+                "winnow_verified_wall_s": round(wv_wall, 1),
+                "winnow_verified_recall": round(wv_hits / injected, 4),
+                "winnow_verified_false_pairs": wv_total - wv_hits,
             }
         )
     )
