@@ -164,8 +164,12 @@ def winnow_verified_pairs(
     cand_docs = cands.select(F.col("doc_a").alias("doc_id")).unionByName(
         cands.select(F.col("doc_b").alias("doc_id"))
     )
-    sh = _with_shingles(df, shingle_n).join(
-        cand_docs, "doc_id", "left_semi"
+    # semi-join BEFORE shingling: the explode is the expensive map-side
+    # step and a join does not push below a Generate, so filtering the
+    # raw docs first keeps the shingle fan-out to candidate docs only
+    # (unlike minhash, which reuses an already-needed shingle relation)
+    sh = _with_shingles(
+        df.join(cand_docs, "doc_id", "left_semi"), shingle_n
     )
     verified = _jaccard_from_shingles(
         sh, threshold=threshold, max_df=jaccard_max_df
