@@ -20,17 +20,21 @@ inside this VM's +/-30-40% noise band).
 
 Measured (2M docs, this host, median-of-3 pairs unless noted):
 - bm25 2->8: eff 0.947 (runs 0.936/0.947/1.019) — PASS.
-- line_dedup 2->8: eff ~0.64 (0.526/0.639; a third rep was
-  contaminated by a concurrent job and is discounted). Diagnosis runs:
-  1->4 = 0.95 (165.8s -> 43.6s, single min-of-2 draws) while 4->8 is
-  nearly flat (43.6s -> ~30-50s) — the op scales near-ideally until
-  the single socket's shared resources (DRAM bandwidth for the per-doc
-  text reassembly, which is ~95% of the op's cost: the
-  reassembly-pruned variant runs ~20x faster) saturate between 4 and
-  8 cores. Same host physics BENCH/BASELINE.md documents for the
-  extraction 8->32 pair, arriving earlier for this string-heavy op;
-  multi-node clusters add bandwidth per node, which is what the
-  N->4N criterion models.
+- line_dedup 2->8 (original collect_list-reassembly formulation):
+  eff ~0.64 (0.526/0.639; a third rep was contaminated by a
+  concurrent job and is discounted). Diagnosis runs: 1->4 = 0.95
+  (165.8s -> 43.6s) while 4->8 was nearly flat — near-ideal scaling
+  until the single socket's shared resources saturate between 4 and
+  8 cores. That diagnosis motivated the fingerprints-only rewrite
+  (only 32 B/line md5s shuffle; text_clean rebuilds IN-ROW from the
+  original text): 1.35-1.45x faster at BOTH levels (2-core 57-60s vs
+  77-107s, 8-core 21-22s vs 30-51s), eff 0.673 (0.673/0.673/0.692) —
+  the saturation step remains (the op is still scan/string-bound) but
+  at a much lower absolute cost and a fraction of the shuffle bytes.
+  Same host physics BENCH/BASELINE.md documents for the extraction
+  8->32 pair, arriving earlier for string-heavy ops; multi-node
+  clusters add bandwidth per node, which is what the N->4N criterion
+  models.
 
 Run: python BENCH/scaling_ops.py            # driver: prints one JSON line
      python BENCH/scaling_ops.py --level N --op bm25   # worker (internal)

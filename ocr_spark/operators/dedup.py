@@ -312,54 +312,59 @@ def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
     (doc_id, text_clean, n_kept, n_dropped) — text_clean is '' when
     every line was boilerplate or the text had no non-empty lines.
 
-    Scale shape: posexplode lines -> distinct (doc, line-fingerprint) ->
-    one hash-agg for document frequency (map-side partial, uniform md5
-    keys) -> hash join back -> one groupBy(doc_id) reassembly. No
-    windows, no sorts beyond the per-doc array_sort of its OWN lines;
-    the frequency relation is vocabulary-sized, not corpus-sized.
+    Scale shape — only line FINGERPRINTS shuffle, never line text:
+    posexplode to a narrow (doc_id, pos, md5) stream -> distinct
+    (doc, fp) -> one hash-agg for document frequency (map-side partial,
+    uniform md5 keys) -> join back to find DROPPED positions only (the
+    small side: boilerplate occurrences, not all lines) -> the
+    drop-position lists join onto the original documents (AQE
+    broadcasts them when small, so the corpus itself never reshuffles)
+    -> text_clean is rebuilt IN-ROW from the original text with array
+    expressions. The first cut shuffled every line's string through the
+    frequency join and a collect_list reassembly — measured
+    DRAM-bandwidth-bound on the 2->8 core pair (BENCH/scaling_ops.py);
+    this formulation moves ~32 bytes per line plus the dropped lists.
     """
     lines = df.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     ).select("doc_id", "pos", F.trim("line").alias("lnorm"))
-    nonempty = lines.filter(F.col("lnorm") != "").withColumn(
-        "fp", F.md5("lnorm")
+    fp = lines.filter(F.col("lnorm") != "").select(
+        "doc_id", "pos", F.md5("lnorm").alias("fp")
     )
     docfreq = (
-        nonempty.select("doc_id", "fp")
+        fp.select("doc_id", "fp")
         .distinct()
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("line_df"))
     )
-    j = nonempty.join(docfreq, "fp")
-    keep = F.col("line_df") <= max_df
-    agg = j.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("pos").alias("pos"),
-                    F.when(keep, F.col("lnorm")).alias("l"),
-                )
-            )
-        ).alias("ls"),
-        F.sum(keep.cast("long")).alias("n_kept"),
-        F.sum((~keep).cast("long")).alias("n_dropped"),
+    dropped = (
+        fp.join(docfreq, "fp")
+        .filter(F.col("line_df") > max_df)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("drops"))
     )
-    reassembled = agg.select(
-        "doc_id",
-        F.concat_ws(
-            "\n", F.expr("transform(filter(ls, x -> x.l IS NOT NULL), x -> x.l)")
-        ).alias("text_clean"),
-        "n_kept",
-        "n_dropped",
+    # in-row rebuild: positioned trimmed lines -> drop empties and
+    # dropped positions -> join survivors in original order
+    nonempty = (
+        "filter(transform(split(text, '\\n'), "
+        "(l, i) -> struct(i AS pos, trim(l) AS lnorm)), "
+        "s -> s.lnorm != '')"
+    )
+    kept = (
+        f"filter({nonempty}, s -> drops IS NULL "
+        f"OR NOT array_contains(drops, s.pos))"
     )
     return (
-        df.select("doc_id")
-        .join(reassembled, "doc_id", "left")
+        df.join(dropped, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.expr(
+                f"array_join(transform({kept}, s -> s.lnorm), '\\n')"
+            ).alias("text_clean"),
+            F.expr(f"size({kept})").cast("long").alias("n_kept"),
+            F.coalesce(F.size("drops"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
         )
     )
 
