@@ -200,6 +200,7 @@ def main() -> int:
                 "eff": effs[len(effs) // 2],
                 "eff_runs": effs,
             }
+    _write_baseline_section(results)
     print(
         json.dumps(
             {
@@ -213,6 +214,42 @@ def main() -> int:
         )
     )
     return 0
+
+
+def _write_baseline_section(results: dict) -> None:
+    """Update only the ops-scaling marked section of BENCH/BASELINE.md
+    (bench.py's full --scaling rewrite preserves it, like the skew
+    section)."""
+    from bench import OPS_BEGIN, OPS_END
+
+    path = REPO / "BENCH" / "BASELINE.md"
+    rows = "\n".join(
+        f"| {k} | **{v['eff']}** | {v['eff_runs']} | "
+        f"{'PASS' if v['eff'] >= 0.8 else 'below-0.8 (see analysis)'} |"
+        for k, v in results.items()
+    )
+    section = f"""{OPS_BEGIN}
+## Operator-level scaling (training-data ops, {N_DOCS // 1000}k docs)
+
+Same pinning protocol as the extraction evidence, applied to the
+training-data operators (noop sinks so Catalyst cannot prune the
+measured work; shuffle partitions fixed across levels so both run the
+same plan). Full methodology + the line_dedup bandwidth analysis that
+drove its fingerprints-only rewrite: `BENCH/scaling_ops.py` docstring.
+
+| op : pair (cores) | median eff | draws | verdict |
+|---|---|---|---|
+{rows}
+
+Regenerate: `python BENCH/scaling_ops.py` (~20 min incl. corpus gen).
+{OPS_END}"""
+    text = path.read_text() if path.exists() else ""
+    if OPS_BEGIN in text:
+        pre = text.split(OPS_BEGIN)[0]
+        post = text.split(OPS_END, 1)[1]
+        path.write_text(pre + section + post)
+    else:
+        path.write_text(text.rstrip() + "\n\n" + section + "\n")
 
 
 if __name__ == "__main__":

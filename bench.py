@@ -395,6 +395,9 @@ def run_scaling(sf_dir: str, cpus_hi: int, skew: bool = False) -> int:
 
 _SKEW_BEGIN = "<!-- SKEW-SOAK-BEGIN -->"
 _SKEW_END = "<!-- SKEW-SOAK-END -->"
+# operator-scaling section markers (written by BENCH/scaling_ops.py)
+OPS_BEGIN = "<!-- OPS-SCALING-BEGIN -->"
+OPS_END = "<!-- OPS-SCALING-END -->"
 
 
 def write_baseline_md(r: dict, skew: bool = False) -> None:
@@ -504,15 +507,18 @@ cores.
 
 Regenerate: `python bench.py --scaling` (~30 min, 3 pairs per level).
 """
-    # preserve an existing skew-soak section (it is a separate run)
-    if path.exists() and _SKEW_BEGIN in path.read_text():
+    # preserve existing marked sections written by separate runs (the
+    # skew soak and the operator-scaling run from BENCH/scaling_ops.py)
+    if path.exists():
         old = path.read_text()
-        section = (
-            _SKEW_BEGIN
-            + old.split(_SKEW_BEGIN, 1)[1].split(_SKEW_END, 1)[0]
-            + _SKEW_END
-        )
-        md = md.rstrip() + "\n\n" + section + "\n"
+        for begin, end in ((_SKEW_BEGIN, _SKEW_END), (OPS_BEGIN, OPS_END)):
+            if begin in old:
+                section = (
+                    begin
+                    + old.split(begin, 1)[1].split(end, 1)[0]
+                    + end
+                )
+                md = md.rstrip() + "\n\n" + section + "\n"
     path.write_text(md)
     print(f"[scaling] wrote {path}", file=sys.stderr)
 
