@@ -20,6 +20,10 @@ inside this VM's +/-30-40% noise band).
 
 Measured (2M docs, this host, median-of-3 pairs unless noted):
 - bm25 2->8: eff 0.947 (runs 0.936/0.947/1.019) — PASS.
+- simhash 2->8: eff 0.875 (0.778/0.875/0.960) — PASS. The
+  compute-bound dedup-family datapoint (per-token md5 bit votes
+  dominate): shows the family scales when work is CPU, sharpening the
+  contrast with the string/scan-bound line_dedup below.
 - line_dedup 2->8 (original collect_list-reassembly formulation):
   eff ~0.64 (0.526/0.639; a third rep was contaminated by a
   concurrent job and is discounted). Diagnosis runs: 1->4 = 0.95
@@ -123,6 +127,13 @@ def _run_op(spark, op: str) -> int:
 
         corpus = spark.read.parquet(str(CURATE_CACHE))
         out = line_dedup(corpus, max_df=5)
+    elif op == "simhash":
+        # the compute-bound dedup-family datapoint (per-token md5 bit
+        # votes dominate): contrasts with string/scan-bound line_dedup
+        from ocr_spark.operators.dedup import simhash
+
+        corpus = spark.read.parquet(str(SEARCH_CACHE))
+        out = simhash(corpus)
     else:
         raise ValueError(op)
     out.write.format("noop").mode("overwrite").save()
@@ -166,7 +177,7 @@ def main() -> int:
     _ensure_corpora()
     have_taskset = shutil.which("taskset") is not None
     results = {}
-    for op in ("bm25", "line_dedup"):
+    for op in ("bm25", "line_dedup", "simhash"):
         for lo, hi in PAIRS:
             effs = []
             for _ in range(REPS):
