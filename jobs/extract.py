@@ -72,6 +72,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    if args.stream:
+        # fail fast instead of silently ignoring batch-only flags: the
+        # streaming drain always reads parquet and writes the parquet
+        # stream layout (checkpoint-tracked), so these combinations
+        # would otherwise no-op or fail deep inside the query.
+        incompatible = {
+            "--input-format": args.input_format != "parquet",
+            "--dedup": args.dedup,
+            "--iceberg-table": args.iceberg_table is not None,
+            "--export-json": args.export_json is not None,
+            "--export-xlsx": args.export_xlsx is not None,
+            "--reset": args.reset,
+        }
+        bad = [flag for flag, hit in incompatible.items() if hit]
+        if bad:
+            ap.error(
+                f"--stream is parquet-in/parquet-out with checkpoint "
+                f"state; incompatible with: {', '.join(bad)}"
+            )
+    elif args.stream_dedup:
+        ap.error("--stream-dedup requires --stream")
+
     from pyspark.sql import SparkSession
 
     from ocr_spark.extract import ExtractCounters

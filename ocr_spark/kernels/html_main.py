@@ -150,6 +150,14 @@ _TAG_TOKEN_RE = re.compile(
     re.DOTALL | re.VERBOSE,
 )
 
+# Positional indices resolved ONCE from the pattern itself: a future
+# edit to _TAG_TOKEN_RE (e.g. a new group before 'end') shifts numbers,
+# and hard-coded ones would silently desync end/name/selfclose and
+# corrupt extraction instead of failing.
+_G_END = _TAG_TOKEN_RE.groupindex["end"]
+_G_NAME = _TAG_TOKEN_RE.groupindex["name"]
+_G_SELFCLOSE = _TAG_TOKEN_RE.groupindex["selfclose"]
+
 # Elements whose raw content may legally contain '<' — skipped wholesale.
 _RAW_CONTENT_TAGS = ("script", "style")
 
@@ -175,7 +183,7 @@ def _parse_html(raw: str, h: "_Extractor") -> None:
             handle_data(_unescape(data) if "&" in data else data)
         pos = m.end()
         # positional fetch: named access re-resolves group names per call
-        end, name, selfclose = m.group(1, 2, 4)
+        end, name, selfclose = m.group(_G_END, _G_NAME, _G_SELFCLOSE)
         if name is None:  # comment / doctype / PI: no event
             continue
         tag = name.lower()

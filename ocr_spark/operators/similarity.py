@@ -210,6 +210,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.8,
     dims: int = 8,
     max_bucket: int | None = None,
+    vec_dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     path): LSH sign-bucket join prunes the O(N^2) pair space to
@@ -227,8 +228,15 @@ def cosine_near_dup_pairs(
     ``max_bucket`` to drop buckets holding more than that many vectors —
     EXPLICITLY trading recall (pairs inside a dropped bucket are lost)
     for a hard O(max_bucket) per-bucket bound. Leave None for the exact
-    oracle-checked semantics."""
-    d = _probe_dims(embeddings, "embedding")
+    oracle-checked semantics.
+
+    Pass ``vec_dims`` when the embedding width is known to skip the
+    one-row probe job — a ``.first()`` re-executes the full upstream
+    plan (2x when embeddings come out of a mapInPandas extractor; same
+    knob as ``lsh_cosine_topk``)."""
+    d = vec_dims if vec_dims is not None else _probe_dims(
+        embeddings, "embedding"
+    )
     e = sign_bucket(_with_norm(embeddings, dims=d), dims=dims).select(
         "vec_id", "embedding", "nrm", "bucket"
     )
@@ -274,6 +282,7 @@ def semantic_dedup(
     dims: int = 8,
     max_bucket: int | None = None,
     id_col: str = "doc_id",
+    vec_dims: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. '23,
     arXiv:2303.09540): drop every document whose embedding has a
@@ -294,7 +303,11 @@ def semantic_dedup(
     loser side when it is small, so the corpus itself never reshuffles.
     """
     pairs = cosine_near_dup_pairs(
-        embeddings, threshold=threshold, dims=dims, max_bucket=max_bucket
+        embeddings,
+        threshold=threshold,
+        dims=dims,
+        max_bucket=max_bucket,
+        vec_dims=vec_dims,
     )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")

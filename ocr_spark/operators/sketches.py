@@ -146,6 +146,16 @@ def winnow_verified_pairs(
 
     Returns (doc_a, doc_b, jaccard).
 
+    ``jaccard_max_df`` defaults to 2000 — deliberately looser than
+    ``ngram_jaccard``/``minhash_lsh_pairs``' 1000: the Jaccard here runs
+    over the CANDIDATE-doc-restricted shingle relation (small by the
+    winnowing premise), so posting lists are already bounded by the
+    candidate count and the cap only guards pathological
+    all-candidates-share-a-shingle skew. The df-cap is part of the
+    operator's Jaccard DEFINITION (pruned shingles count toward neither
+    sizes nor intersections) and the DuckDB oracle mirrors it over the
+    same restricted relation, so both engines agree at any scale.
+
     localCheckpoint rationale + fault-tolerance caveat as in
     ``minhash_lsh_pairs``: candidate blocks are unrecoverable after
     executor loss; on clusters with decommissioning prefer reliable
@@ -195,7 +205,11 @@ def kmv_distinct_tokens(
     engine-portable bit-for-bit (mirrored in the DuckDB oracle with
     hex-digit arithmetic). Ties are impossible in practice (distinct
     terms, 32-bit prefixes) but the window still orders (u, term) so
-    the k-th row is deterministic even under a collision.
+    the k-th row is deterministic even under a collision. u is floored
+    at 2^-32 on BOTH engines: a term whose md5 32-bit prefix is
+    00000000 (~n/2^32 odds — plausible at 10^9-doc vocabulary scale)
+    would otherwise divide by zero, and Infinity-vs-engine-specific
+    behavior breaks the exact-gate premise.
     """
     toks = _ensure_parallelism(df).select(
         F.col(group_col).alias("grp"),
@@ -221,7 +235,13 @@ def kmv_distinct_tokens(
             F.col("grp").alias(group_col),
             "n_exact",
             F.when(F.col("n_exact") < k, F.col("n_exact").cast("double"))
-            .otherwise(F.round(F.lit(float(k - 1)) / F.col("u"), 4))
+            .otherwise(
+                F.round(
+                    F.lit(float(k - 1))
+                    / F.greatest(F.col("u"), F.lit(1.0 / _TWO32)),
+                    4,
+                )
+            )
             .alias("est_distinct"),
         )
     )

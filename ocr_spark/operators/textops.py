@@ -213,8 +213,16 @@ def unigram_logprob(df: DataFrame) -> DataFrame:
     both hash-aggs with map-side partials, the second a single row),
     then the token stream joins the vocabulary-keyed probability table
     (inverted-index-shaped hash join) and re-aggregates per doc. The
-    average is rounded 4 dp AFTER the divide so cross-engine summation
-    order cannot move the value.
+    average is rounded 4 dp AFTER the divide, which makes a cross-engine
+    mismatch RARE, not impossible: sum(logp) is a double accumulated in
+    engine-dependent order, and a ~1-ulp difference (~1e-14 abs at
+    these magnitudes) flips the 4 dp result iff the true value sits
+    within a ulp of a 1e-4 rounding boundary — odds ~1e-10 per doc,
+    i.e. ~0.1 expected flips per 10^9 docs. (The float32-cast trick has
+    the same failure mode at ~2e-8 odds per doc here — values O(10)
+    make float32 spacing 5e-7, WIDER than 1e-4 is dense — so round-4dp
+    is kept deliberately; neither discretization is exactly
+    order-independent.)
 
     Returns (doc_id, n_tokens, avg_logprob).
     """

@@ -159,6 +159,7 @@ def extract_stream_with_lineage(
     checkpoint_dir: str,
     lineage_dir: str,
     trigger_once: bool = False,
+    counters=None,
 ):
     """Streaming twin of the batch lineage protocol (observability
     parity with ``ExtractWriter``): each micro-batch writes its data
@@ -169,22 +170,37 @@ def extract_stream_with_lineage(
     ``dropDuplicates(['batch_id'])``: a replayed batch may append its
     row twice, and batch_id is the dedup key (the counts are identical
     by determinism).
+
+    ``counters`` (an ``ExtractCounters``) is forwarded into the
+    extraction UDF — in a clean run (no task retries) its ``n_turns``
+    equals total rows EXACTLY ONCE, which is how the
+    one-kernel-execution-per-batch guarantee is pytest-pinned.
     """
     from pyspark.sql import functions as F
 
-    ext = extract(transcripts)
+    ext = extract(transcripts, counters=counters)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        (
-            batch_df.write.mode("overwrite").parquet(
-                f"{output_dir}/batch_id={batch_id}"
+        # The batch plan (incl. the pandas-UDF extraction) is consumed by
+        # TWO actions — the data write and the lineage agg. Without a
+        # persist each action re-executes the extraction, doubling the
+        # per-batch cost; cache once, compute both, release.
+        batch_df = batch_df.persist()
+        try:
+            (
+                batch_df.write.mode("overwrite").parquet(
+                    f"{output_dir}/batch_id={batch_id}"
+                )
             )
-        )
-        stats = batch_df.agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.sum((F.col("error") != "").cast("long")).alias("n_errors"),
-        ).collect()[0]
+            stats = batch_df.agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum(
+                    (F.col("error") != "").cast("long")
+                ).alias("n_errors"),
+            ).collect()[0]
+        finally:
+            batch_df.unpersist()
         (
             spark.createDataFrame(
                 [(batch_id, stats.n_turns, stats.n_errors or 0)],

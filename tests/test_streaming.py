@@ -257,7 +257,11 @@ def test_streaming_lineage_parity(spark, tmp_path):
     """foreachBatch variant: per-micro-batch lineage rows (the batch
     writer's observability protocol) with idempotent batch dirs;
     lineage totals must equal output rows, and an incremental drain
-    adds lineage only for NEW batches."""
+    adds lineage only for NEW batches; the extraction kernel runs
+    EXACTLY ONCE per batch (the lineage agg reuses the persisted batch
+    rather than re-executing the pandas-UDF plan — accumulator counts
+    total rows once, not twice)."""
+    from ocr_spark.extract import ExtractCounters
     from ocr_spark.streaming import extract_stream_with_lineage
 
     in_dir = str(tmp_path / "in")
@@ -266,13 +270,18 @@ def test_streaming_lineage_parity(spark, tmp_path):
     lin_dir = str(tmp_path / "lineage")
     os.makedirs(in_dir)
 
+    counters = ExtractCounters(spark)
     a = gen_transcripts(15, seed=41, whale_lo=30, whale_hi=40)
     write_transcripts_parquet(a, f"{in_dir}/a.parquet")
     q = extract_stream_with_lineage(
         read_transcript_stream(spark, in_dir), out_dir, ckpt, lin_dir,
-        trigger_once=True,
+        trigger_once=True, counters=counters,
     )
     q.awaitTermination(120)
+    assert counters.n_turns.value == len(a), (
+        "extraction kernel must run exactly once per micro-batch "
+        f"(got {counters.n_turns.value} for {len(a)} rows)"
+    )
     lin1 = (
         spark.read.parquet(lin_dir)
         .dropDuplicates(["batch_id"])
