@@ -564,6 +564,25 @@ def q_line_dedup(spark, sf_dir):
     return D.line_dedup(_banner_injected_docs(spark, sf_dir), max_df=1)
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. '21) exercised for real: the
+    query unions in remix rows embedding the full text of the first 50
+    docs between fresh prefix/suffix tokens, so every such span (plus
+    any natural verbatim >= 25-token run across docs) must be scrubbed
+    from BOTH the original and the remix, with rows preserved."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    remix = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("planted prefix tokens"),
+            F.trim("text"),
+            F.lit("planted suffix"),
+        ).alias("text"),
+    )
+    return D.substring_dedup(docs.unionByName(remix), min_len=25)
+
+
 def q_web_curation(spark, sf_dir):
     """End-to-end RefinedWeb-style curation as ONE Catalyst plan:
     banner-injected corpus -> line-level dedup -> exact-dedup survivors
@@ -748,6 +767,13 @@ def q_unigram_logprob(spark, sf_dir):
     """Per-doc average unigram log-probability under the corpus's own
     unigram LM — the offline stand-in for CCNet's perplexity filter."""
     return X.unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Per-doc average interpolated bigram log-probability (lam=0.7
+    Jelinek-Mercer with unigram backoff) under the corpus's own bigram
+    LM — one Markov order above unigram_logprob."""
+    return X.bigram_logprob(load(spark, sf_dir, "documents"))
 
 
 def q_pmi_bigrams(spark, sf_dir):
@@ -1056,6 +1082,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_turns": q_dedup_turns,
     "ngram_jaccard": q_ngram_jaccard,
     "line_dedup": q_line_dedup,
+    "substring_dedup": q_substring_dedup,
     "web_curation": q_web_curation,
     "decontaminate": q_decontaminate,
     "minhash_lsh": q_minhash_lsh,
@@ -1066,6 +1093,7 @@ QUERIES: dict[str, Callable] = {
     "tfidf_keywords": q_tfidf_keywords,
     "domain_mix": q_domain_mix,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
     "winnow": q_winnow,
@@ -1368,6 +1396,68 @@ ORACLES: dict[str, str] = {
                coalesce(a.n_kept, 0) AS n_kept,
                coalesce(a.n_dropped, 0) AS n_dropped
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    # mirrors dedup.substring_dedup (min_len=25, min_df=2) over the
+    # corpus + the q_substring_dedup remix rows: positioned 25-gram
+    # md5s, df>=2 grams mark duplicated starts, the union of
+    # [start, start+25) drops everywhere, kept tokens rejoin in order
+    "substring_dedup": """
+        WITH unioned AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000,
+                   'planted prefix tokens ' || trim(text)
+                       || ' planted suffix'
+            FROM documents WHERE doc_id < 50
+        ),
+        base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS t
+            FROM unioned
+        ),
+        g AS (
+            SELECT doc_id, r.i AS pos0,
+                   md5(array_to_string(t[r.i + 1:r.i + 25], ' ')) AS gh
+            FROM base, unnest(range(0, len(t) - 24)) AS r(i)
+            WHERE len(t) >= 25
+        ),
+        dup AS (
+            SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+            GROUP BY gh HAVING count(*) >= 2
+        ),
+        dstart AS (SELECT doc_id, pos0 FROM g JOIN dup USING (gh)),
+        toks AS (
+            SELECT doc_id, r.i AS i, t[r.i + 1] AS tok
+            FROM base, unnest(range(0, len(t))) AS r(i)
+        ),
+        dropped AS (
+            SELECT DISTINCT tk.doc_id, tk.i
+            FROM toks tk JOIN dstart d
+              ON tk.doc_id = d.doc_id
+             AND tk.i >= d.pos0 AND tk.i < d.pos0 + 25
+        ),
+        kept AS (
+            SELECT tk.doc_id, tk.i, tk.tok
+            FROM toks tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM dropped dr
+                WHERE dr.doc_id = tk.doc_id AND dr.i = tk.i
+            )
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY i) AS text_clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(a.text_clean, '') AS text_clean,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(len(b.t) - coalesce(a.n_kept, 0) AS BIGINT)
+                   AS n_dropped
+        FROM base b LEFT JOIN agg a USING (doc_id)
     """,
     "web_curation": """
         WITH injected AS (
@@ -1990,6 +2080,48 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*) AS n_tokens,
                round(sum(logp) / count(*), 4) AS avg_logprob
         FROM toks JOIN lp USING (term)
+        GROUP BY doc_id
+    """,
+    # mirrors textops.bigram_logprob (lam=0.7): interpolated bigram LM
+    # trained on the corpus, scored per doc; / on BIGINTs is float
+    # division in DuckDB, matching Spark's Column /
+    "bigram_logprob": """
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        big AS (
+            SELECT doc_id, t[r.i + 1] AS term_a, t[r.i + 2] AS term_b
+            FROM arrs, unnest(range(0, len(t) - 1)) AS r(i)
+            WHERE len(t) >= 2
+        ),
+        bf AS (
+            SELECT * FROM big WHERE term_a <> '' AND term_b <> ''
+        ),
+        cab AS (
+            SELECT term_a, term_b, count(*) AS c_ab
+            FROM bf GROUP BY 1, 2
+        ),
+        cleft AS (
+            SELECT term_a, CAST(sum(c_ab) AS BIGINT) AS c_left
+            FROM cab GROUP BY 1
+        ),
+        toks AS (SELECT unnest(t) AS term FROM arrs),
+        uni AS (
+            SELECT term, count(*) AS c FROM toks
+            WHERE term <> '' GROUP BY term
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM uni),
+        prob AS (
+            SELECT cab.term_a, cab.term_b,
+                   ln(0.7 * (c_ab / c_left) + 0.3 * (c / tt)) AS logp
+            FROM cab JOIN cleft USING (term_a)
+            JOIN uni ON uni.term = cab.term_b, tot
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(sum(logp) / count(*), 4) AS avg_logprob2
+        FROM bf JOIN prob USING (term_a, term_b)
         GROUP BY doc_id
     """,
     "pmi_bigrams": """

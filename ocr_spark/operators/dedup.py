@@ -369,6 +369,108 @@ def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
     )
 
 
+def substring_dedup(
+    df: DataFrame, min_len: int = 50, min_df: int = 2
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. '21, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): remove
+    every verbatim token span of length >= ``min_len`` that occurs in
+    >= ``min_df`` DISTINCT documents. The middle granularity between
+    whole-document near-dup (``minhash_lsh_pairs``) and single-line
+    boilerplate (``line_dedup``) — production pipelines run all three.
+
+    Returns one row per input document (rows never dropped):
+    (doc_id, text_clean, n_kept, n_dropped) — text_clean is the kept
+    tokens rejoined with single spaces, in original order.
+
+    Semantics: a shared span of length M >= min_len is exactly a run of
+    shared ``min_len``-gram start positions, so flagging every start
+    whose L-gram has document frequency >= min_df and dropping the
+    union of [start, start+L) covers every shared span of ANY length
+    >= L with no false positives. Divergence from Lee et al.: they keep
+    ONE occurrence (suffix-array order); this removes the span from
+    EVERY document — the same remove-everywhere policy as
+    ``line_dedup`` (a keep-one rule needs a global min-(doc_id,pos) per
+    duplicated gram, which partially-overlapping runs make ambiguous;
+    remove-everywhere is deterministic and order-free).
+
+    Scale shape — NO pairwise join anywhere (unlike the Jaccard family
+    this op never compares documents to each other): positioned L-gram
+    md5s -> distinct (doc, gram) -> one hash-agg for document frequency
+    (uniform md5 keys, map-side partials) -> join back to find
+    duplicated START positions only (the small side: duplicated spans,
+    not all grams) -> per-doc start lists join onto the corpus (AQE
+    broadcasts when small) -> overlapping [p, p+L) runs are merged
+    IN-ROW into disjoint intervals (sorted fold, the line_dedup rebuild
+    pattern) and tokens are filtered against the merged intervals. The
+    one honest tax vs a suffix array is the gram hashing: md5 over each
+    L-token window is O(tokens x L) bytes hashed — embarrassingly
+    parallel map work with zero extra shuffle, and the only exact
+    formulation that stays engine-portable (the DuckDB oracle mirrors
+    it bit-for-bit). Suffix-array construction, by contrast, is not
+    expressible as a Catalyst plan at all.
+    """
+    base = _ensure_parallelism(df).select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim("text"), r"\s+"))
+        .alias("t"),
+    )
+    grams = base.filter(F.size("t") >= min_len).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {min_len} + 1), "
+                f"i -> md5(concat_ws(' ', slice(t, i, {min_len}))))"
+            )
+        ).alias("pos0", "gh"),
+    )
+    dup_gh = (
+        grams.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("g_df"))
+        .filter(F.col("g_df") >= min_df)
+        .select("gh")
+    )
+    starts = (
+        grams.join(dup_gh, "gh")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos0").alias("starts"))
+    )
+    # in-row rebuild: sorted duplicate starts fold into disjoint
+    # [s, e) intervals (each raw run is exactly min_len long, so the
+    # merged end is always the latest p + L), then tokens keep iff no
+    # interval covers their position
+    ivs = (
+        f"aggregate(array_sort(coalesce(starts, array())), "
+        f"CAST(array() AS ARRAY<STRUCT<s:INT, e:INT>>), "
+        f"(acc, p) -> IF(size(acc) = 0 OR p > element_at(acc, -1).e, "
+        f"concat(acc, array(struct(p AS s, p + {min_len} AS e))), "
+        f"concat(slice(acc, 1, size(acc) - 1), "
+        f"array(struct(element_at(acc, -1).s AS s, "
+        f"p + {min_len} AS e)))))"
+    )
+    kept = (
+        "filter(transform(t, (tok, i) -> struct(i AS i, tok AS tok)), "
+        "x -> NOT exists(ivs, v -> x.i >= v.s AND x.i < v.e))"
+    )
+    return (
+        base.join(starts, "doc_id", "left")
+        .withColumn("ivs", F.expr(ivs))
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_join(transform({kept}, x -> x.tok), ' ')"
+            ).alias("text_clean"),
+            F.expr(f"size({kept})").cast("long").alias("n_kept"),
+            F.expr(f"size(t) - size({kept})")
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame, benchmark: DataFrame, n: int = 13
 ) -> DataFrame:

@@ -246,6 +246,89 @@ def unigram_logprob(df: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(df: DataFrame, lam: float = 0.7) -> DataFrame:
+    """Per-document average INTERPOLATED bigram log-probability under
+    the corpus's own bigram LM — one Markov order up from
+    :func:`unigram_logprob`, and much closer to a real perplexity
+    filter's discrimination: a shuffled bag of common words scores the
+    same as clean prose under a unigram LM but collapses under a bigram
+    LM (soak: BENCH/soak_search.py --bigram separation evidence).
+
+    p(w | v) = lam * c(v,w)/c_left(v) + (1-lam) * c(w)/T
+    (Jelinek-Mercer interpolation with unigram backoff; c_left(v) =
+    occurrences of v as a bigram left element, so the conditional sums
+    to 1 over w). Trained on and scored against the same corpus, so no
+    unseen-bigram zero-probability case exists by construction.
+
+    Returns (doc_id, n_bigrams, avg_logprob2); documents with zero
+    qualifying bigrams (< 2 non-empty tokens) drop, like
+    ``unigram_logprob`` drops token-less docs.
+
+    Plan shape: the bigram stream is array-expr built (no positional
+    self-join), aggregated once corpus-wide; conditional+backoff
+    probabilities live in a bigram-vocabulary-sized relation that the
+    per-doc stream joins (inverted-index shaped, AQE-broadcast when
+    small); one final per-doc hash-agg. Rounding policy (and its
+    honestly-quantified residual risk) as documented in
+    ``unigram_logprob``.
+    """
+    arr = _ensure_parallelism(df).select(
+        "doc_id", F.expr(TOKENS_LC).alias("t")
+    )
+    # size >= 2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0]
+    big = (
+        arr.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS term_a, t[i] AS term_b))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.term_a", "bg.term_b")
+        .filter((F.col("term_a") != "") & (F.col("term_b") != ""))
+    )
+    cab = big.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    cleft = cab.groupBy("term_a").agg(F.sum("c_ab").alias("c_left"))
+    toks = arr.select(F.explode("t").alias("term")).filter(
+        F.col("term") != ""
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ttot = uni.agg(F.sum("c").alias("tt"))
+    prob = (
+        cab.join(cleft, "term_a")
+        .join(
+            uni.select(
+                F.col("term").alias("term_b"), F.col("c").alias("cb")
+            ),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "term_a",
+            "term_b",
+            F.log(
+                F.lit(lam) * (F.col("c_ab") / F.col("c_left"))
+                + F.lit(1.0 - lam) * (F.col("cb") / F.col("tt"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        big.join(prob, ["term_a", "term_b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("logp") / F.count(F.lit(1)), 4).alias(
+                "avg_logprob2"
+            ),
+        )
+    )
+
+
 def pmi_bigrams(df: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
     """Top-k bigram collocations by pointwise mutual information
     (Church & Hanks '90) — the vocabulary/tokenizer-building shape

@@ -436,6 +436,54 @@ def test_line_dedup_max_df_threshold(spark):
     assert out[1] == "twice shared\nb1"
 
 
+def test_substring_dedup_removes_shared_spans(spark):
+    """Lee et al. '21 ExactSubstr semantics: verbatim >= min_len token
+    spans shared across docs drop EVERYWHERE; overlapping duplicated
+    windows merge into one interval; unique text, short docs, and empty
+    docs survive untouched (rows never dropped)."""
+    from ocr_spark.operators.dedup import substring_dedup
+
+    span = " ".join(f"w{i}" for i in range(12))  # 12-token shared span
+    docs = _docs(
+        spark,
+        [
+            "alpha beta " + span + " gamma",
+            "start tokens " + span + " end tokens",
+            "entirely unique content without any duplication",
+            "",
+            "tiny",
+        ],
+    )
+    out = {r.doc_id: r for r in substring_dedup(docs, min_len=10).collect()}
+    assert len(out) == 5, "rows never dropped"
+    assert out[0].text_clean == "alpha beta gamma"
+    assert out[0].n_dropped == 12 and out[0].n_kept == 3
+    assert out[1].text_clean == "start tokens end tokens"
+    assert out[2].n_dropped == 0
+    assert out[3].text_clean == "" and out[3].n_kept == 0
+    assert out[4].text_clean == "tiny" and out[4].n_dropped == 0
+
+
+def test_substring_dedup_interval_merge_and_min_df(spark):
+    from ocr_spark.operators.dedup import substring_dedup
+
+    long_span = " ".join(f"v{i}" for i in range(25))  # > min_len run
+    docs = _docs(spark, ["x " + long_span, long_span + " y"])
+    out = {
+        r.doc_id: r for r in substring_dedup(docs, min_len=10).collect()
+    }
+    # every 10-gram window of the 25-token run is duplicated; the
+    # overlapping [p, p+10) intervals must merge to cover all 25 tokens
+    assert out[0].text_clean == "x" and out[0].n_dropped == 25
+    assert out[1].text_clean == "y" and out[1].n_dropped == 25
+    # min_df=3: the same span in only 2 docs stays
+    kept = {
+        r.doc_id: r
+        for r in substring_dedup(docs, min_len=10, min_df=3).collect()
+    }
+    assert kept[0].n_dropped == 0 and kept[1].n_dropped == 0
+
+
 def test_decontaminate_flags_benchmark_overlap(spark):
     from ocr_spark.operators.dedup import decontaminate
 

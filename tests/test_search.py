@@ -180,6 +180,41 @@ def test_unigram_logprob_rare_tokens_score_lower(spark):
     assert out[2] < out[0] == out[1]
 
 
+def test_bigram_logprob_closed_form(spark):
+    from ocr_spark.operators.textops import bigram_logprob
+
+    # corpus bigrams: (x,y) x3, (y,x) x2, (y,y) x1 -> c_left(x)=3,
+    # c_left(y)=3; unigrams: x3 y5, T=8
+    docs = _docs(spark, ["x y x y x y", "y y"])
+    out = {r.doc_id: r for r in bigram_logprob(docs, lam=0.7).collect()}
+    assert out[0].n_bigrams == 5 and out[1].n_bigrams == 1
+    p_xy = 0.7 * (3 / 3) + 0.3 * (5 / 8)
+    p_yx = 0.7 * (2 / 3) + 0.3 * (3 / 8)
+    p_yy = 0.7 * (1 / 3) + 0.3 * (5 / 8)
+    e0 = (3 * math.log(p_xy) + 2 * math.log(p_yx)) / 5
+    assert out[0].avg_logprob2 == pytest.approx(round(e0, 4), abs=1e-9)
+    assert out[1].avg_logprob2 == pytest.approx(
+        round(math.log(p_yy), 4), abs=1e-9
+    )
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """The property unigram LMs cannot have: a token-identical doc in
+    scrambled order scores LOWER than the dominant fluent order."""
+    from ocr_spark.operators.textops import bigram_logprob, unigram_logprob
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy jumps the brown fox"
+    docs = _docs(spark, [fluent] * 8 + [scrambled])
+    bi = {r.doc_id: r.avg_logprob2 for r in bigram_logprob(docs).collect()}
+    uni = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+    assert uni[8] == uni[0], "unigram LM is order-blind"
+    assert bi[8] < bi[0], "bigram LM penalizes scrambled order"
+    # short/empty docs drop (no qualifying bigram)
+    docs2 = _docs(spark, ["a b", "", "solo"])
+    assert [r.doc_id for r in bigram_logprob(docs2).collect()] == [0]
+
+
 def test_pmi_bigrams_collocation_beats_chance(spark):
     from ocr_spark.operators.textops import pmi_bigrams
 
