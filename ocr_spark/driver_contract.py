@@ -22,6 +22,7 @@ from ocr_spark.operators import search as SR
 from ocr_spark.operators import similarity as S
 from ocr_spark.operators import sketches as SK
 from ocr_spark.operators import textops as X
+from ocr_spark.operators import urlops as U
 from ocr_spark.operators.textops import _STOP_SQL
 
 # --------------------------------------------------------------------------
@@ -380,8 +381,9 @@ def q_fingerprint(spark, sf_dir):
 
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing over documents with deterministically injected
-    emails/URLs/phones (the corpus has none naturally; injection is
-    identical in the oracle, so counts and redacted text hash-match)."""
+    emails/URLs/IPv4s/SSNs/IBANs/phones (the corpus has none naturally;
+    injection is identical in the oracle, so counts and redacted text
+    hash-match)."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "text",
         F.concat(
@@ -398,10 +400,29 @@ def q_redact_pii(spark, sf_dir):
                 F.col("doc_id") % 13 == 0,
                 F.lit(" call +1 555-123-4567 today"),
             ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit(" host 192.168.101.204 up"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                F.lit(" ssn 123-45-6789 on file"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 23 == 0,
+                F.lit(" pay DE89370400440532013000 ref"),
+            ).otherwise(F.lit("")),
         ),
     )
     return X.redact_pii(docs).select(
-        "doc_id", "n_emails", "n_urls", "n_phones", "text_redacted"
+        "doc_id",
+        "n_emails",
+        "n_urls",
+        "n_ipv4s",
+        "n_ssns",
+        "n_ibans",
+        "n_phones",
+        "text_redacted",
     )
 
 
@@ -769,6 +790,63 @@ def q_unigram_logprob(spark, sf_dir):
     return X.unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def q_url_curation(spark, sf_dir):
+    """URL-level curation over a deterministically synthesized url
+    column (doc_id div/mod arithmetic — identical expression in the
+    oracle): canonicalize (scheme/www/:443/fragment/trailing-slash
+    stripped, utm params dropped, params sorted), group duplicates by
+    canonical key (min-id survivor), flag blocklisted domains with
+    suffix semantics. Raw variants that must merge are generated ON
+    PURPOSE: the same content key appears under differing scheme case,
+    www prefix, port, param order, tracking params, and fragments."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    g = F.col("doc_id") % 30
+    v = F.expr("doc_id div 30")
+    url = F.concat(
+        F.element_at(
+            F.array(
+                F.lit("http://"), F.lit("https://"), F.lit("HTTPS://")
+            ),
+            (v % 3 + 1).cast("int"),
+        ),
+        F.when(v % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (g % 10).cast("string"),
+        F.lit(".example"),
+        (g % 2).cast("string"),
+        F.lit(".com"),
+        F.when(v % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p"),
+        (g % 3).cast("string"),
+        F.when(v % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            v % 2 == 0,
+            F.concat(
+                F.lit("?a="),
+                (g % 5).cast("string"),
+                F.lit("&b="),
+                (g % 3).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?b="),
+                (g % 3).cast("string"),
+                F.lit("&a="),
+                (g % 5).cast("string"),
+                F.lit("&utm_source=feed"),
+            )
+        ),
+        F.when(v % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    flagged = U.domain_filter(
+        docs.withColumn("url", url), ["example0.com"]
+    )
+    return flagged.groupBy("canonical_url", "host", "blocked").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Per-doc average interpolated bigram log-probability (lam=0.7
     Jelinek-Mercer with unigram backoff) under the corpus's own bigram
@@ -1094,6 +1172,7 @@ QUERIES: dict[str, Callable] = {
     "domain_mix": q_domain_mix,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "url_curation": q_url_curation,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
     "winnow": q_winnow,
@@ -1654,6 +1733,15 @@ ORACLES: dict[str, str] = {
                            ELSE '' END
                    || CASE WHEN doc_id % 13 = 0
                            THEN ' call +1 555-123-4567 today'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 17 = 0
+                           THEN ' host 192.168.101.204 up'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 19 = 0
+                           THEN ' ssn 123-45-6789 on file'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 23 = 0
+                           THEN ' pay DE89370400440532013000 ref'
                            ELSE '' END AS text
             FROM documents
         )
@@ -1664,13 +1752,29 @@ ORACLES: dict[str, str] = {
                len(regexp_extract_all(text, 'https?://[^\\s]+'))
                    AS n_urls,
                len(regexp_extract_all(text,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                   AS n_ipv4s,
+               len(regexp_extract_all(text,
+                   '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssns,
+               len(regexp_extract_all(text,
+                   '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b')) AS n_ibans,
+               len(regexp_extract_all(text,
                    '\\+?[0-9][0-9\\- ]{7,}[0-9]')) AS n_phones,
                regexp_replace(
                    regexp_replace(
-                       regexp_replace(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                           '<EMAIL>', 'g'),
-                       'https?://[^\\s]+', '<URL>', 'g'),
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(text,
+                                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                       '<EMAIL>', 'g'),
+                                   'https?://[^\\s]+', '<URL>', 'g'),
+                               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                               '<IPV4>', 'g'),
+                           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b',
+                           '<SSN>', 'g'),
+                       '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b',
+                       '<IBAN>', 'g'),
                    '\\+?[0-9][0-9\\- ]{7,}[0-9]', '<PHONE>', 'g')
                    AS text_redacted
         FROM injected
@@ -2081,6 +2185,80 @@ ORACLES: dict[str, str] = {
                round(sum(logp) / count(*), 4) AS avg_logprob
         FROM toks JOIN lp USING (term)
         GROUP BY doc_id
+    """,
+    # mirrors urlops.with_canonical_url/url_dedup/domain_filter over the
+    # same synthesized url column (doc_id div/mod arithmetic)
+    "url_curation": """
+        WITH u AS (
+            SELECT doc_id,
+                   (CASE (doc_id // 30) % 3
+                        WHEN 0 THEN 'http://'
+                        WHEN 1 THEN 'https://'
+                        ELSE 'HTTPS://' END)
+                || CASE WHEN (doc_id // 30) % 2 = 0
+                        THEN 'www.' ELSE '' END
+                || 'site' || CAST((doc_id % 30) % 10 AS VARCHAR)
+                || '.example' || CAST((doc_id % 30) % 2 AS VARCHAR)
+                || '.com'
+                || CASE WHEN (doc_id // 30) % 5 = 0
+                        THEN ':443' ELSE '' END
+                || '/p' || CAST((doc_id % 30) % 3 AS VARCHAR)
+                || CASE WHEN (doc_id // 30) % 4 = 0
+                        THEN '/' ELSE '' END
+                || CASE WHEN (doc_id // 30) % 2 = 0
+                        THEN '?a=' || CAST((doc_id % 30) % 5 AS VARCHAR)
+                          || '&b=' || CAST((doc_id % 30) % 3 AS VARCHAR)
+                        ELSE '?b=' || CAST((doc_id % 30) % 3 AS VARCHAR)
+                          || '&a=' || CAST((doc_id % 30) % 5 AS VARCHAR)
+                          || '&utm_source=feed' END
+                || CASE WHEN (doc_id // 30) % 3 = 0
+                        THEN '#sec' ELSE '' END AS url
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(trim(url), '#.*$', ''),
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') AS s2
+            FROM u
+        ),
+        parts AS (
+            SELECT doc_id,
+                   regexp_extract(s2, '^[^?]*') AS base,
+                   CASE WHEN strpos(s2, '?') > 0
+                        THEN regexp_replace(s2, '^[^?]*\\?', '')
+                        ELSE '' END AS query
+            FROM s
+        ),
+        c AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           lower(regexp_extract(base, '^[^/]*')),
+                           '^www\\.', ''),
+                       ':(80|443)$', '') AS host,
+                   regexp_replace(
+                       regexp_extract(base, '^[^/]*(/.*)?$', 1),
+                       '/+$', '') AS path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       x -> x <> '' AND NOT starts_with(x, 'utm_')
+                            AND NOT starts_with(x, 'fbclid=')
+                            AND NOT starts_with(x, 'gclid='))), '&') AS q
+            FROM parts
+        ),
+        canon AS (
+            SELECT doc_id, host,
+                   host || path
+                        || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                       AS canonical_url,
+                   (host = 'example0.com'
+                    OR suffix(host, '.example0.com')) AS blocked
+            FROM c
+        )
+        SELECT canonical_url, host, blocked,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM canon GROUP BY 1, 2, 3
     """,
     # mirrors textops.bigram_logprob (lam=0.7): interpolated bigram LM
     # trained on the corpus, scored per doc; / on BIGINTs is float

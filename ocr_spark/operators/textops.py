@@ -584,17 +584,31 @@ def with_repetition(df: DataFrame) -> DataFrame:
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "url": r"https?://[^\s]+",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    # IBAN before phone is ORDER-CRITICAL: the digit run inside an IBAN
+    # matches the phone shape, so a phone-first chain would rewrite
+    # 'DE8937...' into 'DE<PHONE>' before the IBAN pattern ever fires
+    "iban": r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b",
     "phone": r"\+?[0-9][0-9\- ]{7,}[0-9]",
 }
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """PII redaction (training-data scrubbing): replace emails, URLs and
-    phone-number shapes with typed placeholder tokens and count the
-    matches per document. Pure regexp expressions — linear, pushed
-    down, no UDFs. Replacement order is fixed (email, url, phone) so a
-    URL containing an @ is first split by the email rewrite the same
-    way in every engine.
+    """PII redaction (training-data scrubbing): replace emails, URLs,
+    IPv4 addresses, US-SSN shapes, IBAN shapes and phone-number shapes
+    with typed placeholder tokens and count the matches per document.
+    Pure regexp expressions — linear, backreference/lookahead-free
+    (Java and RE2 agree exactly), pushed down, no UDFs.
+
+    Replacement order is fixed (email, url, ipv4, ssn, iban, phone) so
+    overlapping shapes resolve identically in every engine: an email
+    inside a URL splits the same way, and the pure-digit run inside an
+    IBAN is claimed by <IBAN> before the phone pattern can eat it.
+    Counts are taken on the RAW text independently per kind, so a
+    span matching two shapes (an SSN also matches the phone shape)
+    counts under both — the redacted TEXT is unambiguous, the counts
+    are per-pattern detectors.
     """
     out = df
     clean = F.col(text_col)

@@ -1,0 +1,109 @@
+"""URL / domain curation operators — the cheapest first-pass filters in
+every web-corpus pipeline (C4, Raffel et al. JMLR '20 §2.2; RefinedWeb,
+Penedo et al. '23 §3.1 both lead with URL-level filtering before any
+content-based stage).
+
+Three operators, all linear built-in regex/string/array expressions
+(JVM-side, codegen'd, no UDFs — the ``redact_pii`` discipline):
+
+- :func:`with_canonical_url` — normalize a URL column to a canonical
+  dedup key (scheme/www/default-port/fragment/trailing-slash stripped,
+  tracking params dropped, remaining query params sorted).
+- :func:`url_dedup` — canonical-URL duplicate groups (min-id survivor,
+  the ``exact_dedup`` shape: one hash-agg, uniform keys).
+- :func:`domain_filter` — host blocklist with suffix semantics
+  (``example.com`` blocks ``example.com`` and ``*.example.com``).
+
+Canonicalization policy (documented simplifications — a canonical key
+for DEDUP, not a resolver): the whole host lowercases but the path
+keeps its case (paths are case-sensitive per RFC 3986; hosts are not);
+``:80``/``:443`` strip regardless of scheme (the scheme is already
+gone — a site serving both is one site for dedup purposes); params
+starting with ``utm_`` plus ``fbclid``/``gclid`` are click-tracking
+noise and drop entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+def _canonical_parts(url_col: str) -> tuple[Column, Column, Column]:
+    """(host, path, sorted_query) columns from a raw URL column."""
+    s = F.regexp_replace(F.trim(F.col(url_col)), r"#.*$", "")
+    s = F.regexp_replace(s, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    base = F.regexp_extract(s, r"^[^?]*", 0)
+    query = F.when(
+        s.contains("?"), F.regexp_replace(s, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    host = F.lower(F.regexp_extract(base, r"^[^/]*", 0))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(base, r"^[^/]*(/.*)?$", 1), r"/+$", ""
+    )
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (
+                    (x != "")
+                    & ~x.startswith("utm_")
+                    & ~x.startswith("fbclid=")
+                    & ~x.startswith("gclid=")
+                ),
+            )
+        ),
+        "&",
+    )
+    return host, path, q
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``host`` and ``canonical_url`` columns (see module
+    docstring for the normalization policy). Pure projection — pushes
+    down, prunes, no shuffle."""
+    host, path, q = _canonical_parts(url_col)
+    return df.withColumn("host", host).withColumn(
+        "canonical_url",
+        F.concat(
+            F.col("host"),
+            path,
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical-URL duplicate groups: (canonical_url, keep_id, n_dups)
+    with the min doc_id surviving — one hash-agg on the canonical key
+    (uniform md5-free string keys; map-side partials), the
+    ``exact_dedup`` scale shape applied to URLs."""
+    return (
+        with_canonical_url(df, url_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def domain_filter(
+    df: DataFrame, blocklist: list[str], url_col: str = "url"
+) -> DataFrame:
+    """Append ``blocked`` (boolean): true when the canonical host is a
+    blocklisted domain or any subdomain of one. The blocklist is a
+    literal predicate chain (blocklists are config-sized; at a real
+    100k-domain blocklist switch to a broadcast join on the host's
+    suffix set) — linear scan work, no shuffle, rows never dropped
+    (filter on the flag to materialize the kept corpus)."""
+    out = with_canonical_url(df, url_col)
+    pred = F.lit(False)
+    for b in blocklist:
+        d = b.lower()
+        pred = (
+            pred
+            | (F.col("host") == d)
+            | F.col("host").endswith("." + d)
+        )
+    return out.withColumn("blocked", pred)

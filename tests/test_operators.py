@@ -436,6 +436,47 @@ def test_line_dedup_max_df_threshold(spark):
     assert out[1] == "twice shared\nb1"
 
 
+def test_url_canonicalize_merges_variants(spark):
+    """Scheme case, www, default port, param order, tracking params,
+    fragments, and trailing slashes all collapse to one canonical key;
+    subdomains keep distinct hosts."""
+    from ocr_spark.operators.urlops import (
+        domain_filter,
+        url_dedup,
+        with_canonical_url,
+    )
+
+    rows = [
+        (0, "https://www.Example.com:443/a/b/?b=2&a=1&utm_source=x#frag"),
+        (1, "http://example.com/a/b?a=1&b=2"),
+        (2, "example.com/a/b?a=1&b=2&gclid=zz"),
+        (3, "https://sub.example.com/a"),
+        (4, "https://other.org"),
+        (5, "HTTP://WWW.OTHER.ORG:80/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    c = {
+        r.doc_id: r.canonical_url
+        for r in with_canonical_url(df).collect()
+    }
+    assert c[0] == c[1] == c[2] == "example.com/a/b?a=1&b=2"
+    assert c[3] == "sub.example.com/a"
+    assert c[4] == c[5] == "other.org"
+    d = {
+        r.canonical_url: (r.keep_id, r.n_dups)
+        for r in url_dedup(df).collect()
+    }
+    assert d["example.com/a/b?a=1&b=2"] == (0, 3)
+    assert d["other.org"] == (4, 2)
+    # suffix-semantics blocklist: example.com blocks its subdomains but
+    # NOT examplexcom lookalikes or other hosts
+    b = {
+        r.doc_id: r.blocked
+        for r in domain_filter(df, ["example.com"]).collect()
+    }
+    assert b == {0: True, 1: True, 2: True, 3: True, 4: False, 5: False}
+
+
 def test_substring_dedup_removes_shared_spans(spark):
     """Lee et al. '21 ExactSubstr semantics: verbatim >= min_len token
     spans shared across docs drop EVERYWHERE; overlapping duplicated
@@ -545,6 +586,37 @@ def test_redact_pii_counts_and_rewrites(spark):
     assert "@" not in out[0].text_redacted
     assert out[1].n_urls == 2 and "http" not in out[1].text_redacted
     assert out[2].n_phones == 2 and "<PHONE>" in out[2].text_redacted
+    assert out[3].text_redacted == docs.collect()[3].text
+
+
+def test_redact_pii_ipv4_ssn_iban(spark):
+    """The r4 pattern widening: IPv4 / SSN / IBAN shapes, including the
+    order-critical IBAN-before-phone chain (the digit run inside an
+    IBAN matches the phone shape — a phone-first chain would leave
+    'DE<PHONE>' behind)."""
+    from ocr_spark.operators.textops import redact_pii
+
+    docs = _docs(
+        spark,
+        [
+            "server 10.0.0.1 and 192.168.101.204 responded",
+            "ssn 123-45-6789 on file",
+            "wire to DE89370400440532013000 please",
+            "version 1.2.3 is not an ip and 12-34 not an ssn",
+        ],
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[0].n_ipv4s == 2
+    assert out[0].text_redacted == "server <IPV4> and <IPV4> responded"
+    assert out[1].n_ssns == 1
+    assert out[1].text_redacted == "ssn <SSN> on file"
+    # the raw-text phone detector also fires on the SSN shape (counts
+    # are per-pattern; the redacted text is unambiguous)
+    assert out[1].n_phones == 1
+    assert out[2].n_ibans == 1
+    assert out[2].text_redacted == "wire to <IBAN> please"
+    assert "<PHONE>" not in out[2].text_redacted
+    assert out[3].n_ipv4s == 0 and out[3].n_ssns == 0
     assert out[3].text_redacted == docs.collect()[3].text
 
 
