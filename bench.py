@@ -200,9 +200,11 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "dedup_exact",
         "dedup_keep_best",
         "line_dedup",
+        "substring_dedup",
         "decontaminate",
         "web_curation",
         "extract_then_curate",
+        "url_curation",
         "token_count",
         "quality_score",
         "gopher_rules",
@@ -210,6 +212,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "tfidf_keywords",
         "domain_mix",
         "unigram_logprob",
+        "bigram_logprob",
         "pmi_bigrams",
         "kmv_distinct",
         "winnow",

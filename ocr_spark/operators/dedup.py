@@ -331,12 +331,31 @@ def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
     fp = lines.filter(F.col("lnorm") != "").select(
         "doc_id", "pos", F.md5("lnorm").alias("fp")
     )
+    # document frequency WITHOUT a corpus-lines-sized distinct shuffle:
+    # each doc's lines dedup IN-ROW (array_distinct) before the explode,
+    # so the stream is already one row per (doc, distinct line) and the
+    # only full-width exchange left is the fp count agg itself. The
+    # previous distinct().groupBy() formulation shuffled the ~corpus
+    # line count TWICE (distinct exchange + agg exchange) — measured as
+    # the dominant non-scaling cost of the op at 2M docs (tmpfs shuffle
+    # is DRAM traffic; see BENCH/scaling_ops.py).
+    uniq_lines = df.select(
+        F.explode(
+            F.expr(
+                "array_distinct(filter(transform(split(text, '\\n'), "
+                "l -> trim(l)), l -> l != ''))"
+            )
+        ).alias("lnorm")
+    )
     docfreq = (
-        fp.select("doc_id", "fp")
-        .distinct()
+        uniq_lines.select(F.md5("lnorm").alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("line_df"))
     )
+    # the line_df > max_df filter pushes below this join, so the build
+    # side is only the (tiny) boilerplate fp set — AQE broadcasts it and
+    # the positioned stream never shuffles; the dropped-position agg
+    # then moves only boilerplate occurrences
     dropped = (
         fp.join(docfreq, "fp")
         .filter(F.col("line_df") > max_df)
@@ -344,24 +363,43 @@ def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
         .agg(F.collect_list("pos").alias("drops"))
     )
     # in-row rebuild: positioned trimmed lines -> drop empties and
-    # dropped positions -> join survivors in original order
+    # dropped positions -> join survivors in original order. Documents
+    # with NO dropped lines (drops IS NULL — the overwhelming majority
+    # in real corpora) take a FAST PATH that skips the positioned-struct
+    # build and per-line array_contains probe entirely: trim, drop
+    # empties, rejoin. Codegen's CaseWhen evaluates only the taken
+    # branch per row, so boilerplate-free documents pay just the
+    # split/trim/join floor.
+    plain = (
+        "filter(transform(split(text, '\\n'), l -> trim(l)), "
+        "l -> l != '')"
+    )
     nonempty = (
         "filter(transform(split(text, '\\n'), "
         "(l, i) -> struct(i AS pos, trim(l) AS lnorm)), "
         "s -> s.lnorm != '')"
     )
     kept = (
-        f"filter({nonempty}, s -> drops IS NULL "
-        f"OR NOT array_contains(drops, s.pos))"
+        f"filter({nonempty}, s -> NOT array_contains(drops, s.pos))"
     )
+    no_drops = F.col("drops").isNull()
     return (
         df.join(dropped, "doc_id", "left")
         .select(
             "doc_id",
-            F.expr(
-                f"array_join(transform({kept}, s -> s.lnorm), '\\n')"
-            ).alias("text_clean"),
-            F.expr(f"size({kept})").cast("long").alias("n_kept"),
+            F.when(
+                no_drops, F.expr(f"array_join({plain}, '\\n')")
+            )
+            .otherwise(
+                F.expr(
+                    f"array_join(transform({kept}, s -> s.lnorm), '\\n')"
+                )
+            )
+            .alias("text_clean"),
+            F.when(no_drops, F.expr(f"size({plain})"))
+            .otherwise(F.expr(f"size({kept})"))
+            .cast("long")
+            .alias("n_kept"),
             F.coalesce(F.size("drops"), F.lit(0))
             .cast("long")
             .alias("n_dropped"),

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ocr_spark.operators.textops import _ensure_parallelism
+
 def _canonical_parts(url_col: str) -> tuple[Column, Column, Column]:
     """(host, path, sorted_query) columns from a raw URL column."""
     s = F.regexp_replace(F.trim(F.col(url_col)), r"#.*$", "")
@@ -61,7 +63,9 @@ def _canonical_parts(url_col: str) -> tuple[Column, Column, Column]:
 def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append ``host`` and ``canonical_url`` columns (see module
     docstring for the normalization policy). Pure projection — pushes
-    down, prunes, no shuffle."""
+    down, prunes, no shuffle (``_ensure_parallelism`` guards the
+    single-file-scan case so the regex work spreads across cores)."""
+    df = _ensure_parallelism(df)
     host, path, q = _canonical_parts(url_col)
     return df.withColumn("host", host).withColumn(
         "canonical_url",

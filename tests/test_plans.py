@@ -243,6 +243,41 @@ def test_web_curation_chain_never_cartesian(spark, sf001_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_substring_dedup_never_cartesian(spark, sf001_dir):
+    # span dedup has NO pairwise document comparison by design: gram-df
+    # hash-agg + equi join-back + per-doc agg; any nested-loop join
+    # here would mean an accidental all-pairs blowup
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["substring_dedup"](spark, sf001_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan  # no global sort
+
+
+def test_bigram_logprob_no_global_sort(spark, sf001_dir):
+    # bigram prob table joins are all equi hash joins; the single
+    # deliberate 1-row broadcast is the token-total crossJoin
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["bigram_logprob"](spark, sf001_dir))
+    assert "CartesianProduct" not in plan
+    assert _tree(plan).count("BroadcastNestedLoopJoin") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_url_curation_single_agg_no_join(spark, sf001_dir):
+    # canonicalize + blocklist are pure projections; the only shuffle
+    # is the canonical-key dedup hash-agg (plus at most the
+    # single-file parallelism guard) — no join of any kind
+    from ocr_spark.driver_contract import QUERIES
+
+    tree = _tree(_formatted(QUERIES["url_curation"](spark, sf001_dir)))
+    assert "Join" not in tree
+    assert "HashAggregate" in tree
+    assert tree.count("Exchange") <= 2
+
+
 def test_winnow_is_map_only(spark, sf001_dir):
     # winnowing is doc-local: the only Exchange allowed is the
     # single-file parallelism-guard repartition — no aggregation
