@@ -165,6 +165,17 @@ def _run_op(spark, op: str) -> int:
             )
         )
         out = line_dedup(big, max_df=5)
+    elif op == "substring":
+        # exact substring dedup over the 100k soak corpus (run
+        # BENCH/soak_substring.py 100000 once to generate): the op is
+        # ~50x heavier per token than line_dedup (md5 per 50-token
+        # window), so 100k docs already gives a 60s 2-core wall
+        from ocr_spark.operators.dedup import substring_dedup
+
+        corpus = spark.read.parquet(
+            "/tmp/ocr_spark_bench/substring_corpus_100000.parquet"
+        )
+        out = substring_dedup(corpus, min_len=50)
     elif op == "simhash":
         # the compute-bound dedup-family datapoint (per-token md5 bit
         # votes dominate): contrasts with string/scan-bound line_dedup
