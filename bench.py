@@ -211,6 +211,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "bm25_topk",
         "tfidf_keywords",
         "domain_mix",
+        "dsir_select",
         "unigram_logprob",
         "bigram_logprob",
         "pmi_bigrams",

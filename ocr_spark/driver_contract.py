@@ -46,6 +46,17 @@ _HTML_POST = (
     "</footer></body></html>"
 )
 
+def _hex32(col: str) -> str:
+    """DuckDB 32-bit integer from the first 8 hex digits of an md5
+    column (the engine-portable hash-arithmetic pattern used by
+    kmv/winnow/domain_mix; ``col`` must hold the md5 hex string)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        + (f" * {16 ** (7 - i)}" if i < 7 else "")
+        for i in range(8)
+    ) + ")"
+
+
 # DuckDB word-n-gram shingle CTE (mirrors dedup._with_shingles).
 def _sh_cte(n: int) -> str:
     return f"""
@@ -784,6 +795,15 @@ def q_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. '23): top-100 raw docs by
+    importance log-weight + deterministic Gumbel noise, target domain
+    = every 7th document."""
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return X.dsir_sample(docs, target, k=100)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Per-doc average unigram log-probability under the corpus's own
     unigram LM — the offline stand-in for CCNet's perplexity filter."""
@@ -1173,6 +1193,7 @@ QUERIES: dict[str, Callable] = {
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
+    "dsir_select": q_dsir_select,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
     "winnow": q_winnow,
@@ -2185,6 +2206,58 @@ ORACLES: dict[str, str] = {
                round(sum(logp) / count(*), 4) AS avg_logprob
         FROM toks JOIN lp USING (term)
         GROUP BY doc_id
+    """,
+    # mirrors textops.dsir_sample (n_buckets=10000, alpha=1, k=100,
+    # target = doc_id % 7 == 0): hashed uni+bigram buckets, add-1
+    # smoothed target/raw log-ratio, per-doc sum, deterministic Gumbel
+    # top-k
+    "dsir_select": f"""
+        WITH raw_toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        uni AS (SELECT doc_id, unnest(t) AS f FROM raw_toks),
+        big AS (
+            SELECT doc_id, t[r.i + 1] AS a, t[r.i + 2] AS b
+            FROM raw_toks, unnest(range(0, len(t) - 1)) AS r(i)
+            WHERE len(t) >= 2
+        ),
+        feats0 AS (
+            SELECT doc_id, f FROM uni WHERE f <> ''
+            UNION ALL
+            SELECT doc_id, a || ' ' || b AS f FROM big
+            WHERE a <> '' AND b <> ''
+        ),
+        featsr AS (
+            SELECT doc_id, {_hex32("h")} % 10000 AS bucket
+            FROM (SELECT doc_id, md5(f) AS h FROM feats0)
+        ),
+        featst AS (SELECT * FROM featsr WHERE doc_id % 7 = 0),
+        cr AS (SELECT bucket, count(*) AS c_r FROM featsr GROUP BY bucket),
+        ct AS (SELECT bucket, count(*) AS c_t FROM featst GROUP BY bucket),
+        tr AS (SELECT count(*) AS tr FROM featsr),
+        tt AS (SELECT count(*) AS tt FROM featst),
+        ratio AS (
+            SELECT cr.bucket,
+                   ln(((coalesce(ct.c_t, 0) + 1.0) / (tt + 10000.0))
+                      / ((cr.c_r + 1.0) / (tr + 10000.0))) AS logr
+            FROM cr LEFT JOIN ct USING (bucket), tr, tt
+        ),
+        w AS (
+            SELECT doc_id, count(*) AS n_features,
+                   round(sum(logr), 4) AS logw
+            FROM featsr JOIN ratio USING (bucket)
+            GROUP BY doc_id
+        ),
+        keyed AS (
+            SELECT doc_id, n_features, logw,
+                   round(logw - ln(-ln(
+                       ({_hex32("gh")} + 0.5) / 4294967296.0)), 4) AS key
+            FROM (SELECT w.*, md5('g#' || doc_id) AS gh FROM w)
+        )
+        SELECT doc_id, n_features, logw, key
+        FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 100
     """,
     # mirrors urlops.with_canonical_url/url_dedup/domain_filter over the
     # same synthesized url column (doc_id div/mod arithmetic)

@@ -183,6 +183,147 @@ def domain_mix(
     )
 
 
+def _dsir_features(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Hashed uni+bigram feature stream (doc_id, bucket) — DSIR's
+    bag-of-hashed-ngrams representation (Xie et al. '23 §2.2)."""
+    arr = _ensure_parallelism(df).select(
+        "doc_id", F.expr(TOKENS_LC).alias("t")
+    )
+    uni = arr.select("doc_id", F.explode("t").alias("f")).filter(
+        F.col("f") != ""
+    )
+    big = (
+        arr.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS a, t[i] AS b))"
+                )
+            ).alias("bg"),
+        )
+        .filter((F.col("bg.a") != "") & (F.col("bg.b") != ""))
+        .select(
+            "doc_id", F.concat_ws(" ", "bg.a", "bg.b").alias("f")
+        )
+    )
+    return uni.unionByName(big).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. NeurIPS '23, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how much more likely its hashed-ngram
+    features are under the TARGET distribution than under the raw
+    pool's own — the principled "select data that looks like the
+    domain I care about" operator, one level up from threshold filters
+    like ``gopher_rules``.
+
+    logw(doc) = sum over features f of ln(p_t(b(f)) / p_r(b(f))),
+    with p_x(b) = (c_x(b) + alpha) / (T_x + alpha * n_buckets)
+    (add-alpha smoothing, so target-unseen buckets penalize rather
+    than zero out).
+
+    Returns (doc_id, n_features, logw); feature-less docs drop.
+
+    Plan shape: both bucket-count tables compress map-side to at most
+    ``n_buckets`` rows per partition (hash-agg partials over a
+    fixed-size key space — the whole point of feature hashing at
+    100 TB), totals are single rows, and the log-ratio table is
+    n_buckets-sized so it BROADCASTS onto the raw feature stream; the
+    only corpus-sized shuffle is the final per-doc agg.
+    """
+    feats_r = _dsir_features(raw, n_buckets)
+    feats_t = _dsir_features(target, n_buckets)
+    counts_r = feats_r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r")
+    )
+    counts_t = feats_t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    tot_r = feats_r.agg(F.count(F.lit(1)).alias("tr"))
+    tot_t = feats_t.agg(F.count(F.lit(1)).alias("tt"))
+    denom = float(alpha) * n_buckets
+    ratio = (
+        counts_r.join(counts_t, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            F.log(
+                (
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tt") + F.lit(denom))
+                )
+                / (
+                    (F.col("c_r") + F.lit(alpha))
+                    / (F.col("tr") + F.lit(denom))
+                )
+            ).alias("logr"),
+        )
+    )
+    return (
+        feats_r.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.round(F.sum("logr"), 4).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR selection: Gumbel top-k over the importance log-weights =
+    sampling WITHOUT replacement proportional to the importance ratio
+    (the Gumbel-max trick, exactly Xie et al.'s sampler). The Gumbel
+    noise is DETERMINISTIC — u = (md5_32('g#'||doc_id) + 0.5) / 2^32,
+    g = -ln(-ln(u)) — so the sample is reproducible, partition-
+    independent, and sits under the exact DuckDB gate like every other
+    sampling op here (`hash_sample` discipline applied to Gumbel).
+
+    Returns the k selected rows as (doc_id, n_features, logw, key),
+    key = round(logw + g, 4); top-k is `orderBy().limit(k)` =
+    TakeOrderedAndProject, never a global sort.
+    """
+    w = dsir_logweights(raw, target, n_buckets=n_buckets, alpha=alpha)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("g#"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.col("logw") - F.log(-F.log(u)), 4)
+    return (
+        w.withColumn("key", key)
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def vocab_topk(df: DataFrame, k: int = 100) -> DataFrame:
     """Corpus vocabulary top-k by occurrence count (tokenizer-training /
     corpus-inspection shape). Distributed top-k: groupBy(token) hash-agg

@@ -525,6 +525,63 @@ def test_substring_dedup_interval_merge_and_min_df(spark):
     assert kept[0].n_dropped == 0 and kept[1].n_dropped == 0
 
 
+def _ref_substring_dedup(docs, min_len, min_df=2):
+    """Independent pure-Python reference (set/tuple based — shares no
+    code or representation with the Spark md5/array-expr path)."""
+    from collections import defaultdict
+
+    toks = {
+        i: (t.strip().split() if t.strip() else [])
+        for i, t in docs.items()
+    }
+    gram_docs = defaultdict(set)
+    for i, ts in toks.items():
+        for p in range(len(ts) - min_len + 1):
+            gram_docs[tuple(ts[p : p + min_len])].add(i)
+    out = {}
+    for i, ts in toks.items():
+        drop = set()
+        for p in range(len(ts) - min_len + 1):
+            if len(gram_docs[tuple(ts[p : p + min_len])]) >= min_df:
+                drop.update(range(p, p + min_len))
+        kept = [t for j, t in enumerate(ts) if j not in drop]
+        out[i] = (" ".join(kept), len(kept), len(ts) - len(kept))
+    return out
+
+
+def test_substring_dedup_randomized_vs_reference(spark):
+    """Randomized equivalence: 20 seeded corpora over a 4-token
+    vocabulary (so cross-doc duplicate grams occur constantly and the
+    interval merge is stressed hard), all checked against an
+    independent pure-Python reference in ONE Spark round (corpora are
+    token-prefixed so they cannot cross-match)."""
+    import random
+
+    from ocr_spark.operators.dedup import substring_dedup
+
+    min_len, rows, expected = 3, [], {}
+    for c in range(20):
+        rng = random.Random(1000 + c)
+        vocab = [f"c{c}w{v}" for v in range(4)]
+        docs = {}
+        for d in range(rng.randint(3, 8)):
+            n = rng.randint(0, 30)
+            docs[c * 100 + d] = " ".join(
+                rng.choice(vocab) for _ in range(n)
+            )
+        for i, (clean, k, dr) in _ref_substring_dedup(
+            docs, min_len
+        ).items():
+            expected[i] = (clean, k, dr)
+        rows += [(i, t) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_kept, r.n_dropped)
+        for r in substring_dedup(df, min_len=min_len).collect()
+    }
+    assert got == expected
+
+
 def test_decontaminate_flags_benchmark_overlap(spark):
     from ocr_spark.operators.dedup import decontaminate
 

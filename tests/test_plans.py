@@ -278,6 +278,19 @@ def test_url_curation_single_agg_no_join(spark, sf001_dir):
     assert tree.count("Exchange") <= 2
 
 
+def test_dsir_broadcasts_ratio_and_take_ordered(spark, sf001_dir):
+    # the n_buckets-sized log-ratio table must broadcast onto the raw
+    # feature stream (the corpus never shuffles for the scoring join)
+    # and the Gumbel top-k must be TakeOrdered, never a global sort
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["dsir_select"](spark, sf001_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_winnow_is_map_only(spark, sf001_dir):
     # winnowing is doc-local: the only Exchange allowed is the
     # single-file parallelism-guard repartition — no aggregation

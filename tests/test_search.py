@@ -215,6 +215,31 @@ def test_bigram_logprob_order_sensitivity(spark):
     assert [r.doc_id for r in bigram_logprob(docs2).collect()] == [0]
 
 
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR importance weights: raw docs sharing the target domain's
+    hashed-ngram profile outscore off-domain docs, and the Gumbel
+    top-k is deterministic across calls."""
+    from ocr_spark.operators.textops import dsir_logweights, dsir_sample
+
+    a_text = "alpha beta gamma alpha beta"
+    b_text = "delta epsilon zeta delta epsilon"
+    raw = _docs(spark, [a_text] * 10 + [b_text] * 10)
+    target = spark.createDataFrame(
+        [(100 + i, a_text) for i in range(5)], "doc_id long, text string"
+    )
+    w = {
+        r.doc_id: r.logw for r in dsir_logweights(raw, target).collect()
+    }
+    assert len(w) == 20
+    assert min(w[i] for i in range(10)) > max(w[i] for i in range(10, 20))
+    s1 = [r.doc_id for r in dsir_sample(raw, target, k=8).collect()]
+    s2 = [r.doc_id for r in dsir_sample(raw, target, k=8).collect()]
+    assert s1 == s2, "deterministic Gumbel: same sample every run"
+    # weight gap dominates the bounded Gumbel noise here: all selected
+    # docs are target-like
+    assert all(i < 10 for i in s1)
+
+
 def test_pmi_bigrams_collocation_beats_chance(spark):
     from ocr_spark.operators.textops import pmi_bigrams
 
