@@ -119,6 +119,84 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
 
 _JACCARD_SQL = _jaccard_sql(1000)
 
+
+def _substring_sql(keep_first: bool) -> str:
+    """Oracle for dedup.substring_dedup (min_len=25, min_df=2) over the
+    corpus + the remix rows both substring driver queries union in:
+    positioned 25-gram md5s, df>=2 grams mark duplicated starts, the
+    union of [start, start+25) drops, kept tokens rejoin in order.
+    ``keep_first`` mirrors the per-gram canonical (min doc_id, pos)
+    keep-one policy via a row_number window."""
+    dstart = (
+        """dstart AS (
+            SELECT doc_id, pos0 FROM (
+                SELECT doc_id, pos0, row_number() OVER (
+                    PARTITION BY gh ORDER BY doc_id, pos0) AS rn
+                FROM g JOIN dup USING (gh)
+            ) WHERE rn > 1
+        )"""
+        if keep_first
+        else "dstart AS (SELECT doc_id, pos0 FROM g JOIN dup USING (gh))"
+    )
+    return f"""
+        WITH unioned AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000,
+                   'planted prefix tokens ' || trim(text)
+                       || ' planted suffix'
+            FROM documents WHERE doc_id < 50
+        ),
+        base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS t
+            FROM unioned
+        ),
+        g AS (
+            SELECT doc_id, r.i AS pos0,
+                   md5(array_to_string(t[r.i + 1:r.i + 25], ' ')) AS gh
+            FROM base, unnest(range(0, len(t) - 24)) AS r(i)
+            WHERE len(t) >= 25
+        ),
+        dup AS (
+            SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+            GROUP BY gh HAVING count(*) >= 2
+        ),
+        {dstart},
+        toks AS (
+            SELECT doc_id, r.i AS i, t[r.i + 1] AS tok
+            FROM base, unnest(range(0, len(t))) AS r(i)
+        ),
+        dropped AS (
+            SELECT DISTINCT tk.doc_id, tk.i
+            FROM toks tk JOIN dstart d
+              ON tk.doc_id = d.doc_id
+             AND tk.i >= d.pos0 AND tk.i < d.pos0 + 25
+        ),
+        kept AS (
+            SELECT tk.doc_id, tk.i, tk.tok
+            FROM toks tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM dropped dr
+                WHERE dr.doc_id = tk.doc_id AND dr.i = tk.i
+            )
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY i) AS text_clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(a.text_clean, '') AS text_clean,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(len(b.t) - coalesce(a.n_kept, 0) AS BIGINT)
+                   AS n_dropped
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+
 _MINHASH_SQL = f"""
 WITH {_SH_CTE},
 mh AS (
@@ -613,6 +691,26 @@ def q_substring_dedup(spark, sf_dir):
         ).alias("text"),
     )
     return D.substring_dedup(docs.unionByName(remix), min_len=25)
+
+
+def q_substring_keep_first(spark, sf_dir):
+    """Lee et al. keep-ONE semantics on the same remix fixture: the
+    per-gram canonical (min doc_id, pos) occurrence survives, so the
+    ORIGINAL docs keep their text and only the remix copies lose the
+    embedded span."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    remix = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("planted prefix tokens"),
+            F.trim("text"),
+            F.lit("planted suffix"),
+        ).alias("text"),
+    )
+    return D.substring_dedup(
+        docs.unionByName(remix), min_len=25, keep_first=True
+    )
 
 
 def q_web_curation(spark, sf_dir):
@@ -1181,6 +1279,7 @@ QUERIES: dict[str, Callable] = {
     "ngram_jaccard": q_ngram_jaccard,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
+    "substring_keep_first": q_substring_keep_first,
     "web_curation": q_web_curation,
     "decontaminate": q_decontaminate,
     "minhash_lsh": q_minhash_lsh,
@@ -1497,68 +1596,10 @@ ORACLES: dict[str, str] = {
                coalesce(a.n_dropped, 0) AS n_dropped
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
-    # mirrors dedup.substring_dedup (min_len=25, min_df=2) over the
-    # corpus + the q_substring_dedup remix rows: positioned 25-gram
-    # md5s, df>=2 grams mark duplicated starts, the union of
-    # [start, start+25) drops everywhere, kept tokens rejoin in order
-    "substring_dedup": """
-        WITH unioned AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL
-            SELECT doc_id + 200000,
-                   'planted prefix tokens ' || trim(text)
-                       || ' planted suffix'
-            FROM documents WHERE doc_id < 50
-        ),
-        base AS (
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(text), '\\s+')
-                   END AS t
-            FROM unioned
-        ),
-        g AS (
-            SELECT doc_id, r.i AS pos0,
-                   md5(array_to_string(t[r.i + 1:r.i + 25], ' ')) AS gh
-            FROM base, unnest(range(0, len(t) - 24)) AS r(i)
-            WHERE len(t) >= 25
-        ),
-        dup AS (
-            SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
-            GROUP BY gh HAVING count(*) >= 2
-        ),
-        dstart AS (SELECT doc_id, pos0 FROM g JOIN dup USING (gh)),
-        toks AS (
-            SELECT doc_id, r.i AS i, t[r.i + 1] AS tok
-            FROM base, unnest(range(0, len(t))) AS r(i)
-        ),
-        dropped AS (
-            SELECT DISTINCT tk.doc_id, tk.i
-            FROM toks tk JOIN dstart d
-              ON tk.doc_id = d.doc_id
-             AND tk.i >= d.pos0 AND tk.i < d.pos0 + 25
-        ),
-        kept AS (
-            SELECT tk.doc_id, tk.i, tk.tok
-            FROM toks tk
-            WHERE NOT EXISTS (
-                SELECT 1 FROM dropped dr
-                WHERE dr.doc_id = tk.doc_id AND dr.i = tk.i
-            )
-        ),
-        agg AS (
-            SELECT doc_id,
-                   string_agg(tok, ' ' ORDER BY i) AS text_clean,
-                   count(*) AS n_kept
-            FROM kept GROUP BY doc_id
-        )
-        SELECT b.doc_id,
-               coalesce(a.text_clean, '') AS text_clean,
-               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
-               CAST(len(b.t) - coalesce(a.n_kept, 0) AS BIGINT)
-                   AS n_dropped
-        FROM base b LEFT JOIN agg a USING (doc_id)
-    """,
+    # oracles generated by _substring_sql (remove-everywhere and the
+    # keep-first canonical-occurrence policy)
+    "substring_dedup": _substring_sql(False),
+    "substring_keep_first": _substring_sql(True),
     "web_curation": """
         WITH injected AS (
             SELECT doc_id,

@@ -408,7 +408,10 @@ def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
 
 
 def substring_dedup(
-    df: DataFrame, min_len: int = 50, min_df: int = 2
+    df: DataFrame,
+    min_len: int = 50,
+    min_df: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact substring deduplication (Lee et al. '21, "Deduplicating
     Training Data Makes Language Models Better", ExactSubstr): remove
@@ -425,12 +428,20 @@ def substring_dedup(
     shared ``min_len``-gram start positions, so flagging every start
     whose L-gram has document frequency >= min_df and dropping the
     union of [start, start+L) covers every shared span of ANY length
-    >= L with no false positives. Divergence from Lee et al.: they keep
-    ONE occurrence (suffix-array order); this removes the span from
-    EVERY document — the same remove-everywhere policy as
-    ``line_dedup`` (a keep-one rule needs a global min-(doc_id,pos) per
-    duplicated gram, which partially-overlapping runs make ambiguous;
-    remove-everywhere is deterministic and order-free).
+    >= L with no false positives. Two policies:
+
+    - ``keep_first=False`` (default): the span is removed from EVERY
+      document — the same remove-everywhere policy as ``line_dedup``.
+    - ``keep_first=True``: Lee et al.'s keep-one semantics via a
+      deterministic per-gram canonical occurrence — the lexicographic
+      min (doc_id, pos) of each duplicated gram survives, every other
+      occurrence drops. For whole shared spans the canonical picks of
+      all the span's grams coincide (same min doc, consecutive
+      positions), so exactly one document keeps the span. Caveat
+      (documented, deterministic): if the canonical DOC itself has a
+      different duplicated span overlapping this one, the overlap
+      region can still drop there — span-level "one occurrence" is
+      only gram-wise well-defined under partial overlaps.
 
     Scale shape — NO pairwise join anywhere (unlike the Jaccard family
     this op never compares documents to each other): positioned L-gram
@@ -471,9 +482,22 @@ def substring_dedup(
         .filter(F.col("g_df") >= min_df)
         .select("gh")
     )
+    occ = grams.join(dup_gh, "gh")
+    if keep_first:
+        # canonical occurrence per gram: lexicographic min (doc, pos)
+        # via a struct min — one hash-agg over the (small) duplicated-
+        # occurrence relation, no window sort
+        canon = occ.groupBy("gh").agg(
+            F.min(F.struct("doc_id", "pos0")).alias("c")
+        )
+        occ = occ.join(canon, "gh").filter(
+            ~(
+                (F.col("doc_id") == F.col("c.doc_id"))
+                & (F.col("pos0") == F.col("c.pos0"))
+            )
+        )
     starts = (
-        grams.join(dup_gh, "gh")
-        .groupBy("doc_id")
+        occ.groupBy("doc_id")
         .agg(F.collect_list("pos0").alias("starts"))
     )
     # in-row rebuild: sorted duplicate starts fold into disjoint

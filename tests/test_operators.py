@@ -525,6 +525,30 @@ def test_substring_dedup_interval_merge_and_min_df(spark):
     assert kept[0].n_dropped == 0 and kept[1].n_dropped == 0
 
 
+def test_substring_dedup_keep_first_canonical_survives(spark):
+    """Lee et al. keep-one policy: the lexicographic-min occurrence of
+    each duplicated span survives; all other carriers lose it."""
+    from ocr_spark.operators.dedup import substring_dedup
+
+    span = " ".join(f"w{i}" for i in range(12))
+    docs = _docs(
+        spark,
+        [
+            "alpha " + span + " omega",      # doc 0: canonical carrier
+            "start " + span + " end",        # doc 1: loses the span
+            span,                            # doc 2: loses the span
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in substring_dedup(docs, min_len=10, keep_first=True).collect()
+    }
+    assert out[0].n_dropped == 0, "canonical occurrence survives"
+    assert out[0].text_clean == "alpha " + span + " omega"
+    assert out[1].text_clean == "start end" and out[1].n_dropped == 12
+    assert out[2].text_clean == "" and out[2].n_dropped == 12
+
+
 def _ref_substring_dedup(docs, min_len, min_df=2):
     """Independent pure-Python reference (set/tuple based — shares no
     code or representation with the Spark md5/array-expr path)."""
