@@ -213,6 +213,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "domain_mix",
         "dsir_select",
         "unigram_logprob",
+        "ccnet_buckets",
         "bigram_logprob",
         "pmi_bigrams",
         "kmv_distinct",

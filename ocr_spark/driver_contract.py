@@ -893,6 +893,35 @@ def q_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. '19 §4.3): the
+    corpus splits into head/middle/tail quality terciles by LM score
+    (head = most fluent). Thresholds are exact corpus percentiles
+    (== ANSI percentile_cont, the group_quantiles portability
+    argument), rounded 4dp on both engines, broadcast onto the scored
+    docs — one extra single-row agg over unigram_logprob's plan."""
+    lp = X.unigram_logprob(load(spark, sf_dir, "documents"))
+    thr = lp.agg(
+        F.expr(
+            "percentile(avg_logprob, array(0.3333, 0.6667))"
+        ).alias("q")
+    )
+    return lp.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(
+            F.col("avg_logprob") >= F.round(F.element_at("q", 2), 4),
+            F.lit("head"),
+        )
+        .when(
+            F.col("avg_logprob") >= F.round(F.element_at("q", 1), 4),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR data selection (Xie et al. '23): top-100 raw docs by
     importance log-weight + deterministic Gumbel noise, target domain
@@ -1293,6 +1322,7 @@ QUERIES: dict[str, Callable] = {
     "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
     "dsir_select": q_dsir_select,
+    "ccnet_buckets": q_ccnet_buckets,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
     "winnow": q_winnow,
@@ -2232,6 +2262,35 @@ ORACLES: dict[str, str] = {
                     ELSE round(7.0 / greatest(k.u, 1.0 / 4294967296.0), 4)
                END AS est_distinct
         FROM counts c LEFT JOIN kth k ON c.grp = k.grp
+    """,
+    # mirrors q_ccnet_buckets: unigram LM score -> corpus terciles
+    # (quantile_cont == Spark exact percentile), thresholds rounded 4dp
+    # both engines before the comparison
+    "ccnet_buckets": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+        tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+        lpt AS (SELECT term, ln(tf / t) AS logp FROM tf, tot),
+        lp AS (
+            SELECT doc_id, round(sum(logp) / count(*), 4) AS avg_logprob
+            FROM toks JOIN lpt USING (term)
+            GROUP BY doc_id
+        ),
+        thr AS (
+            SELECT round(quantile_cont(avg_logprob, 0.3333), 4) AS q1,
+                   round(quantile_cont(avg_logprob, 0.6667), 4) AS q2
+            FROM lp
+        )
+        SELECT doc_id, avg_logprob,
+               CASE WHEN avg_logprob >= q2 THEN 'head'
+                    WHEN avg_logprob >= q1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM lp, thr
     """,
     "unigram_logprob": """
         WITH toks AS (
