@@ -217,6 +217,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "bigram_logprob",
         "pmi_bigrams",
         "kmv_distinct",
+        "pack_conversations",
         "winnow",
         "winnow_pairs",
         "winnow_verified",

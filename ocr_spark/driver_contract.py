@@ -893,6 +893,19 @@ def q_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_pack_conversations(spark, sf_dir):
+    """Conversation-aware greedy packing over synthesized transcript
+    structure (conv_id = doc_id div 10, turn order = doc_id % 10):
+    whole turns only, fresh chunk per conversation, exact greedy fill
+    at 300 tokens — value-pinned against a recursive-CTE oracle."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 10").alias("conv_id"),
+        (F.col("doc_id") % 10).alias("turn_idx"),
+        "text",
+    )
+    return X.pack_conversations(docs, max_tokens=300)
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. '19 §4.3): the
     corpus splits into head/middle/tail quality terciles by LM score
@@ -1323,6 +1336,7 @@ QUERIES: dict[str, Callable] = {
     "url_curation": q_url_curation,
     "dsir_select": q_dsir_select,
     "ccnet_buckets": q_ccnet_buckets,
+    "pack_conversations": q_pack_conversations,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
     "winnow": q_winnow,
@@ -1335,8 +1349,6 @@ QUERIES: dict[str, Callable] = {
     "repetition": q_repetition,
     "redact_pii": q_redact_pii,
     "quality_score": q_quality_score,
-    "token_count": q_token_count,
-    "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1350,6 +1362,8 @@ QUERIES: dict[str, Callable] = {
     "window_turn_order": q_window_turn_order,
     "anti_join_resume": q_anti_join_resume,
     "override_join": q_override_join,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
     "token_count_bpe": q_token_count_bpe,
     "lang_id": q_lang_id,
     "stratified_sample": q_stratified_sample,
@@ -2262,6 +2276,40 @@ ORACLES: dict[str, str] = {
                     ELSE round(7.0 / greatest(k.u, 1.0 / 4294967296.0), 4)
                END AS est_distinct
         FROM counts c LEFT JOIN kth k ON c.grp = k.grp
+    """,
+    # mirrors textops.pack_conversations (max_tokens=300) over the
+    # synthesized conv structure: the greedy fold as a recursive CTE
+    # (chunk/fill state propagated turn by turn within each conv)
+    "pack_conversations": """
+        WITH RECURSIVE t0 AS (
+            SELECT doc_id // 10 AS conv_id, doc_id % 10 AS turn_idx,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                   END AS n
+            FROM documents
+        ),
+        t AS (
+            SELECT conv_id, turn_idx, n,
+                   row_number() OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS rn
+            FROM t0
+        ),
+        pack AS (
+            SELECT conv_id, rn, turn_idx, n, 0 AS chunk, n AS fill
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.conv_id, t.rn, t.turn_idx, t.n,
+                   CASE WHEN p.fill + t.n > 300
+                        THEN p.chunk + 1 ELSE p.chunk END,
+                   CASE WHEN p.fill + t.n > 300
+                        THEN t.n ELSE p.fill + t.n END
+            FROM pack p JOIN t
+              ON t.conv_id = p.conv_id AND t.rn = p.rn + 1
+        )
+        SELECT conv_id, turn_idx, CAST(n AS BIGINT) AS n_tokens,
+               CAST(chunk AS BIGINT) AS chunk_idx
+        FROM pack
     """,
     # mirrors q_ccnet_buckets: unigram LM score -> corpus terciles
     # (quantile_cont == Spark exact percentile), thresholds rounded 4dp

@@ -643,6 +643,69 @@ def with_gopher_rules(
     )
 
 
+def pack_conversations(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Conversation-aware sequence packing — the transcript twin of
+    :func:`pack_sequences`: turns stay in ``idx_col`` order, chunks
+    break ONLY at turn boundaries (no mid-turn truncation), every
+    conversation starts a fresh chunk (no cross-conversation
+    contamination inside a training sequence — the multi-turn-SFT
+    packing rule), and the fill rule is EXACT GREEDY: a turn that
+    would push the running chunk past ``max_tokens`` starts the next
+    chunk; a single oversized turn still gets a chunk of its own.
+
+    Greedy reset-packing is sequentially stateful, which a window
+    cumsum cannot express (``pack_sequences``' offset arithmetic can
+    overshoot the cap mid-item; fine for documents, wrong for "whole
+    turns only"). Conversations are BOUNDED (thousands of turns, not
+    billions), so each one folds IN-ROW: sort_array over the collected
+    (turn_idx, n_tokens) structs, then one ``aggregate`` carrying
+    (chunk, fill, assignments). One shuffle keyed by conv_id; the fold
+    is linear per conversation. Whale caveat: a conversation's turn
+    list must fit in one row (the same bound the salting design
+    documents); the DuckDB oracle mirrors the fold with a recursive
+    CTE, so the greedy semantics are value-pinned, not just eyeballed.
+
+    Returns (conv_id, turn_idx, n_tokens, chunk_idx).
+    """
+    turns = with_token_count(df).groupBy(conv_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(idx_col).cast("int").alias("i"),
+                    F.col("n_tokens").cast("int").alias("n"),
+                )
+            )
+        ).alias("ts")
+    )
+    fold = (
+        f"aggregate(ts, "
+        f"struct(CAST(0 AS INT) AS chunk, CAST(0 AS BIGINT) AS fill, "
+        f"CAST(array() AS ARRAY<STRUCT<i:INT, n:INT, c:INT>>) AS acc), "
+        f"(s, t) -> IF(s.fill > 0 AND s.fill + t.n > {max_tokens}, "
+        f"struct(s.chunk + 1 AS chunk, CAST(t.n AS BIGINT) AS fill, "
+        f"concat(s.acc, array(struct(t.i AS i, t.n AS n, "
+        f"s.chunk + 1 AS c))) AS acc), "
+        f"struct(s.chunk AS chunk, s.fill + t.n AS fill, "
+        f"concat(s.acc, array(struct(t.i AS i, t.n AS n, "
+        f"s.chunk AS c))) AS acc)), "
+        f"s -> s.acc)"
+    )
+    return (
+        turns.select(conv_col, F.explode(F.expr(fold)).alias("a"))
+        .select(
+            conv_col,
+            F.col("a.i").cast("long").alias(idx_col),
+            F.col("a.n").cast("long").alias("n_tokens"),
+            F.col("a.c").cast("long").alias("chunk_idx"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 2048,

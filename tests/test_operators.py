@@ -436,6 +436,37 @@ def test_line_dedup_max_df_threshold(spark):
     assert out[1] == "twice shared\nb1"
 
 
+def test_pack_conversations_greedy_turn_boundaries(spark):
+    """Exact greedy conversation packing: whole turns only, a turn
+    that would overflow starts the next chunk, an oversized single
+    turn gets its own chunk, and every conversation starts fresh."""
+    from ocr_spark.operators.textops import pack_conversations
+
+    rows = [
+        ("c1", 0, "a b c"),                  # 3 -> chunk 0 (fill 3)
+        ("c1", 1, "d e f g"),                # 4 -> chunk 0 (fill 7)
+        ("c1", 2, "h i j k"),                # 7+4 > 8 -> chunk 1
+        ("c1", 3, " ".join(["x"] * 10)),     # oversized -> chunk 2 alone
+        ("c1", 4, "y"),                      # 10+1 > 8 -> chunk 3
+        ("c2", 0, "solo turn"),              # fresh conv -> chunk 0
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, text string"
+    )
+    out = sorted(
+        (r.conv_id, r.turn_idx, r.n_tokens, r.chunk_idx)
+        for r in pack_conversations(df, max_tokens=8).collect()
+    )
+    assert out == [
+        ("c1", 0, 3, 0),
+        ("c1", 1, 4, 0),
+        ("c1", 2, 4, 1),
+        ("c1", 3, 10, 2),
+        ("c1", 4, 1, 3),
+        ("c2", 0, 2, 0),
+    ]
+
+
 def test_url_canonicalize_merges_variants(spark):
     """Scheme case, www, default port, param order, tracking params,
     fragments, and trailing slashes all collapse to one canonical key;
