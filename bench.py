@@ -199,6 +199,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "override_join",
         "dedup_exact",
         "dedup_keep_best",
+        "conv_dedup",
         "line_dedup",
         "substring_dedup",
         "decontaminate",

@@ -893,6 +893,24 @@ def q_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_conv_dedup(spark, sf_dir):
+    """Whole-conversation exact dedup over synthesized transcript
+    structure, exercised for real: ws-mangled UPPERCASED copies of the
+    first 5 conversations are unioned in (same canonical turn
+    sequence), so those groups must collapse onto the original ids."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 10").alias("conv_id"),
+        (F.col("doc_id") % 10).alias("turn_idx"),
+        "text",
+    )
+    dups = docs.filter(F.col("conv_id") < 5).select(
+        (F.col("conv_id") + 100000).alias("conv_id"),
+        "turn_idx",
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    return D.conv_dedup(docs.unionByName(dups))
+
+
 def q_pack_conversations(spark, sf_dir):
     """Conversation-aware greedy packing over synthesized transcript
     structure (conv_id = doc_id div 10, turn order = doc_id % 10):
@@ -1337,6 +1355,7 @@ QUERIES: dict[str, Callable] = {
     "dsir_select": q_dsir_select,
     "ccnet_buckets": q_ccnet_buckets,
     "pack_conversations": q_pack_conversations,
+    "conv_dedup": q_conv_dedup,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
     "winnow": q_winnow,
@@ -2276,6 +2295,32 @@ ORACLES: dict[str, str] = {
                     ELSE round(7.0 / greatest(k.u, 1.0 / 4294967296.0), 4)
                END AS est_distinct
         FROM counts c LEFT JOIN kth k ON c.grp = k.grp
+    """,
+    # mirrors dedup.conv_dedup over the synthesized conv structure +
+    # the mangled duplicate conversations the driver query unions in
+    "conv_dedup": """
+        WITH turns AS (
+            SELECT doc_id // 10 AS conv_id, doc_id % 10 AS turn_idx,
+                   text
+            FROM documents
+            UNION ALL
+            SELECT doc_id // 10 + 100000, doc_id % 10,
+                   upper(replace(text, ' ', '  '))
+            FROM documents WHERE doc_id // 10 < 5
+        ),
+        canon AS (
+            SELECT conv_id, turn_idx,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS c
+            FROM turns
+        ),
+        fps AS (
+            SELECT conv_id,
+                   md5(string_agg(c, chr(10) ORDER BY turn_idx)) AS fp
+            FROM canon GROUP BY conv_id
+        )
+        SELECT fp, min(conv_id) AS keep_conv, count(*) AS n_dups
+        FROM fps GROUP BY fp
     """,
     # mirrors textops.pack_conversations (max_tokens=300) over the
     # synthesized conv structure: the greedy fold as a recursive CTE

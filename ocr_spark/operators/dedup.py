@@ -83,6 +83,59 @@ def dedup_keep_best(
     )
 
 
+def conv_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-CONVERSATION exact dedup — the transcript-granularity
+    member of the dedup family (turn-level = ``dedup_turns``,
+    document-level = ``exact_dedup``): two conversations are duplicates
+    when their turn sequences are ws/case-canonically equal in turn
+    order.
+
+    Fingerprint = md5 of the per-turn canonical forms (lowercased,
+    whitespace collapsed — the ``with_fingerprint`` convention) joined
+    with ``\\n`` in ``idx_col`` order. Canonical turn text contains no
+    newlines (the ws-collapse replaced them), so the separator is
+    unambiguous. Order comes from ``sort_array`` over collected
+    (idx, canon) structs — ``collect_list`` alone is
+    partition-order-nondeterministic and would break both determinism
+    and the oracle.
+
+    Returns (fp, keep_conv, n_dups): min conv id survives. One
+    conversation-keyed shuffle + one fingerprint-keyed hash-agg, both
+    map-side-partial; the in-row join is conversation-bounded (the
+    ``pack_conversations`` whale caveat applies).
+    """
+    canon = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+    )
+    fps = df.groupBy(conv_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(idx_col).cast("long").alias("i"),
+                                canon.alias("c"),
+                            )
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                "\n",
+            )
+        ).alias("fp")
+    )
+    return fps.groupBy("fp").agg(
+        F.min(conv_col).alias("keep_conv"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
 def _with_shingles(df: DataFrame, n: int) -> DataFrame:
     """doc_id + exploded distinct word n-gram shingles."""
     toks = _ensure_parallelism(df).select(

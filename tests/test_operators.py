@@ -436,6 +436,25 @@ def test_line_dedup_max_df_threshold(spark):
     assert out[1] == "twice shared\nb1"
 
 
+def test_conv_dedup_order_and_canonical_equality(spark):
+    """Whole-conversation dedup: same turns in the same ORDER (after
+    ws/case canonicalization) collapse; same turns in a different
+    order do NOT; turn-text boundaries stay distinct."""
+    from ocr_spark.operators.dedup import conv_dedup
+
+    rows = [
+        ("a", 0, "Hello there"), ("a", 1, "General reply"),
+        ("b", 0, "  hello   THERE "), ("b", 1, "general  reply"),
+        ("c", 0, "General reply"), ("c", 1, "Hello there"),  # reordered
+        ("d", 0, "Hello there General reply"),  # one merged turn
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, text string"
+    )
+    out = {r.keep_conv: r.n_dups for r in conv_dedup(df).collect()}
+    assert out == {"a": 2, "c": 1, "d": 1}
+
+
 def test_pack_conversations_greedy_turn_boundaries(spark):
     """Exact greedy conversation packing: whole turns only, a turn
     that would overflow starts the next chunk, an oversized single
