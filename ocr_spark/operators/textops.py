@@ -253,8 +253,12 @@ def dsir_logweights(
     counts_t = feats_t.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_t")
     )
-    tot_r = feats_r.agg(F.count(F.lit(1)).alias("tr"))
-    tot_t = feats_t.agg(F.count(F.lit(1)).alias("tt"))
+    # totals derive from the (n_buckets-sized) count tables, NOT from
+    # another pass over the corpus feature stream — the raw stream
+    # already has two consumers (its own counts + the scoring join),
+    # and each extra consumer re-executes the tokenize/explode map
+    tot_r = counts_r.agg(F.sum("c_r").alias("tr"))
+    tot_t = counts_t.agg(F.sum("c_t").alias("tt"))
     denom = float(alpha) * n_buckets
     ratio = (
         counts_r.join(counts_t, "bucket", "left")
