@@ -930,7 +930,15 @@ def q_ccnet_buckets(spark, sf_dir):
     (head = most fluent). Thresholds are exact corpus percentiles
     (== ANSI percentile_cont, the group_quantiles portability
     argument), rounded 4dp on both engines, broadcast onto the scored
-    docs — one extra single-row agg over unigram_logprob's plan."""
+    docs — one extra single-row agg over unigram_logprob's plan.
+
+    Scale note (same escape group_quantiles documents): Spark's exact
+    ``percentile`` buffers the group's values, and here the group is
+    the WHOLE corpus — fine at gate scale, an aggregation-buffer blowup
+    at 10^9 docs. At scale swap in ``approx_percentile`` (t-digest
+    sketch, mergeable, bounded memory) and drop the oracle equality
+    claim for the two threshold constants; the bucket-assignment logic
+    is unchanged."""
     lp = X.unigram_logprob(load(spark, sf_dir, "documents"))
     thr = lp.agg(
         F.expr(
