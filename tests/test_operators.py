@@ -436,6 +436,35 @@ def test_line_dedup_max_df_threshold(spark):
     assert out[1] == "twice shared\nb1"
 
 
+def test_pack_conversations_randomized_vs_reference(spark):
+    """Randomized greedy-packing equivalence: 30 seeded conversations
+    with adversarial token counts (incl. oversized turns and exact-fit
+    boundaries) vs an independent pure-Python greedy fold, one Spark
+    round."""
+    import random
+
+    from ocr_spark.operators.textops import pack_conversations
+
+    max_tokens, rows, expected = 17, [], {}
+    for c in range(30):
+        rng = random.Random(3000 + c)
+        chunk = fill = 0
+        for i in range(rng.randint(1, 15)):
+            n = rng.choice([1, 2, 5, 8, 16, 17, 18, 25])
+            if fill > 0 and fill + n > max_tokens:
+                chunk, fill = chunk + 1, n
+            else:
+                fill += n
+            rows.append((c, i, " ".join(["w"] * n)))
+            expected[(c, i)] = (n, chunk)
+    df = spark.createDataFrame(rows, "conv_id long, turn_idx long, text string")
+    got = {
+        (r.conv_id, r.turn_idx): (r.n_tokens, r.chunk_idx)
+        for r in pack_conversations(df, max_tokens=max_tokens).collect()
+    }
+    assert got == expected
+
+
 def test_conv_dedup_order_and_canonical_equality(spark):
     """Whole-conversation dedup: same turns in the same ORDER (after
     ws/case canonicalization) collapse; same turns in a different

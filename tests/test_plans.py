@@ -291,6 +291,20 @@ def test_dsir_broadcasts_ratio_and_take_ordered(spark, sf001_dir):
     assert "rangepartitioning" not in plan
 
 
+def test_conv_ops_single_shuffle_no_join(spark, sf001_dir):
+    # both conversation ops are one conv-keyed shuffle + in-row folds
+    # (+ conv_dedup's fingerprint agg); no join, no window sort, no
+    # rangepartitioning anywhere
+    from ocr_spark.driver_contract import QUERIES
+
+    for key in ("pack_conversations", "conv_dedup"):
+        plan = _formatted(QUERIES[key](spark, sf001_dir))
+        tree = _tree(plan)
+        assert "Join" not in tree, key
+        assert "rangepartitioning" not in plan, key
+        assert tree.count("Exchange") <= 2, key
+
+
 def test_winnow_is_map_only(spark, sf001_dir):
     # winnowing is doc-local: the only Exchange allowed is the
     # single-file parallelism-guard repartition — no aggregation
