@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--input-format",
         default="parquet",
-        choices=("parquet", "json", "jsonl", "csv"),
+        choices=("parquet", "orc", "json", "jsonl", "csv"),
         help="transcript wire format (json = JSONL; csv needs a header)",
     )
     ap.add_argument(

@@ -56,8 +56,8 @@ def read_transcripts(
     fmt: str = "parquet",
     dedup: bool = False,
 ) -> DataFrame:
-    """Typed transcript source for the three wire formats agent logs
-    arrive in: parquet (native), JSONL, headered CSV. JSON/CSV are read
+    """Typed transcript source for the wire formats agent logs arrive
+    in: parquet (native), ORC, JSONL, headered CSV. JSON/CSV are read
     WITH the TRANSCRIPTS schema (no inference pass over 100 TB; bad
     rows null out instead of failing the scan — the row-preserving
     error-channel philosophy at ingest). ``dedup=True`` applies the
@@ -68,6 +68,10 @@ def read_transcripts(
 
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        # ORC ships in Spark's default distribution (unlike Avro) —
+        # columnar with predicate pushdown, same scale class as parquet
+        df = spark.read.orc(path)
     elif fmt in ("json", "jsonl"):
         df = (
             spark.read.schema(TRANSCRIPTS)
@@ -96,7 +100,7 @@ def read_transcripts(
     else:
         raise ValueError(f"unknown transcript format {fmt!r}")
     df = df.select(*[f.name for f in TRANSCRIPTS.fields])
-    if fmt != "parquet":
+    if fmt not in ("parquet", "orc"):
         # CSV cannot distinguish '' from null (and JSON rows may omit
         # the field); TRANSCRIPTS declares text non-null, so ingest
         # enforces it — empty payloads flow to the error channel

@@ -40,6 +40,18 @@ def test_jsonl_and_csv_match_parquet(spark, tiny_transcripts, tmp_path):
         pd.testing.assert_frame_equal(got, base, check_dtype=False)
 
 
+def test_orc_roundtrip_matches_parquet(spark, tiny_transcripts, tmp_path):
+    """ORC source (Spark-bundled columnar, the second scale-class
+    format): write the parquet rows out as ORC, read via the typed
+    source, rows identical."""
+    pq, _, _ = _write_all_formats(tiny_transcripts, tmp_path)
+    orc_dir = str(tmp_path / "orc")
+    base_df = read_transcripts(spark, pq, "parquet")
+    base_df.write.orc(orc_dir)
+    got = _canon(read_transcripts(spark, orc_dir, "orc"))
+    pd.testing.assert_frame_equal(got, _canon(base_df), check_dtype=False)
+
+
 def test_ingest_dedup_drops_duplicate_turns(spark, tiny_transcripts, tmp_path):
     d = tmp_path / "dup"
     d.mkdir()
