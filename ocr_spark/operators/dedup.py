@@ -112,7 +112,7 @@ def conv_dedup(
     canon = F.regexp_replace(
         F.lower(F.trim(F.col(text_col))), r"\s+", " "
     )
-    fps = df.groupBy(conv_col).agg(
+    fps = _ensure_parallelism(df).groupBy(conv_col).agg(
         F.md5(
             F.array_join(
                 F.transform(

@@ -676,7 +676,7 @@ def pack_conversations(
 
     Returns (conv_id, turn_idx, n_tokens, chunk_idx).
     """
-    turns = with_token_count(df).groupBy(conv_col).agg(
+    turns = with_token_count(_ensure_parallelism(df)).groupBy(conv_col).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
