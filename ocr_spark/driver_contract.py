@@ -2323,8 +2323,11 @@ ORACLES: dict[str, str] = {
             FROM turns
         ),
         fps AS (
+            -- tie-break on c mirrors sort_array over (idx, canon)
+            -- structs: duplicate turn_idx rows concatenate in a
+            -- deterministic order on both engines
             SELECT conv_id,
-                   md5(string_agg(c, chr(10) ORDER BY turn_idx)) AS fp
+                   md5(string_agg(c, chr(10) ORDER BY turn_idx, c)) AS fp
             FROM canon GROUP BY conv_id
         )
         SELECT fp, min(conv_id) AS keep_conv, count(*) AS n_dups
@@ -2352,10 +2355,12 @@ ORACLES: dict[str, str] = {
             SELECT conv_id, rn, turn_idx, n, 0 AS chunk, n AS fill
             FROM t WHERE rn = 1
             UNION ALL
+            -- fill > 0 guard mirrors the Spark fold: a chunk opened by
+            -- zero-token turns absorbs even an oversized next turn
             SELECT t.conv_id, t.rn, t.turn_idx, t.n,
-                   CASE WHEN p.fill + t.n > 300
+                   CASE WHEN p.fill > 0 AND p.fill + t.n > 300
                         THEN p.chunk + 1 ELSE p.chunk END,
-                   CASE WHEN p.fill + t.n > 300
+                   CASE WHEN p.fill > 0 AND p.fill + t.n > 300
                         THEN t.n ELSE p.fill + t.n END
             FROM pack p JOIN t
               ON t.conv_id = p.conv_id AND t.rn = p.rn + 1
@@ -2517,7 +2522,9 @@ ORACLES: dict[str, str] = {
                    array_to_string(list_sort(list_filter(
                        string_split(query, '&'),
                        x -> x <> '' AND NOT starts_with(x, 'utm_')
+                            AND x <> 'fbclid'
                             AND NOT starts_with(x, 'fbclid=')
+                            AND x <> 'gclid'
                             AND NOT starts_with(x, 'gclid='))), '&') AS q
             FROM parts
         ),
@@ -2567,7 +2574,13 @@ ORACLES: dict[str, str] = {
         tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM uni),
         prob AS (
             SELECT cab.term_a, cab.term_b,
-                   ln(0.7 * (c_ab / c_left) + 0.3 * (c / tt)) AS logp
+                   -- (1.0 - 0.7) NOT the literal 0.3: Python's
+                   -- 1.0 - 0.7 is 0x3FD3333333333334 (one ulp above
+                   -- the 0.3 literal) and the operator uses
+                   -- F.lit(1.0 - lam); both engines must compute the
+                   -- SAME IEEE subtraction
+                   ln(0.7 * (c_ab / c_left) + (1.0 - 0.7) * (c / tt))
+                       AS logp
             FROM cab JOIN cleft USING (term_a)
             JOIN uni ON uni.term = cab.term_b, tot
         )

@@ -378,6 +378,7 @@ def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
     DRAM-bandwidth-bound on the 2->8 core pair (BENCH/scaling_ops.py);
     this formulation moves ~32 bytes per line plus the dropped lists.
     """
+    df = _ensure_parallelism(df)
     lines = df.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     ).select("doc_id", "pos", F.trim("line").alias("lnorm"))

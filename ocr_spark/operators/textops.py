@@ -48,6 +48,30 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _bigram_stream(arr: DataFrame, *keys: str) -> DataFrame:
+    """Adjacent-token bigram stream ``(*keys, term_a, term_b)`` from a
+    relation carrying a token-array column ``t`` — shared by
+    ``pmi_bigrams``, ``bigram_logprob`` and ``_dsir_features`` so the
+    bigram definition cannot silently diverge between them. The
+    size >= 2 filter is SEMANTIC, not an optimization: Spark's
+    ``sequence(1, 0)`` is a DESCENDING [1, 0], not an empty array.
+    Pairs containing an empty token drop."""
+    return (
+        arr.filter(F.size("t") >= 2)
+        .select(
+            *keys,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS term_a, t[i] AS term_b))"
+                )
+            ).alias("bg"),
+        )
+        .select(*keys, "bg.term_a", "bg.term_b")
+        .filter((F.col("term_a") != "") & (F.col("term_b") != ""))
+    )
+
+
 def with_token_count(df: DataFrame) -> DataFrame:
     """n_tokens per document (whitespace tokenizer)."""
     return df.withColumn(
@@ -192,21 +216,8 @@ def _dsir_features(df: DataFrame, n_buckets: int) -> DataFrame:
     uni = arr.select("doc_id", F.explode("t").alias("f")).filter(
         F.col("f") != ""
     )
-    big = (
-        arr.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), "
-                    "i -> struct(t[i-1] AS a, t[i] AS b))"
-                )
-            ).alias("bg"),
-        )
-        .filter((F.col("bg.a") != "") & (F.col("bg.b") != ""))
-        .select(
-            "doc_id", F.concat_ws(" ", "bg.a", "bg.b").alias("f")
-        )
+    big = _bigram_stream(arr, "doc_id").select(
+        "doc_id", F.concat_ws(" ", "term_a", "term_b").alias("f")
     )
     return uni.unionByName(big).select(
         "doc_id",
@@ -420,21 +431,7 @@ def bigram_logprob(df: DataFrame, lam: float = 0.7) -> DataFrame:
     arr = _ensure_parallelism(df).select(
         "doc_id", F.expr(TOKENS_LC).alias("t")
     )
-    # size >= 2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0]
-    big = (
-        arr.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), "
-                    "i -> struct(t[i-1] AS term_a, t[i] AS term_b))"
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", "bg.term_a", "bg.term_b")
-        .filter((F.col("term_a") != "") & (F.col("term_b") != ""))
-    )
+    big = _bigram_stream(arr, "doc_id")
     cab = big.groupBy("term_a", "term_b").agg(
         F.count(F.lit(1)).alias("c_ab")
     )
@@ -490,21 +487,7 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
     Returns (term_a, term_b, c_ab, pmi, rank).
     """
     arr = _ensure_parallelism(df).select(F.expr(TOKENS_LC).alias("t"))
-    # size >= 2 guard is semantic, not just an optimization: Spark's
-    # sequence(1, 0) produces a DESCENDING [1, 0], not an empty array.
-    big = (
-        arr.filter(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), "
-                    "i -> struct(t[i-1] AS term_a, t[i] AS term_b))"
-                )
-            ).alias("bg")
-        )
-        .select("bg.term_a", "bg.term_b")
-        .filter((F.col("term_a") != "") & (F.col("term_b") != ""))
-    )
+    big = _bigram_stream(arr)
     cab = big.groupBy("term_a", "term_b").agg(
         F.count(F.lit(1)).alias("c_ab")
     )
@@ -686,21 +669,29 @@ def pack_conversations(
             )
         ).alias("ts")
     )
+    # the accumulator appends ONE INT per turn (chunk id, positionally
+    # aligned with ts) and the (idx, n) payload zips back afterwards:
+    # concat copies the accumulator each step, so the fold is O(turns^2)
+    # in copied ELEMENTS either way — ints keep the constant ~an order
+    # of magnitude below the previous 3-field-struct accumulator (a
+    # 10k-turn whale copies ~50M ints, not 150M struct fields)
     fold = (
         f"aggregate(ts, "
         f"struct(CAST(0 AS INT) AS chunk, CAST(0 AS BIGINT) AS fill, "
-        f"CAST(array() AS ARRAY<STRUCT<i:INT, n:INT, c:INT>>) AS acc), "
+        f"CAST(array() AS ARRAY<INT>) AS acc), "
         f"(s, t) -> IF(s.fill > 0 AND s.fill + t.n > {max_tokens}, "
         f"struct(s.chunk + 1 AS chunk, CAST(t.n AS BIGINT) AS fill, "
-        f"concat(s.acc, array(struct(t.i AS i, t.n AS n, "
-        f"s.chunk + 1 AS c))) AS acc), "
+        f"concat(s.acc, array(s.chunk + 1)) AS acc), "
         f"struct(s.chunk AS chunk, s.fill + t.n AS fill, "
-        f"concat(s.acc, array(struct(t.i AS i, t.n AS n, "
-        f"s.chunk AS c))) AS acc)), "
+        f"concat(s.acc, array(s.chunk)) AS acc)), "
         f"s -> s.acc)"
     )
+    assign = (
+        f"zip_with(ts, {fold}, "
+        f"(t, c) -> struct(t.i AS i, t.n AS n, c AS c))"
+    )
     return (
-        turns.select(conv_col, F.explode(F.expr(fold)).alias("a"))
+        turns.select(conv_col, F.explode(F.expr(assign)).alias("a"))
         .select(
             conv_col,
             F.col("a.i").cast("long").alias(idx_col),

@@ -47,10 +47,15 @@ def _canonical_parts(url_col: str) -> tuple[Column, Column, Column]:
         F.array_sort(
             F.filter(
                 F.split(query, "&"),
+                # fbclid/gclid match with OR without '=': a valueless
+                # '?fbclid' is the same tracking noise and must not
+                # split dedup groups (utm_ is a prefix family already)
                 lambda x: (
                     (x != "")
                     & ~x.startswith("utm_")
+                    & (x != "fbclid")
                     & ~x.startswith("fbclid=")
+                    & (x != "gclid")
                     & ~x.startswith("gclid=")
                 ),
             )
@@ -110,4 +115,8 @@ def domain_filter(
             | (F.col("host") == d)
             | F.col("host").endswith("." + d)
         )
-    return out.withColumn("blocked", pred)
+    # coalesce: a NULL url makes host NULL and `false OR NULL` is NULL,
+    # which a `filter(~blocked)` materialization would silently drop —
+    # breaking the rows-never-dropped contract; NULL urls are not
+    # blocked, they are just unmatchable
+    return out.withColumn("blocked", F.coalesce(pred, F.lit(False)))

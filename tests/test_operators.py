@@ -436,6 +436,27 @@ def test_line_dedup_max_df_threshold(spark):
     assert out[1] == "twice shared\nb1"
 
 
+def test_pack_conversations_zero_token_turn_edge(spark):
+    """The fill>0 guard both engines share: a chunk opened by
+    zero-token turns absorbs even an oversized next turn (fill==0
+    never forces a break)."""
+    from ocr_spark.operators.textops import pack_conversations
+
+    rows = [
+        ("c", 0, "   "),                  # 0 tokens -> chunk 0, fill 0
+        ("c", 1, " ".join(["x"] * 20)),   # oversized but fill==0 -> chunk 0
+        ("c", 2, "y"),                    # 20+1 > 8 -> chunk 1
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, text string"
+    )
+    out = {
+        r.turn_idx: r.chunk_idx
+        for r in pack_conversations(df, max_tokens=8).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 1}
+
+
 def test_pack_conversations_randomized_vs_reference(spark):
     """Randomized greedy-packing equivalence: 30 seeded conversations
     with adversarial token counts (incl. oversized turns and exact-fit
@@ -532,28 +553,37 @@ def test_url_canonicalize_merges_variants(spark):
         (3, "https://sub.example.com/a"),
         (4, "https://other.org"),
         (5, "HTTP://WWW.OTHER.ORG:80/"),
+        (6, "example.com/a/b?fbclid&a=1&b=2"),  # valueless tracking key
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     c = {
         r.doc_id: r.canonical_url
         for r in with_canonical_url(df).collect()
     }
-    assert c[0] == c[1] == c[2] == "example.com/a/b?a=1&b=2"
+    assert c[0] == c[1] == c[2] == c[6] == "example.com/a/b?a=1&b=2"
     assert c[3] == "sub.example.com/a"
     assert c[4] == c[5] == "other.org"
     d = {
         r.canonical_url: (r.keep_id, r.n_dups)
         for r in url_dedup(df).collect()
     }
-    assert d["example.com/a/b?a=1&b=2"] == (0, 3)
+    assert d["example.com/a/b?a=1&b=2"] == (0, 4)
     assert d["other.org"] == (4, 2)
     # suffix-semantics blocklist: example.com blocks its subdomains but
-    # NOT examplexcom lookalikes or other hosts
+    # NOT examplexcom lookalikes or other hosts; NULL urls come back
+    # blocked=False (not NULL), preserving rows-never-dropped under
+    # filter(~blocked)
+    nulled = df.unionByName(
+        spark.createDataFrame([(7, None)], "doc_id long, url string")
+    )
     b = {
         r.doc_id: r.blocked
-        for r in domain_filter(df, ["example.com"]).collect()
+        for r in domain_filter(nulled, ["example.com"]).collect()
     }
-    assert b == {0: True, 1: True, 2: True, 3: True, 4: False, 5: False}
+    assert b == {
+        0: True, 1: True, 2: True, 3: True,
+        4: False, 5: False, 6: True, 7: False,
+    }
 
 
 def test_substring_dedup_removes_shared_spans(spark):
