@@ -297,12 +297,15 @@ def test_conv_ops_single_shuffle_no_join(spark, sf001_dir):
     # rangepartitioning anywhere
     from ocr_spark.driver_contract import QUERIES
 
-    for key in ("pack_conversations", "conv_dedup"):
+    # exchange budget: the single-file parallelism-guard repartition +
+    # the conv-keyed agg (+ conv_dedup's fingerprint agg)
+    budget = {"pack_conversations": 2, "conv_dedup": 3}
+    for key, max_ex in budget.items():
         plan = _formatted(QUERIES[key](spark, sf001_dir))
         tree = _tree(plan)
         assert "Join" not in tree, key
         assert "rangepartitioning" not in plan, key
-        assert tree.count("Exchange") <= 2, key
+        assert tree.count("Exchange") <= max_ex, key
 
 
 def test_winnow_is_map_only(spark, sf001_dir):
