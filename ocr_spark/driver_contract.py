@@ -142,7 +142,7 @@ def _substring_sql(keep_first: bool) -> str:
         WITH unioned AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 200000,
+            SELECT doc_id + 1000000000,
                    'planted prefix tokens ' || trim(text)
                        || ' planted suffix'
             FROM documents WHERE doc_id < 50
@@ -682,7 +682,7 @@ def q_substring_dedup(spark, sf_dir):
     from BOTH the original and the remix, with rows preserved."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     remix = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
         F.concat_ws(
             " ",
             F.lit("planted prefix tokens"),
@@ -700,7 +700,7 @@ def q_substring_keep_first(spark, sf_dir):
     embedded span."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     remix = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
         F.concat_ws(
             " ",
             F.lit("planted prefix tokens"),
@@ -816,7 +816,7 @@ def q_dedup_keep_best(spark, sf_dir):
         "doc_id", "text", "n_chars"
     )
     dups = docs.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
         F.regexp_replace("text", " ", "  ").alias("text"),
         (F.col("n_chars") + 50).alias("n_chars"),
     )
@@ -904,7 +904,7 @@ def q_conv_dedup(spark, sf_dir):
         "text",
     )
     dups = docs.filter(F.col("conv_id") < 5).select(
-        (F.col("conv_id") + 100000).alias("conv_id"),
+        (F.col("conv_id") + 1000000000).alias("conv_id"),
         "turn_idx",
         F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
     )
@@ -1508,7 +1508,7 @@ ORACLES: dict[str, str] = {
         WITH corpus AS (
             SELECT doc_id, text, n_chars FROM documents
             UNION ALL
-            SELECT doc_id + 100000, replace(text, ' ', '  '),
+            SELECT doc_id + 1000000000, replace(text, ' ', '  '),
                    n_chars + 50
             FROM documents WHERE doc_id < 100
         ),
@@ -2312,7 +2312,7 @@ ORACLES: dict[str, str] = {
                    text
             FROM documents
             UNION ALL
-            SELECT doc_id // 10 + 100000, doc_id % 10,
+            SELECT doc_id // 10 + 1000000000, doc_id % 10,
                    upper(replace(text, ' ', '  '))
             FROM documents WHERE doc_id // 10 < 5
         ),

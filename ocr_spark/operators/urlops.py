@@ -105,15 +105,24 @@ def domain_filter(
     literal predicate chain (blocklists are config-sized; at a real
     100k-domain blocklist switch to a broadcast join on the host's
     suffix set) — linear scan work, no shuffle, rows never dropped
-    (filter on the flag to materialize the kept corpus)."""
+    (filter on the flag to materialize the kept corpus).
+
+    The COMPARE host strips userinfo (``user@``) and ANY ``:port``
+    before matching — ``canonical_url`` keeps its default-port-only
+    dedup policy, but a blocklist must not be escapable via
+    ``http://example.com:8080/x`` or ``http://user@example.com/x``
+    (both are requests to example.com)."""
     out = with_canonical_url(df, url_col)
+    cmp_host = F.regexp_replace(
+        F.regexp_replace(F.col("host"), r"^[^/@]*@", ""), r":\d+$", ""
+    )
     pred = F.lit(False)
     for b in blocklist:
         d = b.lower()
         pred = (
             pred
-            | (F.col("host") == d)
-            | F.col("host").endswith("." + d)
+            | (cmp_host == d)
+            | cmp_host.endswith("." + d)
         )
     # coalesce: a NULL url makes host NULL and `false OR NULL` is NULL,
     # which a `filter(~blocked)` materialization would silently drop —

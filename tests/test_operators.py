@@ -586,6 +586,33 @@ def test_url_canonicalize_merges_variants(spark):
     }
 
 
+def test_domain_filter_port_and_userinfo_shapes(spark):
+    """A blocklist must not be escapable via non-default ports or a
+    userinfo segment: the COMPARE host strips both (canonical_url keeps
+    its default-port-only dedup policy — asserted too)."""
+    from ocr_spark.operators.urlops import domain_filter, with_canonical_url
+
+    rows = [
+        (0, "http://example.com:8080/x"),
+        (1, "http://user@example.com/x"),
+        (2, "https://alice:pw@sub.example.com:9443/y"),
+        (3, "http://example.com.evil.org/x"),   # suffix lookalike: not blocked
+        (4, "http://notexample.com:8080/x"),    # substring lookalike
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in domain_filter(df, ["example.com"]).collect()}
+    assert {i: out[i].blocked for i in range(5)} == {
+        0: True, 1: True, 2: True, 3: False, 4: False,
+    }
+    # canonical_url unchanged by the filter fix: non-default port and
+    # userinfo stay part of the dedup key (different origins)
+    c = {
+        r.doc_id: r.canonical_url for r in with_canonical_url(df).collect()
+    }
+    assert c[0] == "example.com:8080/x"
+    assert c[1] == "user@example.com/x"
+
+
 def test_substring_dedup_removes_shared_spans(spark):
     """Lee et al. '21 ExactSubstr semantics: verbatim >= min_len token
     spans shared across docs drop EVERYWHERE; overlapping duplicated
