@@ -2317,17 +2317,19 @@ ORACLES: dict[str, str] = {
             FROM documents WHERE doc_id // 10 < 5
         ),
         canon AS (
+            -- per-turn md5 BEFORE the concat mirrors the operator's
+            -- bounded-row fingerprint (33 bytes/turn, never raw text)
             SELECT conv_id, turn_idx,
-                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
-                       AS c
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g')) AS h
             FROM turns
         ),
         fps AS (
-            -- tie-break on c mirrors sort_array over (idx, canon)
+            -- tie-break on h mirrors sort_array over (idx, turn_md5)
             -- structs: duplicate turn_idx rows concatenate in a
             -- deterministic order on both engines
             SELECT conv_id,
-                   md5(string_agg(c, chr(10) ORDER BY turn_idx, c)) AS fp
+                   md5(string_agg(h, chr(10) ORDER BY turn_idx, h)) AS fp
             FROM canon GROUP BY conv_id
         )
         SELECT fp, min(conv_id) AS keep_conv, count(*) AS n_dups

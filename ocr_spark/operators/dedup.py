@@ -95,19 +95,20 @@ def conv_dedup(
     when their turn sequences are ws/case-canonically equal in turn
     order.
 
-    Fingerprint = md5 of the per-turn canonical forms (lowercased,
-    whitespace collapsed — the ``with_fingerprint`` convention) joined
-    with ``\\n`` in ``idx_col`` order. Canonical turn text contains no
-    newlines (the ws-collapse replaced them), so the separator is
-    unambiguous. Order comes from ``sort_array`` over collected
-    (idx, canon) structs — ``collect_list`` alone is
-    partition-order-nondeterministic and would break both determinism
-    and the oracle.
+    Fingerprint = md5 over the PER-TURN md5s of the canonical forms
+    (lowercased, whitespace collapsed — the ``with_fingerprint``
+    convention) joined with ``\\n`` in ``idx_col`` order. Hashing each
+    turn BEFORE the concat bounds the aggregated row at 33 bytes per
+    turn regardless of turn text size — a 10k-turn text-heavy whale
+    conversation collects ~330 KB, not multi-GB of raw text. Order
+    comes from ``sort_array`` over collected (idx, turn_md5) structs —
+    ``collect_list`` alone is partition-order-nondeterministic and
+    would break both determinism and the oracle; duplicate ``idx_col``
+    rows tie-break on the turn md5 (deterministic on both engines).
 
     Returns (fp, keep_conv, n_dups): min conv id survives. One
     conversation-keyed shuffle + one fingerprint-keyed hash-agg, both
-    map-side-partial; the in-row join is conversation-bounded (the
-    ``pack_conversations`` whale caveat applies).
+    map-side-partial; the in-row join is conversation-bounded.
     """
     canon = F.regexp_replace(
         F.lower(F.trim(F.col(text_col))), r"\s+", " "
@@ -120,7 +121,7 @@ def conv_dedup(
                         F.collect_list(
                             F.struct(
                                 F.col(idx_col).cast("long").alias("i"),
-                                canon.alias("c"),
+                                F.md5(canon).alias("c"),
                             )
                         )
                     ),
