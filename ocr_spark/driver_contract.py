@@ -925,40 +925,14 @@ def q_pack_conversations(spark, sf_dir):
 
 
 def q_ccnet_buckets(spark, sf_dir):
-    """CCNet-style perplexity bucketing (Wenzek et al. '19 §4.3): the
-    corpus splits into head/middle/tail quality terciles by LM score
-    (head = most fluent). Thresholds are exact corpus percentiles
-    (== ANSI percentile_cont, the group_quantiles portability
-    argument), rounded 4dp on both engines, broadcast onto the scored
-    docs — one extra single-row agg over unigram_logprob's plan.
-
-    Scale note (same escape group_quantiles documents): Spark's exact
-    ``percentile`` buffers the group's values, and here the group is
-    the WHOLE corpus — fine at gate scale, an aggregation-buffer blowup
-    at 10^9 docs. At scale swap in ``approx_percentile`` (t-digest
-    sketch, mergeable, bounded memory) and drop the oracle equality
-    claim for the two threshold constants; the bucket-assignment logic
-    is unchanged."""
-    lp = X.unigram_logprob(load(spark, sf_dir, "documents"))
-    thr = lp.agg(
-        F.expr(
-            "percentile(avg_logprob, array(0.3333, 0.6667))"
-        ).alias("q")
-    )
-    return lp.crossJoin(F.broadcast(thr)).select(
-        "doc_id",
-        "avg_logprob",
-        F.when(
-            F.col("avg_logprob") >= F.round(F.element_at("q", 2), 4),
-            F.lit("head"),
-        )
-        .when(
-            F.col("avg_logprob") >= F.round(F.element_at("q", 1), 4),
-            F.lit("middle"),
-        )
-        .otherwise(F.lit("tail"))
-        .alias("bucket"),
-    )
+    """CCNet-style perplexity bucketing via textops.ccnet_buckets in
+    EXACT threshold mode — the only place exact mode is used: Spark's
+    exact ``percentile`` == DuckDB quantile_cont makes the two
+    threshold constants oracle-equal. Production default is the
+    t-digest ``approx_percentile`` path (bounded memory at 10^9 docs);
+    its agreement with exact mode is pinned by pytest, and a plan test
+    asserts the approx path contains no full-corpus value buffer."""
+    return X.ccnet_buckets(load(spark, sf_dir, "documents"), exact=True)
 
 
 def q_dsir_select(spark, sf_dir):

@@ -402,6 +402,60 @@ def unigram_logprob(df: DataFrame) -> DataFrame:
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. '19 §4.3): the
+    corpus splits into head/middle/tail quality terciles by LM score
+    (head = most fluent), thresholds broadcast onto the scored docs —
+    one extra single-row agg over :func:`unigram_logprob`'s plan.
+
+    Threshold mode is the scale switch:
+
+    - ``exact=False`` (DEFAULT, the 100-TB path): ``approx_percentile``
+      — a t-digest sketch, mergeable across partitions with bounded
+      memory (~``accuracy`` centroids), so the single-row agg never
+      buffers the corpus. Thresholds are then actual dataset values
+      within ``1/accuracy`` relative rank of the target quantile, not
+      interpolated midpoints — bucket assignments can differ from
+      exact mode only for docs whose score lies between the two modes'
+      thresholds (pinned by the agreement pytest).
+    - ``exact=True`` (the oracle gate): Spark's exact ``percentile``
+      == ANSI percentile_cont == DuckDB quantile_cont (the
+      ``group_quantiles`` portability argument), rounded 4 dp on both
+      engines. Exact ``percentile`` buffers every corpus value in ONE
+      aggregation buffer — fine at gate scale, an aggregation-buffer
+      blowup at 10^9 docs; never the default.
+
+    Returns (doc_id, avg_logprob, bucket).
+    """
+    lp = unigram_logprob(df)
+    if exact:
+        q = F.expr("percentile(avg_logprob, array(0.3333, 0.6667))")
+    else:
+        q = F.expr(
+            f"approx_percentile(avg_logprob, array(0.3333, 0.6667), "
+            f"{int(accuracy)})"
+        )
+    thr = lp.agg(q.alias("q"))
+    return lp.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(
+            F.col("avg_logprob") >= F.round(F.element_at("q", 2), 4),
+            F.lit("head"),
+        )
+        .when(
+            F.col("avg_logprob") >= F.round(F.element_at("q", 1), 4),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def bigram_logprob(df: DataFrame, lam: float = 0.7) -> DataFrame:
     """Per-document average INTERPOLATED bigram log-probability under
     the corpus's own bigram LM — one Markov order up from

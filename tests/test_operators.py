@@ -613,6 +613,47 @@ def test_domain_filter_port_and_userinfo_shapes(spark):
     assert c[1] == "user@example.com/x"
 
 
+def test_ccnet_buckets_approx_agrees_with_exact(spark):
+    """The scale path (approx_percentile t-digest) must assign the same
+    head/middle/tail buckets as the exact-percentile gate mode, except
+    possibly for docs whose score lies BETWEEN the two modes'
+    thresholds (approx returns a dataset value, exact interpolates) —
+    agreement >= 99% and every disagreement is boundary-confined."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.textops import ccnet_buckets, unigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        r.doc_id: (r.avg_logprob, r.bucket)
+        for r in ccnet_buckets(docs, exact=True).collect()
+    }
+    approx = {
+        r.doc_id: (r.avg_logprob, r.bucket)
+        for r in ccnet_buckets(docs).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 100
+    lp = unigram_logprob(docs)
+    te = lp.agg(
+        F.expr("percentile(avg_logprob, array(0.3333, 0.6667))").alias("q")
+    ).first().q
+    ta = lp.agg(
+        F.expr(
+            "approx_percentile(avg_logprob, array(0.3333, 0.6667), 10000)"
+        ).alias("q")
+    ).first().q
+    bounds = [
+        (min(round(te[i], 4), round(ta[i], 4)),
+         max(round(te[i], 4), round(ta[i], 4)))
+        for i in range(2)
+    ]
+    disagree = [k for k in exact if exact[k][1] != approx[k][1]]
+    assert len(disagree) <= 0.01 * len(exact)
+    for k in disagree:
+        s = exact[k][0]
+        assert any(lo <= s < hi for lo, hi in bounds), (k, s, bounds)
+
+
 def test_substring_dedup_removes_shared_spans(spark):
     """Lee et al. '21 ExactSubstr semantics: verbatim >= min_len token
     spans shared across docs drop EVERYWHERE; overlapping duplicated

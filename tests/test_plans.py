@@ -318,3 +318,20 @@ def test_winnow_is_map_only(spark, sf001_dir):
     assert tree.count("Exchange") <= 1
     assert "HashAggregate" not in tree
     assert "Sort" not in tree
+
+
+def test_ccnet_approx_path_has_no_full_corpus_buffer(spark, sf001_dir):
+    # the default (scale) threshold mode must aggregate via the
+    # mergeable t-digest approx_percentile, never the exact percentile
+    # whose ONE aggregation buffer holds every corpus value; the
+    # exact-percentile expression is reserved for the oracle gate mode
+    import re as _re
+
+    from ocr_spark.operators.textops import ccnet_buckets
+
+    docs = spark.read.parquet(sf001_dir + "/documents.parquet")
+    plan = _formatted(ccnet_buckets(docs))
+    assert "approx_percentile" in plan
+    assert not _re.search(r"(?<!approx_)percentile\(", plan)
+    plan_exact = _formatted(ccnet_buckets(docs, exact=True))
+    assert _re.search(r"(?<!approx_)percentile\(", plan_exact)
