@@ -22,6 +22,10 @@ Checks:
   (d) greedy tightness: for every chunk k>0, the first turn of chunk
       k would NOT have fit in chunk k-1 (fill_{k-1} + n > 256) —
       pinning that the fold is actually greedy, not merely feasible.
+- whale path: ONE planted 100k-turn conversation routed through the
+  linear mapInPandas fold (> whale_turns) packs in bounded time with
+  chunk count EXACTLY equal to a pure-Python greedy simulation, plus
+  all four invariants above.
 
 Run: python BENCH/soak_conv.py [n_convs]
 Prints one JSON line.
@@ -127,54 +131,98 @@ def main() -> int:
     t_dedup = time.time() - t0
 
     # -- pack_conversations invariants -----------------------------------
-    t0 = time.time()
-    packed = pack_conversations(corpus, max_tokens=MAX_TOKENS)
-    chunks = packed.groupBy("conv_id", "chunk_idx").agg(
-        F.sum("n_tokens").alias("fill"),
-        F.count(F.lit(1)).alias("n_turns"),
-        F.min("turn_idx").alias("first_turn"),
-        F.min(F.struct("turn_idx", "n_tokens")).alias("ft"),
-    )
-    oversize = chunks.filter(
-        (F.col("fill") > MAX_TOKENS) & (F.col("n_turns") > 1)
-    ).count()
-    contig = (
-        chunks.groupBy("conv_id")
-        .agg(
-            F.max("chunk_idx").alias("mx"),
-            F.count(F.lit(1)).alias("n"),
-            F.min("chunk_idx").alias("mn"),
-        )
-        .filter(
-            (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
-        )
-        .count()
-    )
-    # order preserved: within a conv, chunk_idx must be non-decreasing
-    # in turn_idx
     from pyspark.sql import Window
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    disorder = (
-        packed.withColumn("prev", F.lag("chunk_idx").over(w))
-        .filter(F.col("prev").isNotNull() & (F.col("chunk_idx") < F.col("prev")))
-        .count()
-    )
-    # greedy tightness: first turn of chunk k>0 must NOT fit in k-1
-    prev_fill = chunks.select(
-        "conv_id",
-        (F.col("chunk_idx") + 1).alias("chunk_idx"),
-        F.col("fill").alias("prev_fill"),
-    )
-    slack = (
-        chunks.filter(F.col("chunk_idx") > 0)
-        .join(prev_fill, ["conv_id", "chunk_idx"])
-        .filter(
-            F.col("prev_fill") + F.col("ft.n_tokens") <= MAX_TOKENS
+    def pack_invariants(packed, max_tokens):
+        chunks = packed.groupBy("conv_id", "chunk_idx").agg(
+            F.sum("n_tokens").alias("fill"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.min(F.struct("turn_idx", "n_tokens")).alias("ft"),
         )
-        .count()
-    )
+        oversize = chunks.filter(
+            (F.col("fill") > max_tokens) & (F.col("n_turns") > 1)
+        ).count()
+        contig = (
+            chunks.groupBy("conv_id")
+            .agg(
+                F.max("chunk_idx").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("chunk_idx").alias("mn"),
+            )
+            .filter(
+                (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)
+            )
+            .count()
+        )
+        # order preserved: within a conv, chunk_idx must be
+        # non-decreasing in turn_idx
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        disorder = (
+            packed.withColumn("prev", F.lag("chunk_idx").over(w))
+            .filter(
+                F.col("prev").isNotNull()
+                & (F.col("chunk_idx") < F.col("prev"))
+            )
+            .count()
+        )
+        # greedy tightness: first turn of chunk k>0 must NOT fit in k-1
+        prev_fill = chunks.select(
+            "conv_id",
+            (F.col("chunk_idx") + 1).alias("chunk_idx"),
+            F.col("fill").alias("prev_fill"),
+        )
+        slack = (
+            chunks.filter(F.col("chunk_idx") > 0)
+            .join(prev_fill, ["conv_id", "chunk_idx"])
+            .filter(
+                F.col("prev_fill") + F.col("ft.n_tokens") <= max_tokens
+            )
+            .count()
+        )
+        return oversize, contig, disorder, slack
+
+    t0 = time.time()
+    packed = pack_conversations(corpus, max_tokens=MAX_TOKENS)
+    oversize, contig, disorder, slack = pack_invariants(packed, MAX_TOKENS)
     t_pack = time.time() - t0
+
+    # -- whale path: ONE planted 100k-turn conversation ------------------
+    # routes through the linear mapInPandas fold (turns > whale_turns);
+    # the in-row fold would copy ~5e9 accumulator ints here. Expected
+    # chunk count is simulated exactly in Python, so the check is
+    # EXACT, not just invariant-based.
+    W_TURNS = 100_000
+    t0 = time.time()
+    whale = spark.range(W_TURNS).select(
+        F.lit(99_999_999).alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+        F.array_join(
+            F.array_repeat(F.lit("w"), (1 + F.col("id") % 13).cast("int")),
+            " ",
+        ).alias("text"),
+    )
+    wpacked = pack_conversations(whale, max_tokens=MAX_TOKENS)
+    w_chunks = wpacked.agg(
+        F.max("chunk_idx").alias("mx"),
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_tokens").alias("toks"),
+    ).collect()[0]
+    wo, wc, wd, ws_ = pack_invariants(wpacked, MAX_TOKENS)
+    t_whale = time.time() - t0
+    chunk, fill = 0, 0
+    for i in range(W_TURNS):
+        n = 1 + i % 13
+        if fill > 0 and fill + n > MAX_TOKENS:
+            chunk, fill = chunk + 1, n
+        else:
+            fill += n
+    whale_ok = (
+        int(w_chunks["mx"]) == chunk
+        and int(w_chunks["rows"]) == W_TURNS
+        and int(w_chunks["toks"]) == sum(1 + i % 13 for i in range(W_TURNS))
+        and (wo, wc, wd, ws_) == (0, 0, 0, 0)
+    )
 
     res = {
         "n_turns": n_turns,
@@ -190,6 +238,10 @@ def main() -> int:
         "non_contiguous_convs": contig,
         "order_violations": disorder,
         "greedy_slack_violations": slack,
+        "whale_turns": W_TURNS,
+        "whale_wall_s": round(t_whale, 1),
+        "whale_chunks": int(w_chunks["mx"]) + 1,
+        "whale_exact_ok": whale_ok,
     }
     print(json.dumps(res))
     ok = (
@@ -200,6 +252,7 @@ def main() -> int:
         and res["non_contiguous_convs"] == 0
         and res["order_violations"] == 0
         and res["greedy_slack_violations"] == 0
+        and res["whale_exact_ok"]
     )
     return 0 if ok else 1
 

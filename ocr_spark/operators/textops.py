@@ -689,6 +689,7 @@ def pack_conversations(
     max_tokens: int = 2048,
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
+    whale_turns: int = 4096,
 ) -> DataFrame:
     """Conversation-aware sequence packing — the transcript twin of
     :func:`pack_sequences`: turns stay in ``idx_col`` order, chunks
@@ -702,17 +703,34 @@ def pack_conversations(
     Greedy reset-packing is sequentially stateful, which a window
     cumsum cannot express (``pack_sequences``' offset arithmetic can
     overshoot the cap mid-item; fine for documents, wrong for "whole
-    turns only"). Conversations are BOUNDED (thousands of turns, not
-    billions), so each one folds IN-ROW: sort_array over the collected
-    (turn_idx, n_tokens) structs, then one ``aggregate`` carrying
-    (chunk, fill, assignments). One shuffle keyed by conv_id; the fold
-    is linear per conversation. Whale caveat: a conversation's turn
-    list must fit in one row (the same bound the salting design
-    documents); the DuckDB oracle mirrors the fold with a recursive
-    CTE, so the greedy semantics are value-pinned, not just eyeballed.
+    turns only"). Each conversation therefore folds linearly after ONE
+    conv-keyed shuffle, with the fold implementation chosen per
+    conversation by turn count:
+
+    - ``<= whale_turns`` (everything but whales): IN-ROW via
+      ``aggregate`` over the sort_array'd (turn_idx, n_tokens) structs.
+      The accumulator appends one int per turn and ``concat`` copies
+      it each step, so the in-row fold is O(turns^2) in copied ints —
+      ~16M copies at the 4096 default, microseconds of JVM memcpy;
+      never more, because whales don't take this path.
+    - ``> whale_turns`` (whales): an Arrow-batched ``mapInPandas``
+      LINEAR fold over the same aggregated rows — a 10^6-turn whale is
+      one 10^6-step Python loop (ms), not 5*10^11 copied ints. Both
+      branches filter the SAME aggregation, so the conv-keyed exchange
+      is planned once and reused (ReusedExchange), and the whale rows
+      carry (turn_idx, n_tokens) int pairs only — 8 bytes/turn — never
+      turn text.
+
+    The two folds are the same greedy recurrence (equality is pinned by
+    a pytest that forces every conversation down the whale path); the
+    DuckDB oracle mirrors it with a recursive CTE, so the semantics are
+    value-pinned, not just eyeballed.
 
     Returns (conv_id, turn_idx, n_tokens, chunk_idx).
     """
+    import pandas as pd
+    from pyspark.sql import types as T
+
     turns = with_token_count(_ensure_parallelism(df)).groupBy(conv_col).agg(
         F.sort_array(
             F.collect_list(
@@ -723,12 +741,6 @@ def pack_conversations(
             )
         ).alias("ts")
     )
-    # the accumulator appends ONE INT per turn (chunk id, positionally
-    # aligned with ts) and the (idx, n) payload zips back afterwards:
-    # concat copies the accumulator each step, so the fold is O(turns^2)
-    # in copied ELEMENTS either way — ints keep the constant ~an order
-    # of magnitude below the previous 3-field-struct accumulator (a
-    # 10k-turn whale copies ~50M ints, not 150M struct fields)
     fold = (
         f"aggregate(ts, "
         f"struct(CAST(0 AS INT) AS chunk, CAST(0 AS BIGINT) AS fill, "
@@ -744,8 +756,9 @@ def pack_conversations(
         f"zip_with(ts, {fold}, "
         f"(t, c) -> struct(t.i AS i, t.n AS n, c AS c))"
     )
-    return (
-        turns.select(conv_col, F.explode(F.expr(assign)).alias("a"))
+    small = (
+        turns.filter(F.size("ts") <= whale_turns)
+        .select(conv_col, F.explode(F.expr(assign)).alias("a"))
         .select(
             conv_col,
             F.col("a.i").cast("long").alias(idx_col),
@@ -753,6 +766,45 @@ def pack_conversations(
             F.col("a.c").cast("long").alias("chunk_idx"),
         )
     )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(conv_col, turns.schema[conv_col].dataType),
+            T.StructField(idx_col, T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("chunk_idx", T.LongType()),
+        ]
+    )
+
+    def _linear_fold(batches):
+        for pdf in batches:
+            convs, idxs, ns, chunks = [], [], [], []
+            for conv, ts in zip(pdf[conv_col], pdf["ts"]):
+                chunk, fill = 0, 0
+                for t in ts:
+                    n = int(t["n"])
+                    if fill > 0 and fill + n > max_tokens:
+                        chunk += 1
+                        fill = n
+                    else:
+                        fill += n
+                    convs.append(conv)
+                    idxs.append(int(t["i"]))
+                    ns.append(n)
+                    chunks.append(chunk)
+            yield pd.DataFrame(
+                {
+                    conv_col: convs,
+                    idx_col: idxs,
+                    "n_tokens": ns,
+                    "chunk_idx": chunks,
+                }
+            )
+
+    whales = turns.filter(F.size("ts") > whale_turns).mapInPandas(
+        _linear_fold, out_schema
+    )
+    return small.unionByName(whales)
 
 
 def pack_sequences(

@@ -534,6 +534,43 @@ def test_pack_conversations_greedy_turn_boundaries(spark):
         ("c1", 4, 1, 3),
         ("c2", 0, 2, 0),
     ]
+    # whale path equality: forcing EVERY conversation down the linear
+    # mapInPandas fold (whale_turns=0) must reproduce the in-row fold
+    # bit-for-bit — same greedy recurrence, two implementations
+    whale = sorted(
+        (r.conv_id, r.turn_idx, r.n_tokens, r.chunk_idx)
+        for r in pack_conversations(df, max_tokens=8, whale_turns=0).collect()
+    )
+    assert whale == out
+
+
+def test_pack_conversations_whale_path_matches_on_corpus(spark, sf001_dir):
+    """Path equality at corpus scale: the sf0.001 documents table run
+    entirely through the whale (mapInPandas linear) fold matches the
+    default in-row fold row-for-row, including the gate's conv
+    synthesis shape."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.textops import pack_conversations
+
+    docs = (
+        spark.read.parquet(sf001_dir + "/documents.parquet")
+        .select(
+            F.expr("doc_id div 10").alias("conv_id"),
+            (F.col("doc_id") % 10).alias("turn_idx"),
+            "text",
+        )
+    )
+    base = sorted(
+        map(tuple, pack_conversations(docs, max_tokens=300).collect())
+    )
+    whale = sorted(
+        map(
+            tuple,
+            pack_conversations(docs, max_tokens=300, whale_turns=0).collect(),
+        )
+    )
+    assert base == whale and len(base) > 0
 
 
 def test_url_canonicalize_merges_variants(spark):

@@ -292,20 +292,28 @@ def test_dsir_broadcasts_ratio_and_take_ordered(spark, sf001_dir):
 
 
 def test_conv_ops_single_shuffle_no_join(spark, sf001_dir):
-    # both conversation ops are one conv-keyed shuffle + in-row folds
+    # both conversation ops are one conv-keyed shuffle + linear folds
     # (+ conv_dedup's fingerprint agg); no join, no window sort, no
     # rangepartitioning anywhere
     from ocr_spark.driver_contract import QUERIES
 
     # exchange budget: the single-file parallelism-guard repartition +
-    # the conv-keyed agg (+ conv_dedup's fingerprint agg)
-    budget = {"pack_conversations": 2, "conv_dedup": 3}
+    # the conv-keyed agg (+ conv_dedup's fingerprint agg). The pack
+    # STATIC plan shows the small/whale union duplicating both (4);
+    # at runtime AQE collapses the duplicates to ReusedExchange —
+    # asserted below, so the input is scanned and shuffled once.
+    budget = {"pack_conversations": 4, "conv_dedup": 3}
     for key, max_ex in budget.items():
-        plan = _formatted(QUERIES[key](spark, sf001_dir))
+        df = QUERIES[key](spark, sf001_dir)
+        plan = _formatted(df)
         tree = _tree(plan)
         assert "Join" not in tree, key
         assert "rangepartitioning" not in plan, key
         assert tree.count("Exchange") <= max_ex, key
+        if key == "pack_conversations":
+            df.collect()
+            final = _tree(_formatted(df))
+            assert "ReusedExchange" in final
 
 
 def test_winnow_is_map_only(spark, sf001_dir):
