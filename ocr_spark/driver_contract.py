@@ -120,6 +120,51 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
 _JACCARD_SQL = _jaccard_sql(1000)
 
 
+# shared fixture for the incremental (cross-run) dedup oracles:
+# run-1 (committed) vs the run-2 increment with mangled remixes
+_INCR_FIXTURE = """
+run1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+incr AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id + 1000000000, replace(text, ' ', '  ')
+    FROM documents WHERE doc_id < 50
+)"""
+
+
+def _bands_sql(rel: str, tag: str) -> str:
+    """MinHash band-key CTE chain over an arbitrary (doc_id, text)
+    relation — the _MINHASH_SQL hash family (3-gram shingles, 16
+    md5-slice hashes, 8 bands) parameterized so the incremental oracle
+    can band the committed and increment relations independently.
+    Ends with ``b{tag}`` = (doc_id, band, band_key)."""
+    return f"""
+t{tag} AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM {rel}
+),
+sh{tag} AS (
+    SELECT DISTINCT doc_id,
+           unnest([array_to_string(t[i + 1:i + 3], ' ')
+                   for i in range(0, len(t) - 2)]) AS shingle
+    FROM t{tag} WHERE len(t) >= 3
+),
+mh{tag} AS (
+    SELECT doc_id, seed, part,
+           min(substring(md5(seed || '#' || shingle),
+                         part * 8 + 1, 8)) AS minhash
+    FROM sh{tag}
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS part)
+    GROUP BY 1, 2, 3
+),
+b{tag} AS (
+    SELECT doc_id, CAST((seed * 4 + part) // 2 AS INT) AS band,
+           md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
+    FROM mh{tag} GROUP BY doc_id, band
+)"""
+
+
 def _substring_sql(keep_first: bool) -> str:
     """Oracle for dedup.substring_dedup (min_len=25, min_df=2) over the
     corpus + the remix rows both substring driver queries union in:
@@ -752,6 +797,46 @@ def q_decontaminate(spark, sf_dir):
     return D.decontaminate(docs, bench, n=13)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental (cross-run) exact dedup: run-1 commits docs with
+    doc_id % 3 != 0; the run-2 increment is the even docs plus
+    ws-mangled copies of the first 50 (+10^9 ids). Survivors are
+    increment fingerprint groups NOT already committed, min-id kept —
+    e.g. doc 6 (not committed, even) survives grouped with its mangled
+    copy, doc 4 (committed) contributes nothing. The committed side
+    here is derived in-plan (exact_dedup over run-1); the parquet
+    FingerprintStore round-trip + idempotent re-ingest is pinned by
+    pytest."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    run1 = docs.filter(F.col("doc_id") % 3 != 0)
+    committed = D.exact_dedup(run1).select("fingerprint", "keep_id")
+    incr = docs.filter(F.col("doc_id") % 2 == 0).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000000).alias("doc_id"),
+            F.regexp_replace("text", " ", "  ").alias("text"),
+        )
+    )
+    return D.incremental_exact_dedup(incr, committed)
+
+
+def q_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup screening against the committed MinHash
+    band-key store: same run-1/run-2 split as incremental_dedup; an
+    increment doc sharing any (band, band_key) with run-1 is flagged a
+    candidate near-dup of committed content (band-candidate semantics —
+    the store keeps band keys, never shingles)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    run1 = docs.filter(F.col("doc_id") % 3 != 0)
+    committed = D.band_keys(run1).select("band", "band_key")
+    incr = docs.filter(F.col("doc_id") % 2 == 0).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000000).alias("doc_id"),
+            F.regexp_replace("text", " ", "  ").alias("text"),
+        )
+    )
+    return D.incremental_minhash_flags(incr, committed)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
@@ -1318,6 +1403,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_turns": q_dedup_turns,
+    "incremental_dedup": q_incremental_dedup,
+    "incremental_minhash": q_incremental_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
@@ -1355,10 +1442,11 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "cosine_near_dup": q_cosine_near_dup,
     "semantic_dedup": q_semantic_dedup,
+    # -- tail: keys with existing driver hash-evidence (as_of_join /
+    #    sessionize driver-gated r4) or redundant relational singles
+    #    driver-green since r1/r2; all selfchecked every round --
     "as_of_join": q_as_of_join,
     "sessionize": q_sessionize,
-    # -- tail: redundant relational singles, driver-green since r1/r2,
-    #    still selfchecked every round --
     "run_stats_lineitem": q_run_stats_lineitem,
     "window_turn_order": q_window_turn_order,
     "anti_join_resume": q_anti_join_resume,
@@ -1738,6 +1826,46 @@ ORACLES: dict[str, str] = {
         )
         SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
         FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+    """,
+    # incremental (cross-run) dedup fixture: run-1 = doc_id % 3 != 0
+    # committed, increment = even docs + ws-mangled first-50 remixes
+    "incremental_dedup": f"""
+        WITH {_INCR_FIXTURE},
+        committed AS (
+            SELECT DISTINCT
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g')) AS fingerprint
+            FROM run1
+        ),
+        f AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g')) AS fingerprint
+            FROM incr
+        ),
+        fresh AS (
+            SELECT * FROM f WHERE fingerprint NOT IN
+                (SELECT fingerprint FROM committed)
+        )
+        SELECT fingerprint, min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM fresh GROUP BY fingerprint
+    """,
+    # band-candidate screening: same hash family as _MINHASH_SQL,
+    # computed independently over the committed and increment relations
+    "incremental_minhash": f"""
+        WITH {_INCR_FIXTURE},
+        {_bands_sql('run1', '1')},
+        {_bands_sql('incr', '2')},
+        hits AS (
+            SELECT DISTINCT b2.doc_id
+            FROM b2 JOIN (SELECT DISTINCT band, band_key FROM b1) c
+              USING (band, band_key)
+        ),
+        ids AS (SELECT DISTINCT doc_id FROM incr)
+        SELECT ids.doc_id,
+               (hits.doc_id IS NOT NULL) AS near_dup_committed
+        FROM ids LEFT JOIN hits ON ids.doc_id = hits.doc_id
     """,
     "minhash_lsh": _MINHASH_SQL,
     "simhash": _simhash_sql(16),

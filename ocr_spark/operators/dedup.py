@@ -260,6 +260,47 @@ def _minhash_agg(sh: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _explode_bands(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, band_key) from a wide signature: band key = md5
+    of the band's (sorted) minhashes — unchanged hash family, computed
+    from the wide signature without another shuffle."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        members = F.array(
+            *[
+                F.col(f"mh{b * rows_per_band + j}")
+                for j in range(rows_per_band)
+            ]
+        )
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", F.sort_array(members))
+                ).alias("band_key"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
+
+
+def band_keys(
+    df: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band, band_key) LSH band keys for a corpus — the unit
+    the incremental near-dup store commits per run (same md5-slice
+    hash family as :func:`minhash_lsh_pairs`, so stored keys stay
+    join-compatible across runs)."""
+    return _explode_bands(
+        _minhash_agg(_with_shingles(df, n), num_hashes), num_hashes, bands
+    )
+
+
 def minhash_signatures(
     df: DataFrame, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
@@ -287,31 +328,9 @@ def minhash_lsh_pairs(
     (inverted-index join restricted to the candidate set).
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
-    rows_per_band = num_hashes // bands
     sh = _with_shingles(df, n)
     sig = _minhash_agg(sh, num_hashes)
-    # band key = md5 of the band's (sorted) minhashes — unchanged hash
-    # family, computed from the wide signature without another shuffle
-    band_cols = []
-    for b in range(bands):
-        members = F.array(
-            *[
-                F.col(f"mh{b * rows_per_band + j}")
-                for j in range(rows_per_band)
-            ]
-        )
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", F.sort_array(members))
-                ).alias("band_key"),
-            )
-        )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"),
-             F.col("bk.band_key").alias("band_key"))
+    banded = _explode_bands(sig, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -895,4 +914,169 @@ def simhash_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-run) dedup — dedup a new ingest against the
+# COMMITTED corpus, not just within one DataFrame. Real pipelines
+# ingest dump-by-dump (RefinedWeb dedups each CommonCrawl snapshot
+# against everything already kept, Penedo et al. '23 §3.3); the store
+# holds exact content fingerprints and MinHash LSH band keys — never
+# text — so the committed state is a few dozen bytes per kept doc.
+# ---------------------------------------------------------------------------
+
+
+class FingerprintStore:
+    """Committed-corpus fingerprint store, laid out like the warehouse
+    lineage protocol (``io.Warehouse``): one parquet directory per
+    store family, partition-per-run —
+
+    - ``<root>/exact/run_id=<R>/`` rows (fingerprint, keep_id)
+    - ``<root>/bands/run_id=<R>/`` rows (band, band_key, doc_id)
+
+    A run COMMITS by overwriting its own partition, so re-ingesting the
+    same run is idempotent (same deterministic content, no duplicate
+    accumulation — the resume pytest pins this); distinct runs append
+    side by side and readers union all partitions. At 10^12-turn scale
+    both relations are uniform-keyed and partition-pruned by run_id;
+    the exact store is ~48 B/doc, the band store ~bands x 40 B/doc.
+    """
+
+    def __init__(self, root: str) -> None:
+        from pathlib import Path
+
+        self.root = Path(root)
+        self.exact_dir = self.root / "exact"
+        self.bands_dir = self.root / "bands"
+
+    @staticmethod
+    def _read(spark, d, schema: str) -> DataFrame:
+        if not d.exists():
+            return spark.createDataFrame([], schema)
+        return (
+            spark.read.option("basePath", str(d)).parquet(str(d))
+        )
+
+    @staticmethod
+    def _exclude(df: DataFrame, exclude_run: str | None) -> DataFrame:
+        # re-ingesting a run deduplicates against every run EXCEPT
+        # itself: its own partition is exactly what the re-ingest
+        # rewrites (the warehouse resume convention), which is what
+        # makes commit_*(..., run_id) idempotent under replay
+        if exclude_run is None:
+            return df
+        return df.filter(F.col("run_id") != exclude_run)
+
+    def committed_fingerprints(
+        self, spark, exclude_run: str | None = None
+    ) -> DataFrame:
+        """(fingerprint, keep_id, run_id) across committed runs."""
+        return self._exclude(
+            self._read(
+                spark, self.exact_dir,
+                "fingerprint string, keep_id long, run_id string",
+            ),
+            exclude_run,
+        )
+
+    def committed_band_keys(
+        self, spark, exclude_run: str | None = None
+    ) -> DataFrame:
+        """(doc_id, band, band_key, run_id) across committed runs."""
+        return self._exclude(
+            self._read(
+                spark, self.bands_dir,
+                "doc_id long, band int, band_key string, run_id string",
+            ),
+            exclude_run,
+        )
+
+    def commit_exact(self, survivors: DataFrame, run_id: str) -> None:
+        """Persist an increment's surviving (fingerprint, keep_id) rows
+        under this run's partition (mode=overwrite: idempotent)."""
+        survivors.select("fingerprint", "keep_id").write.mode(
+            "overwrite"
+        ).parquet(str(self.exact_dir / f"run_id={run_id}"))
+
+    def commit_bands(self, bands_df: DataFrame, run_id: str) -> None:
+        """Persist an increment's (doc_id, band, band_key) rows under
+        this run's partition (mode=overwrite: idempotent)."""
+        bands_df.select("doc_id", "band", "band_key").write.mode(
+            "overwrite"
+        ).parquet(str(self.bands_dir / f"run_id={run_id}"))
+
+
+def incremental_exact_dedup(
+    increment: DataFrame, committed_fps: DataFrame
+) -> DataFrame:
+    """Two-phase exact dedup of an ingest increment against the
+    committed corpus:
+
+    1. rows whose canonical content fingerprint is already committed
+       drop via a ``left_anti`` join on the fingerprint (uniform
+       md5 keys — the ``resume_anti_join`` shape at content
+       granularity; AQE broadcasts the store side while it is small,
+       shuffle-hash once it is not),
+    2. the remainder exact-dedups WITHIN the increment (min-id
+       survivor, one hash-agg — the ``exact_dedup`` plan).
+
+    Returns (fingerprint, keep_id, n_dups): exactly the rows to append
+    to the store on commit. n_dups counts increment-internal copies;
+    already-committed content contributes no row at all.
+    """
+    inc = with_fingerprint(_ensure_parallelism(increment))
+    fresh = inc.join(
+        committed_fps.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    return fresh.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def incremental_minhash_flags(
+    increment: DataFrame,
+    committed_bands: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup screening of an increment against the committed corpus
+    via the MinHash band-key store: an increment doc sharing ANY
+    (band, band_key) with a committed doc is flagged as a candidate
+    near-duplicate of already-kept content.
+
+    Returns (doc_id, near_dup_committed). Policy: this is CANDIDATE
+    semantics — the committed store keeps band keys, not shingles, so
+    no exact-Jaccard verification against committed text is possible
+    (that is the point: the store stays tiny). Band collisions at
+    16 hashes / 8 bands are ~P(jaccard)^2-per-band sensitive with
+    false-candidate odds ~pairs/2^64 per band from raw md5 collisions —
+    negligible; a deployment wanting verified incremental near-dup
+    keeps the committed shingle relation too and reuses
+    ``_jaccard_from_shingles`` over the union (documented trade-off,
+    same operators).
+
+    Plan: signature + banding on the increment only, then one
+    ``left_semi`` against the store keyed by (band, band_key) —
+    uniform keys, partition-prunable by run, never a pairwise join.
+    """
+    bk = band_keys(increment, n=n, num_hashes=num_hashes, bands=bands)
+    hits = (
+        bk.join(
+            committed_bands.select("band", "band_key"),
+            ["band", "band_key"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup_committed", F.lit(True))
+    )
+    ids = increment.select("doc_id").distinct()
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("near_dup_committed", F.lit(False)).alias(
+            "near_dup_committed"
+        ),
     )

@@ -169,3 +169,84 @@ def test_empty_bucket_in_group_commits_cleanly(spark, writer):
     # resume: everything (incl. empty buckets) is committed
     assert writer.run(spark, spark.createDataFrame(one), "re",
                       n_buckets=4) == []
+
+
+def test_incremental_dedup_store_roundtrip_idempotent(
+    spark, sf001_dir, tmp_path
+):
+    """Cross-run dedup against the committed FingerprintStore: run-1
+    commits, the run-2 increment keeps only content run-1 didn't, and
+    RE-ingesting run-2 (dedup vs every run except itself, overwrite
+    its own partition — the warehouse resume convention) reproduces
+    the identical store state: idempotent replay."""
+    from ocr_spark.operators.dedup import (
+        FingerprintStore,
+        band_keys,
+        incremental_exact_dedup,
+        incremental_minhash_flags,
+    )
+    from ocr_spark.operators.textops import with_fingerprint
+
+    docs = spark.read.parquet(sf001_dir + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    run1 = docs.filter("doc_id % 3 != 0")
+    run2 = docs.filter("doc_id % 2 = 0")
+    store = FingerprintStore(str(tmp_path / "store"))
+
+    # run-1 against the empty store: everything is new
+    s1 = incremental_exact_dedup(
+        run1, store.committed_fingerprints(spark, exclude_run="r1")
+    )
+    n1 = s1.count()
+    assert n1 > 0
+    store.commit_exact(s1, "r1")
+    store.commit_bands(band_keys(run1), "r1")
+    assert store.committed_fingerprints(spark).count() == n1
+
+    # run-2 increment: survivors are exactly run-2's fingerprints
+    # minus run-1's (content-level two-phase semantics)
+    s2 = incremental_exact_dedup(
+        run2, store.committed_fingerprints(spark, exclude_run="r2")
+    )
+    surv2 = {(r.fingerprint, r.keep_id, r.n_dups) for r in s2.collect()}
+    fp1 = {
+        r.fingerprint
+        for r in with_fingerprint(run1).select("fingerprint").collect()
+    }
+    fp2 = {
+        r.fingerprint
+        for r in with_fingerprint(run2).select("fingerprint").collect()
+    }
+    assert {f for f, _, _ in surv2} == fp2 - fp1
+    store.commit_exact(s2, "r2")
+    total = sorted(
+        map(tuple, store.committed_fingerprints(spark).collect())
+    )
+
+    # idempotent re-ingest: same inputs, same store state
+    s2b = incremental_exact_dedup(
+        run2, store.committed_fingerprints(spark, exclude_run="r2")
+    )
+    assert {
+        (r.fingerprint, r.keep_id, r.n_dups) for r in s2b.collect()
+    } == surv2
+    store.commit_exact(s2b, "r2")
+    assert (
+        sorted(map(tuple, store.committed_fingerprints(spark).collect()))
+        == total
+    )
+
+    # near-dup screening against the committed band store: every run-2
+    # doc whose content run-1 committed verbatim must flag True
+    flags = {
+        r.doc_id: r.near_dup_committed
+        for r in incremental_minhash_flags(
+            run2, store.committed_band_keys(spark, exclude_run="r2")
+        ).collect()
+    }
+    overlap_ids = {r.doc_id for r in run2.join(
+        run1.select("doc_id"), "doc_id", "left_semi"
+    ).collect()}
+    assert overlap_ids and all(flags[i] for i in overlap_ids)
+    assert not all(flags.values())  # non-overlapping content exists
