@@ -165,6 +165,40 @@ b{tag} AS (
 )"""
 
 
+def _feats_sql(rel: str, tag: str) -> str:
+    """Hashed uni+bigram bucket-stream CTE chain over an arbitrary
+    (doc_id, text) relation — mirrors ``textops._dsir_features``
+    (n_buckets=10000), parameterized so the nb_quality oracle can
+    featurize the pos / neg / scored relations independently. Ends
+    with ``ft{tag}`` = (doc_id, bucket)."""
+    return f"""
+tk{tag} AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM {rel} WHERE trim(text) <> ''
+),
+f0{tag} AS (
+    SELECT doc_id, f FROM (SELECT doc_id, unnest(t) AS f FROM tk{tag})
+    WHERE f <> ''
+    UNION ALL
+    SELECT doc_id, a || ' ' || b AS f FROM (
+        SELECT doc_id, t[r.i + 1] AS a, t[r.i + 2] AS b
+        FROM tk{tag}, unnest(range(0, len(t) - 1)) AS r(i)
+        WHERE len(t) >= 2
+    ) WHERE a <> '' AND b <> ''
+),
+ft{tag} AS (
+    SELECT doc_id, {_hex32("h")} % 10000 AS bucket
+    FROM (SELECT doc_id, md5(f) AS h FROM f0{tag})
+)"""
+
+
+# deterministic md5-token gibberish used by the nb_quality fixture
+_GIB_SQL = (
+    "array_to_string([substring(md5(x), 1, 6) "
+    "for x in regexp_split_to_array(trim(text), '\\s+') if x <> ''], ' ')"
+)
+
+
 def _substring_sql(keep_first: bool) -> str:
     """Oracle for dedup.substring_dedup (min_len=25, min_df=2) over the
     corpus + the remix rows both substring driver queries union in:
@@ -1029,6 +1063,40 @@ def q_dsir_select(spark, sf_dir):
     return X.dsir_sample(docs, target, k=100)
 
 
+def q_nb_quality(spark, sf_dir):
+    """Naive Bayes quality classifier exercised for real: positives =
+    docs with doc_id % 5 == 1 (clean), negatives = docs with
+    doc_id % 5 == 2 turned into deterministic md5-token gibberish
+    (per-token substring(md5(tok),1,6) — identical expression in the
+    oracle), scored corpus = every doc plus gibberishized copies of
+    the first 50 (+10^9 ids), which the classifier must push toward
+    pred_clean = false."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gib():
+        return F.array_join(
+            F.transform(
+                F.filter(
+                    F.split(F.trim("text"), r"\s+"), lambda x: x != ""
+                ),
+                lambda x: F.substring(F.md5(x), 1, 6),
+            ),
+            " ",
+        )
+
+    pos = docs.filter(F.col("doc_id") % 5 == 1)
+    neg = docs.filter(F.col("doc_id") % 5 == 2).select(
+        "doc_id", gib().alias("text")
+    )
+    scored = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000000).alias("doc_id"),
+            gib().alias("text"),
+        )
+    )
+    return X.nb_quality(scored, pos, neg)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Per-doc average unigram log-probability under the corpus's own
     unigram LM — the offline stand-in for CCNet's perplexity filter."""
@@ -1412,7 +1480,6 @@ QUERIES: dict[str, Callable] = {
     "web_curation": q_web_curation,
     "decontaminate": q_decontaminate,
     "minhash_lsh": q_minhash_lsh,
-    "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "near_dup_groups": q_near_dup_groups,
     "bm25_topk": q_bm25_topk,
@@ -1422,6 +1489,7 @@ QUERIES: dict[str, Callable] = {
     "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
     "dsir_select": q_dsir_select,
+    "nb_quality": q_nb_quality,
     "ccnet_buckets": q_ccnet_buckets,
     "pack_conversations": q_pack_conversations,
     "conv_dedup": q_conv_dedup,
@@ -1447,6 +1515,7 @@ QUERIES: dict[str, Callable] = {
     #    driver-green since r1/r2; all selfchecked every round --
     "as_of_join": q_as_of_join,
     "sessionize": q_sessionize,
+    "simhash": q_simhash,
     "run_stats_lineitem": q_run_stats_lineitem,
     "window_turn_order": q_window_turn_order,
     "anti_join_resume": q_anti_join_resume,
@@ -2521,6 +2590,51 @@ ORACLES: dict[str, str] = {
     # target = doc_id % 7 == 0): hashed uni+bigram buckets, add-1
     # smoothed target/raw log-ratio, per-doc sum, deterministic Gumbel
     # top-k
+    # mirrors textops.nb_quality (n_buckets=10000, alpha=1) over the
+    # pos / md5-gibberish-neg / scored fixture of q_nb_quality
+    "nb_quality": f"""
+        WITH pos AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1
+        ),
+        neg AS (
+            SELECT doc_id, {_GIB_SQL} AS text
+            FROM documents WHERE doc_id % 5 = 2
+        ),
+        scored AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000000, {_GIB_SQL}
+            FROM documents WHERE doc_id < 50
+        ),
+        {_feats_sql('pos', 'p')},
+        {_feats_sql('neg', 'n')},
+        {_feats_sql('scored', 'd')},
+        cp AS (SELECT bucket, count(*) AS c_p FROM ftp GROUP BY bucket),
+        cn AS (SELECT bucket, count(*) AS c_n FROM ftn GROUP BY bucket),
+        tpt AS (SELECT count(*) AS tp FROM ftp),
+        tnt AS (SELECT count(*) AS tn FROM ftn),
+        pri AS (
+            SELECT ln((SELECT count(*) FROM pos)
+                      / (SELECT count(*) FROM neg)) AS prior
+        ),
+        llr AS (
+            SELECT r.i AS bucket,
+                   ln((coalesce(cp.c_p, 0) + 1.0) / (tp + 10000.0))
+                 - ln((coalesce(cn.c_n, 0) + 1.0) / (tn + 10000.0))
+                       AS llr
+            FROM (SELECT unnest(range(0, 10000)) AS i) r
+            LEFT JOIN cp ON cp.bucket = r.i
+            LEFT JOIN cn ON cn.bucket = r.i, tpt, tnt
+        ),
+        s AS (
+            SELECT doc_id, count(*) AS n_features, sum(llr) AS s
+            FROM ftd JOIN llr USING (bucket) GROUP BY doc_id
+        )
+        SELECT doc_id, n_features,
+               round(s + prior, 4) AS log_odds,
+               (round(s + prior, 4) >= 0) AS pred_clean
+        FROM s, pri
+    """,
     "dsir_select": f"""
         WITH raw_toks AS (
             SELECT doc_id,

@@ -339,6 +339,94 @@ def dsir_sample(
     )
 
 
+def nb_quality(
+    docs: DataFrame,
+    pos: DataFrame,
+    neg: DataFrame,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Learned quality classifier: multinomial Naive Bayes over hashed
+    uni+bigram features — the fastText-style classifier-filter class of
+    the GPT-3 / LLaMA pipelines (Brown et al. '20 App. A trains LR
+    against WebText; Touvron et al. '23 a Wikipedia-reference
+    classifier), the third standard filter family next to rule gates
+    (``with_gopher_rules``) and importance ratios (``dsir_*``). NB
+    scoring is pure count arithmetic — log p(c) + sum_f log p(f|c)
+    with add-``alpha`` smoothing — so unlike fastText it is fully
+    SQL-expressible and sits under the exact DuckDB gate.
+
+    score(doc) = ln(Np/Nn) + sum_f [ln p(f|pos) - ln p(f|neg)],
+    p(f|c) = (count_c(bucket(f)) + alpha) / (T_c + alpha * n_buckets).
+
+    Returns (doc_id, n_features, log_odds, pred_clean) with
+    ``log_odds`` rounded 4 dp (the ``unigram_logprob`` float-portability
+    convention) and ``pred_clean = log_odds >= 0`` computed FROM the
+    rounded value so both engines threshold the same number;
+    feature-less docs drop (as in ``dsir_logweights``).
+
+    Plan shape (the ``dsir_logweights`` scale argument): both class
+    count tables compress map-side to the fixed 10k bucket space, the
+    log-likelihood-ratio table is built over the FULL bucket domain
+    (``spark.range(n_buckets)``, so buckets unseen in training still
+    contribute the smoothed prior ratio instead of silently dropping
+    scored features) and BROADCASTS onto the doc feature stream;
+    totals/priors are single rows; the only corpus-sized shuffle is
+    the per-doc agg.
+    """
+    feats_p = _dsir_features(pos, n_buckets)
+    feats_n = _dsir_features(neg, n_buckets)
+    cp = feats_p.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_p"))
+    cn = feats_n.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_n"))
+    tp = cp.agg(F.sum("c_p").alias("tp"))
+    tn = cn.agg(F.sum("c_n").alias("tn"))
+    prior = (
+        pos.agg(F.count(F.lit(1)).alias("np"))
+        .crossJoin(neg.agg(F.count(F.lit(1)).alias("nn")))
+        .select(F.log(F.col("np") / F.col("nn")).alias("prior"))
+    )
+    denom = float(alpha) * n_buckets
+    base = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    llr = (
+        base.join(cp, "bucket", "left")
+        .join(cn, "bucket", "left")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_p"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tp") + F.lit(denom))
+                )
+                - F.log(
+                    (F.coalesce(F.col("c_n"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tn") + F.lit(denom))
+                )
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        _dsir_features(docs, n_buckets)
+        .join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("llr").alias("_s"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        "n_features",
+        F.round(F.col("_s") + F.col("prior"), 4).alias("log_odds"),
+        (F.round(F.col("_s") + F.col("prior"), 4) >= 0).alias(
+            "pred_clean"
+        ),
+    )
+
+
 def vocab_topk(df: DataFrame, k: int = 100) -> DataFrame:
     """Corpus vocabulary top-k by occurrence count (tokenizer-training /
     corpus-inspection shape). Distributed top-k: groupBy(token) hash-agg

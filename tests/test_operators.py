@@ -1100,3 +1100,43 @@ def test_winnow_verified_pairs_filters_accidental_candidates(spark):
     }
     assert (0, 1) in out and out[(0, 1)] >= 0.5
     assert (0, 2) not in out  # candidate, but verification rejects it
+
+
+def test_nb_quality_separates_planted_classes(spark):
+    """Multinomial NB over hashed uni+bigram features: docs made of
+    the positive class's vocabulary score log_odds > 0 (pred_clean),
+    negative-vocabulary docs score < 0, and the learned prior
+    ln(Np/Nn) shifts scores exactly (pinned on a vocab-free doc)."""
+    from ocr_spark.operators.textops import nb_quality
+
+    pos = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, "zork quux blarg") for i in range(2)],
+        "doc_id long, text string",
+    )
+    scored = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "zork quux blarg"),
+            (2, "unseen words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in nb_quality(scored, pos, neg).collect()}
+    assert out[0].pred_clean and out[0].log_odds > 0
+    assert not out[1].pred_clean and out[1].log_odds < 0
+    # unseen-vocabulary doc: every feature gets the smoothed ratio
+    # ln((0+1)/(Tp+aV)) - ln((0+1)/(Tn+aV)) plus the prior ln(4/2) —
+    # computable in closed form (5 features: 3 unigrams + 2 bigrams)
+    import math
+
+    tp = 4 * 7  # 4 pos docs x (4 uni + 3 bi)
+    tn = 2 * 5  # 2 neg docs x (3 uni + 2 bi)
+    per_feat = math.log(1.0 / (tp + 10000.0)) - math.log(
+        1.0 / (tn + 10000.0)
+    )
+    expect = round(5 * per_feat + math.log(4 / 2), 4)
+    assert abs(out[2].log_odds - expect) < 1e-9
