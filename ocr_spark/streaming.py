@@ -104,6 +104,48 @@ def extract_stream_dedup(
     return writer.start()
 
 
+def url_dedup_stream(
+    docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    trigger_once: bool = False,
+):
+    """Streaming URL-level curation — the batch ``url_dedup`` grafted
+    onto the micro-batch path, proving the curation family composes
+    with streaming ingest: each arriving doc's URL canonicalizes via
+    ``with_canonical_url`` (pure projection, streams through with no
+    state), and the canonical key feeds a watermarked
+    ``dropDuplicates`` so a URL seen under ANY raw variant (scheme
+    case, www, :443, param order, tracking params, fragment) within
+    the watermark horizon is emitted exactly once.
+
+    Same state contract as ``extract_stream_dedup``: first occurrence
+    emits immediately; a key's state evicts once the event-time
+    watermark passes it, so state is O(urls-per-watermark-window) —
+    the bound that keeps a crawl-frontier dedup runnable forever.
+    Duplicates arriving later than ``watermark`` after the original
+    are not caught; size the watermark to the source's redelivery /
+    recrawl horizon. State survives restarts via the checkpoint.
+    """
+    from ocr_spark.operators.urlops import with_canonical_url
+
+    canon = with_canonical_url(docs)
+    deduped = canon.withWatermark(ts_col, watermark).dropDuplicates(
+        ["canonical_url"]
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize_stream(
     events: DataFrame,
     output_dir: str,

@@ -386,3 +386,81 @@ def test_conv_progress_stateful_accumulates_and_evicts(spark, tmp_path):
     b_final = [r for r in rows if r.conv_id == "B" and r.final]
     assert len(b_final) == 1
     assert (b_final[0].n_turns, b_final[0].n_tool_turns) == (1, 0)
+
+
+def test_streaming_url_dedup_variants_and_redelivery(spark, tmp_path):
+    """Curation composes with the streaming path: raw URL VARIANTS of
+    one canonical key (scheme case, www, :443, param order, utm,
+    fragment) arriving across files and restarts emit exactly once —
+    the batch url_dedup policy enforced by watermarked canonical-key
+    state that survives the checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.streaming import url_dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def write_docs(path, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    write_docs(
+        f"{in_dir}/a.parquet",
+        [
+            (0, "https://www.Example.com/a?b=2&a=1", "2026-01-01 00:00:00"),
+            (1, "http://example.com:80/a?a=1&b=2&utm_x=1", "2026-01-01 00:01:00"),
+            (2, "example.com/a/?a=1&b=2#frag", "2026-01-01 00:02:00"),
+            (3, "https://other.org/p", "2026-01-01 00:03:00"),
+        ],
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, url string, ts timestamp"
+            ).parquet(in_dir)
+        )
+        q = url_dedup_stream(
+            stream, out_dir, ckpt, watermark="365 days",
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = duckdb.sql(
+        f"select canonical_url from '{out_dir}/*.parquet'"
+    ).df()
+    assert sorted(got.canonical_url) == ["example.com/a?a=1&b=2",
+                                         "other.org/p"]
+
+    # restart: one genuinely new url + two MORE raw variants of the
+    # already-emitted canonical key (a redelivery/recrawl) — state
+    # must persist through the checkpoint, so only the new url emits
+    write_docs(
+        f"{in_dir}/b.parquet",
+        [
+            (4, "HTTP://EXAMPLE.COM/a?a=1&b=2&gclid=z", "2026-01-02 00:00:00"),
+            (5, "https://example.com:443/a?b=2&a=1", "2026-01-02 00:01:00"),
+            (6, "https://fresh.net/x", "2026-01-02 00:02:00"),
+        ],
+    )
+    drain()
+    got = duckdb.sql(
+        f"select canonical_url from '{out_dir}/*.parquet'"
+    ).df()
+    assert sorted(got.canonical_url) == [
+        "example.com/a?a=1&b=2", "fresh.net/x", "other.org/p",
+    ]
