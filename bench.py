@@ -199,6 +199,8 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "override_join",
         "dedup_exact",
         "dedup_keep_best",
+        "incremental_dedup",
+        "incremental_minhash",
         "conv_dedup",
         "line_dedup",
         "substring_dedup",
@@ -213,6 +215,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "tfidf_keywords",
         "domain_mix",
         "dsir_select",
+        "nb_quality",
         "unigram_logprob",
         "ccnet_buckets",
         "bigram_logprob",
