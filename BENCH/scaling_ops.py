@@ -176,6 +176,19 @@ def _run_op(spark, op: str) -> int:
             "/tmp/ocr_spark_bench/substring_corpus_100000.parquet"
         )
         out = substring_dedup(corpus, min_len=50)
+    elif op == "nb":
+        # the learned-filter shape (r5): two fixed-10k-bucket count
+        # aggs over the training slices + broadcast LLR table + ONE
+        # corpus-sized per-doc agg — the broadcast-heavy contrast to
+        # the join-heavy bm25 datapoint
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.textops import nb_quality
+
+        corpus = spark.read.parquet(str(SEARCH_CACHE))
+        pos = corpus.filter(F.col("doc_id") % 10 == 1)
+        neg = corpus.filter(F.col("doc_id") % 10 == 2)
+        out = nb_quality(corpus, pos, neg)
     elif op == "simhash":
         # the compute-bound dedup-family datapoint (per-token md5 bit
         # votes dominate): contrasts with string/scan-bound line_dedup

@@ -343,3 +343,26 @@ def test_ccnet_approx_path_has_no_full_corpus_buffer(spark, sf001_dir):
     assert not _re.search(r"(?<!approx_)percentile\(", plan)
     plan_exact = _formatted(ccnet_buckets(docs, exact=True))
     assert _re.search(r"(?<!approx_)percentile\(", plan_exact)
+
+
+def test_nb_quality_broadcasts_llr_no_cartesian_on_corpus(spark, sf001_dir):
+    # the 10k-bucket LLR table must broadcast onto the doc feature
+    # stream — the scored corpus never shuffles for the scoring join;
+    # the only corpus-sized shuffle is the per-doc agg
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["nb_quality"](spark, sf001_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_incremental_minhash_never_pairwise(spark, sf001_dir):
+    # the committed-store screen is a semi-join on (band, band_key) —
+    # no pairwise candidate join, no cartesian anywhere
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["incremental_minhash"](spark, sf001_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "rangepartitioning" not in plan
