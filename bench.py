@@ -201,6 +201,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "dedup_keep_best",
         "incremental_dedup",
         "incremental_minhash",
+        "incremental_verified",
         "conv_dedup",
         "line_dedup",
         "substring_dedup",

@@ -871,6 +871,24 @@ def q_incremental_minhash(spark, sf_dir):
     return D.incremental_minhash_flags(incr, committed)
 
 
+def q_incremental_verified(spark, sf_dir):
+    """Verified incremental near-dup on the same run-1/run-2 split:
+    band candidates from the committed band-key store, exact
+    cross-corpus Jaccard on candidate docs only (committed text read
+    back from the kept corpus). Identical docs present in both runs
+    and the ws-mangled remixes of committed docs verify at 1.0."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    run1 = docs.filter(F.col("doc_id") % 3 != 0)
+    committed = D.band_keys(run1)
+    incr = docs.filter(F.col("doc_id") % 2 == 0).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000000).alias("doc_id"),
+            F.regexp_replace("text", " ", "  ").alias("text"),
+        )
+    )
+    return D.incremental_minhash_verified(incr, committed, run1)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
@@ -1470,9 +1488,9 @@ QUERIES: dict[str, Callable] = {
     # -- training-data operators --
     "dedup_exact": q_dedup_exact,
     "dedup_keep_best": q_dedup_keep_best,
-    "dedup_turns": q_dedup_turns,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
+    "incremental_verified": q_incremental_verified,
     "ngram_jaccard": q_ngram_jaccard,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
@@ -1516,6 +1534,7 @@ QUERIES: dict[str, Callable] = {
     "as_of_join": q_as_of_join,
     "sessionize": q_sessionize,
     "simhash": q_simhash,
+    "dedup_turns": q_dedup_turns,
     "run_stats_lineitem": q_run_stats_lineitem,
     "window_turn_order": q_window_turn_order,
     "anti_join_resume": q_anti_join_resume,
@@ -1935,6 +1954,55 @@ ORACLES: dict[str, str] = {
         SELECT ids.doc_id,
                (hits.doc_id IS NOT NULL) AS near_dup_committed
         FROM ids LEFT JOIN hits ON ids.doc_id = hits.doc_id
+    """,
+    # band candidates from the committed store, verified by exact
+    # cross-corpus Jaccard on candidate docs only (df cap over the
+    # candidate-restricted UNION of both shingle relations, mirroring
+    # incremental_minhash_verified)
+    "incremental_verified": f"""
+        WITH {_INCR_FIXTURE},
+        {_bands_sql('run1', '1')},
+        {_bands_sql('incr', '2')},
+        cand AS (
+            SELECT DISTINCT b2.doc_id, b1.doc_id AS committed_id
+            FROM b2 JOIN b1 USING (band, band_key)
+        ),
+        shi AS (
+            SELECT sh2.doc_id, sh2.shingle FROM sh2
+            WHERE sh2.doc_id IN (SELECT doc_id FROM cand)
+        ),
+        shco AS (
+            SELECT sh1.doc_id AS committed_id, sh1.shingle FROM sh1
+            WHERE sh1.doc_id IN (SELECT committed_id FROM cand)
+        ),
+        dfp AS (
+            SELECT shingle FROM (
+                SELECT shingle FROM shi
+                UNION ALL SELECT shingle FROM shco
+            ) GROUP BY shingle HAVING count(*) <= 1000
+        ),
+        ship AS (SELECT shi.* FROM shi JOIN dfp USING (shingle)),
+        shcp AS (SELECT shco.* FROM shco JOIN dfp USING (shingle)),
+        szi AS (
+            SELECT doc_id, count(*) AS sz_i FROM ship GROUP BY doc_id
+        ),
+        szc AS (
+            SELECT committed_id, count(*) AS sz_c FROM shcp
+            GROUP BY committed_id
+        ),
+        inter AS (
+            SELECT i.doc_id, c.committed_id, count(*) AS inter
+            FROM ship i JOIN shcp c ON i.shingle = c.shingle
+            GROUP BY 1, 2
+        )
+        SELECT inter.doc_id, inter.committed_id,
+               round(inter / (szi.sz_i + szc.sz_c - inter), 4)
+                   AS jaccard
+        FROM inter
+        JOIN szi USING (doc_id)
+        JOIN szc USING (committed_id)
+        JOIN cand USING (doc_id, committed_id)
+        WHERE round(inter / (szi.sz_i + szc.sz_c - inter), 4) >= 0.05
     """,
     "minhash_lsh": _MINHASH_SQL,
     "simhash": _simhash_sql(16),

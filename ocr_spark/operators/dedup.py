@@ -1080,3 +1080,89 @@ def incremental_minhash_flags(
             "near_dup_committed"
         ),
     )
+
+
+def incremental_minhash_verified(
+    increment: DataFrame,
+    committed_bands: DataFrame,
+    committed_docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.05,
+    max_df: int = 1000,
+) -> DataFrame:
+    """VERIFIED incremental near-dup: the
+    :func:`incremental_minhash_flags` band candidates, then exact
+    CROSS-CORPUS n-gram Jaccard computed on candidate documents only —
+    the trade-off the flags variant documents, made concrete:
+    ``committed_bands`` comes from the tiny band-key store, and
+    ``committed_docs`` is the kept corpus itself (doc_id, text) read
+    back from the warehouse — at scale the verify stage touches ONLY
+    candidate committed docs (left_semi before the shingle explode,
+    the ``minhash_lsh_pairs`` discipline applied bipartite).
+
+    Returns (doc_id, committed_id, jaccard) with jaccard >= threshold
+    — increment docs to drop (or route to keep-best) before commit.
+    The join is bipartite (increment vs committed), so ids may overlap
+    numerically across runs without ambiguity; shingles with combined
+    document frequency > ``max_df`` over the candidate-restricted
+    union are pruned (the `_jaccard_from_shingles` skew bound,
+    mirrored in the oracle).
+    """
+    bk_inc = band_keys(increment, n=n, num_hashes=num_hashes, bands=bands)
+    cand = (
+        bk_inc.join(
+            committed_bands.select(
+                F.col("doc_id").alias("committed_id"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .select("doc_id", "committed_id")
+        .distinct()
+    )
+    cand = cand.localCheckpoint(eager=True)
+    sh_i = _with_shingles(increment, n).join(
+        cand.select("doc_id"), "doc_id", "left_semi"
+    )
+    sh_c = (
+        _with_shingles(committed_docs.select("doc_id", "text"), n)
+        .withColumnRenamed("doc_id", "committed_id")
+        .join(cand.select("committed_id"), "committed_id", "left_semi")
+    )
+    # df cap over the candidate-restricted UNION (both sides contribute
+    # to a shingle's document frequency, as in the one-relation op)
+    dfreq = (
+        sh_i.select("shingle")
+        .unionAll(sh_c.select("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    sh_i = sh_i.join(dfreq, "shingle", "left_semi")
+    sh_c = sh_c.join(dfreq, "shingle", "left_semi")
+    sz_i = sh_i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_i"))
+    sz_c = sh_c.groupBy("committed_id").agg(
+        F.count(F.lit(1)).alias("sz_c")
+    )
+    inter = (
+        sh_i.join(sh_c, "shingle")
+        .groupBy("doc_id", "committed_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cand, ["doc_id", "committed_id"], "left_semi")
+    )
+    return (
+        inter.join(sz_i, "doc_id")
+        .join(sz_c, "committed_id")
+        .select(
+            "doc_id",
+            "committed_id",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_i") + F.col("sz_c") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1140,3 +1140,36 @@ def test_nb_quality_separates_planted_classes(spark):
     )
     expect = round(5 * per_feat + math.log(4 / 2), 4)
     assert abs(out[2].log_odds - expect) < 1e-9
+
+
+def test_incremental_minhash_verified_cross_corpus(spark):
+    """Verified incremental near-dup: an increment doc band-colliding
+    with committed content verifies by exact cross-corpus Jaccard —
+    exact re-ingests at 1.0, near-dups above threshold, unrelated
+    docs produce no pair at all (bipartite: ids may overlap across
+    runs without ambiguity)."""
+    from ocr_spark.operators.dedup import (
+        band_keys,
+        incremental_minhash_verified,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    committed = _docs(spark, [base, "one two three four five six " * 5])
+    inc = _docs(
+        spark,
+        [
+            base,                      # 0: exact re-ingest -> 1.0 vs committed 0
+            base + "tail extra",       # 1: near-dup of committed 0
+            "totally different words entirely unrelated here now " * 4,
+        ],
+    )
+    out = {
+        (r.doc_id, r.committed_id): r.jaccard
+        for r in incremental_minhash_verified(
+            inc, band_keys(committed), committed, threshold=0.3
+        ).collect()
+    }
+    assert out[(0, 0)] == 1.0
+    assert 0.3 <= out[(1, 0)] < 1.0
+    assert all(d != 2 for d, _ in out)
+    assert all(c != 1 for _, c in out)
