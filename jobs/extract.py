@@ -6,7 +6,7 @@ Usage (ships via --py-files, see jobs/package.sh):
         --input /path/to/transcripts --output /path/to/warehouse \
         --run-id R1 [--buckets 64] [--group-size 8] [--partitions 256] \
         [--salt-threshold 10000] [--salt-buckets 1024] [--reset] \
-        [--export-json /path/out_json]
+        [--export-json /path/out_json] [--fingerprint-store /path/fps]
 
 Graft of the reference's headless API mode (/root/reference/README.md:51-56:
 drop files in images/ -> upload.bat -> download.bat -> reset.bat): folder
@@ -56,6 +56,17 @@ def main(argv: list[str] | None = None) -> int:
         "on the classpath (--packages)",
     )
     ap.add_argument(
+        "--fingerprint-store",
+        default=None,
+        metavar="DIR",
+        help="cross-RUN content dedup: drop ingested turns whose "
+        "canonical text fingerprint was committed by a PREVIOUS run in "
+        "this store, and commit this run's new fingerprints under its "
+        "run-id partition afterwards (overwrite-own-partition, so "
+        "re-running a run-id is idempotent). The store holds md5 "
+        "fingerprints only, never text.",
+    )
+    ap.add_argument(
         "--stream",
         action="store_true",
         help="incremental mode: availableNow streaming drain of new "
@@ -84,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             "--export-json": args.export_json is not None,
             "--export-xlsx": args.export_xlsx is not None,
             "--reset": args.reset,
+            "--fingerprint-store": args.fingerprint_store is not None,
         }
         bad = [flag for flag, hit in incompatible.items() if hit]
         if bad:
@@ -145,6 +157,21 @@ def main(argv: list[str] | None = None) -> int:
         transcripts = read_transcripts(
             spark, args.input, fmt=args.input_format, dedup=args.dedup
         )
+    store = None
+    if args.fingerprint_store:
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.dedup import FingerprintStore
+        from ocr_spark.operators.textops import with_fingerprint
+
+        store = FingerprintStore(args.fingerprint_store)
+        committed_fps = store.committed_fingerprints(
+            spark, exclude_run=args.run_id
+        ).select("fingerprint")
+        fresh_fp = with_fingerprint(transcripts).join(
+            committed_fps, "fingerprint", "left_anti"
+        )
+        transcripts = fresh_fp.drop("fingerprint")
     counters = ExtractCounters(spark)
     committed = writer.run(
         spark,
@@ -158,6 +185,15 @@ def main(argv: list[str] | None = None) -> int:
         counters=counters,
     )
     print(f"committed buckets this run: {sorted(committed)}")
+    if store is not None:
+        # manifest-last, like the lineage rows: the store commits only
+        # after the run's buckets did. keep_id is an informational
+        # stable 64-bit key of the first (conv_id, turn_idx) seen.
+        new_fps = fresh_fp.groupBy("fingerprint").agg(
+            F.min(F.xxhash64("conv_id", "turn_idx")).alias("keep_id")
+        )
+        store.commit_exact(new_fps, args.run_id)
+        print(f"fingerprint store: committed run {args.run_id}")
     # live accumulator view (O15); lineage rows are the committed truth
     print(
         "progress counters: n_turns={n_turns} n_errors={n_errors}".format(
