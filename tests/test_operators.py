@@ -1173,3 +1173,43 @@ def test_incremental_minhash_verified_cross_corpus(spark):
     assert 0.3 <= out[(1, 0)] < 1.0
     assert all(d != 2 for d, _ in out)
     assert all(c != 1 for _, c in out)
+
+
+def test_incremental_dedup_consistency_properties(spark, sf001_dir):
+    """Algebraic pins for the two-phase semantics: (1) against an
+    EMPTY store, incremental dedup == plain exact_dedup; (2) run-1
+    survivors + run-2 survivors partition the distinct fingerprints of
+    the union (nothing lost, nothing double-kept)."""
+    from ocr_spark.operators.dedup import exact_dedup, incremental_exact_dedup
+
+    docs = spark.read.parquet(sf001_dir + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    empty = spark.createDataFrame([], "fingerprint string")
+    inc_all = {
+        (r.fingerprint, r.keep_id, r.n_dups)
+        for r in incremental_exact_dedup(docs, empty).collect()
+    }
+    plain = {
+        (r.fingerprint, r.keep_id, r.n_dups)
+        for r in exact_dedup(docs).collect()
+    }
+    assert inc_all == plain and len(plain) > 0
+
+    run1 = docs.filter("doc_id % 3 != 0")
+    run2 = docs.filter("doc_id % 3 = 0")
+    s1 = {
+        r.fingerprint
+        for r in incremental_exact_dedup(run1, empty).collect()
+    }
+    s2 = {
+        r.fingerprint
+        for r in incremental_exact_dedup(
+            run2,
+            spark.createDataFrame(
+                [(f,) for f in s1], "fingerprint string"
+            ),
+        ).collect()
+    }
+    assert s1 | s2 == {f for f, _, _ in plain}
+    assert not (s1 & s2)
