@@ -95,8 +95,13 @@ def main(argv: list[str] | None = None) -> int:
             "--export-json": args.export_json is not None,
             "--export-xlsx": args.export_xlsx is not None,
             "--reset": args.reset,
-            "--fingerprint-store": args.fingerprint_store is not None,
         }
+        if args.stream_dedup and args.fingerprint_store:
+            ap.error(
+                "--stream-dedup and --fingerprint-store are separate "
+                "stream dedup policies (watermarked keyed state vs "
+                "committed-store anti-join); pick one"
+            )
         bad = [flag for flag, hit in incompatible.items() if hit]
         if bad:
             ap.error(
@@ -121,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         from ocr_spark.streaming import (
             extract_stream,
             extract_stream_dedup,
+            extract_stream_incremental,
             read_transcript_stream,
         )
 
@@ -132,9 +138,37 @@ def main(argv: list[str] | None = None) -> int:
                 stream, out_dir, ckpt,
                 watermark=args.stream_dedup, trigger_once=True,
             )
+        elif args.fingerprint_store:
+            q = extract_stream_incremental(
+                stream, out_dir, ckpt,
+                args.fingerprint_store, args.run_id, trigger_once=True,
+            )
         else:
             q = extract_stream(stream, out_dir, ckpt, trigger_once=True)
         q.awaitTermination()
+        if args.fingerprint_store and not args.stream_dedup:
+            # manifest-last: after the drain commits its output, record
+            # this run's content fingerprints (the whole input dir's —
+            # a superset of the survivors, equivalent for dedup and
+            # idempotent under the overwrite-own-partition contract)
+            from pyspark.sql import functions as F
+
+            from ocr_spark.operators.dedup import FingerprintStore
+            from ocr_spark.operators.textops import with_fingerprint
+
+            fps = (
+                with_fingerprint(spark.read.parquet(args.input))
+                .groupBy("fingerprint")
+                .agg(
+                    F.min(F.xxhash64("conv_id", "turn_idx")).alias(
+                        "keep_id"
+                    )
+                )
+            )
+            FingerprintStore(args.fingerprint_store).commit_exact(
+                fps, args.run_id
+            )
+            print(f"fingerprint store: committed run {args.run_id}")
         print(f"stream drain complete -> {out_dir}")
         spark.stop()
         return 0

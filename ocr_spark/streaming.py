@@ -104,6 +104,60 @@ def extract_stream_dedup(
     return writer.start()
 
 
+def extract_stream_incremental(
+    transcripts: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    run_id: str,
+    trigger_once: bool = False,
+):
+    """Streaming ingest composed with the CROSS-RUN fingerprint store
+    (the batch ``--fingerprint-store`` semantics on the micro-batch
+    path): each arriving turn's canonical content fingerprint
+    anti-joins the STATIC committed store — a stream-static join, so
+    no streaming state at all (the store is the state, durably on
+    disk) — and only content no previous run committed flows into
+    extraction.
+
+    Intended for the availableNow DRAIN mode: each drain constructs a
+    fresh query, so the store is re-listed at construction and a
+    commit made between drains is seen by the next one. (Inside one
+    long-running query the stream-static contract re-executes the
+    static side per micro-batch, but the parquet FILE INDEX is
+    resolved at plan time — do not rely on mid-query store growth.)
+    This path deliberately does NOT commit new fingerprints itself: a
+    drain's output is committed to the store by the caller after the
+    drain completes (manifest-last, same as the batch CLI), keeping
+    the at-most-once store append under caller control.
+
+    Returns the started StreamingQuery.
+    """
+    from ocr_spark.operators.dedup import FingerprintStore
+    from ocr_spark.operators.textops import with_fingerprint
+
+    spark = transcripts.sparkSession
+    store = FingerprintStore(store_dir)
+    committed = store.committed_fingerprints(
+        spark, exclude_run=run_id
+    ).select("fingerprint")
+    fresh = (
+        with_fingerprint(transcripts)
+        .join(committed, "fingerprint", "left_anti")
+        .drop("fingerprint")
+    )
+    ext = extract(fresh)
+    writer = (
+        ext.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def url_dedup_stream(
     docs: DataFrame,
     output_dir: str,

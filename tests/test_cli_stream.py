@@ -162,3 +162,53 @@ def test_cli_fingerprint_store_cross_run_dedup(tmp_path):
         f"select count(distinct fingerprint) from '{fps}/exact/**/*.parquet'"
     ).fetchone()[0]
     assert n_store > 0
+
+
+def test_stream_cli_fingerprint_store(tmp_path):
+    """--stream --fingerprint-store: drain 1 extracts everything and
+    commits its content fingerprints; a second run-id draining a
+    redelivery of the same content (fresh conv ids, fresh files, fresh
+    checkpoint) extracts zero rows via the store anti-join."""
+    from ocr_spark.synth import gen_transcripts, write_transcripts_parquet
+
+    in1 = tmp_path / "in1"
+    in1.mkdir()
+    a = gen_transcripts(20, seed=41)
+    write_transcripts_parquet(a, str(in1 / "a.parquet"))
+    fps = str(tmp_path / "fps")
+    wh1, wh2 = tmp_path / "wh1", tmp_path / "wh2"
+
+    r = _run_cli(
+        ["--input", str(in1), "--output", str(wh1), "--run-id", "S1",
+         "--stream", "--fingerprint-store", fps]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    n1 = duckdb.sql(
+        f"select count(*) from '{wh1}/stream/*.parquet'"
+    ).fetchone()[0]
+    assert n1 == len(a)
+
+    in2 = tmp_path / "in2"
+    in2.mkdir()
+    b = a.copy()
+    b["conv_id"] = "re" + b["conv_id"]
+    write_transcripts_parquet(b, str(in2 / "b.parquet"))
+    r = _run_cli(
+        ["--input", str(in2), "--output", str(wh2), "--run-id", "S2",
+         "--stream", "--fingerprint-store", fps]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob
+
+    assert not glob.glob(f"{wh2}/stream/*.parquet") or duckdb.sql(
+        f"select count(*) from '{wh2}/stream/*.parquet'"
+    ).fetchone()[0] == 0
+
+
+def test_stream_cli_rejects_both_dedup_policies(tmp_path):
+    r = _run_cli(
+        ["--input", "x", "--output", "y", "--run-id", "Z", "--stream",
+         "--stream-dedup", "1 hour", "--fingerprint-store", "s"]
+    )
+    assert r.returncode != 0
+    assert "pick one" in r.stderr

@@ -464,3 +464,53 @@ def test_streaming_url_dedup_variants_and_redelivery(spark, tmp_path):
     assert sorted(got.canonical_url) == [
         "example.com/a?a=1&b=2", "fresh.net/x", "other.org/p",
     ]
+
+
+def test_streaming_incremental_against_fingerprint_store(spark, tmp_path):
+    """Stream-static composition: a drain extracts only content no
+    previous run committed to the FingerprintStore; after the caller
+    commits the drain's fingerprints, a redelivery drain (same content
+    under fresh conv ids, new files) extracts zero rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import FingerprintStore
+    from ocr_spark.operators.textops import with_fingerprint
+    from ocr_spark.streaming import extract_stream_incremental
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store_dir = str(tmp_path / "fps")
+    os.makedirs(in_dir)
+
+    a = gen_transcripts(10, seed=61, whale_lo=20, whale_hi=30)
+    write_transcripts_parquet(a, f"{in_dir}/a.parquet")
+
+    def drain(run_id):
+        q = extract_stream_incremental(
+            read_transcript_stream(spark, in_dir), out_dir, ckpt,
+            store_dir, run_id, trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    drain("S1")
+    n1 = _count(out_dir)
+    assert n1 == len(a)
+    # caller commits the drain's fingerprints (manifest-last)
+    store = FingerprintStore(store_dir)
+    fps = (
+        with_fingerprint(
+            spark.read.parquet(f"{in_dir}/a.parquet")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(F.xxhash64("conv_id", "turn_idx")).alias("keep_id"))
+    )
+    store.commit_exact(fps, "S1")
+
+    # redelivery under fresh conv ids: content-level store dedup must
+    # drop every row even though the (conv_id, turn_idx) keys are new
+    b = a.copy()
+    b["conv_id"] = "re" + b["conv_id"]
+    write_transcripts_parquet(b, f"{in_dir}/b.parquet")
+    drain("S2")
+    assert _count(out_dir) == n1, "redelivered content extracted zero rows"
