@@ -31,7 +31,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+try:  # tolerate re-import inside a pyspark worker (argv != CLI)
+    N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+except ValueError:
+    N_DOCS = 100_000
 CACHE = Path("/tmp/ocr_spark_bench") / f"bigram_corpus_{N_DOCS}.parquet"
 
 
