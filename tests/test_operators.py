@@ -1213,3 +1213,28 @@ def test_incremental_dedup_consistency_properties(spark, sf001_dir):
     }
     assert s1 | s2 == {f for f, _, _ in plain}
     assert not (s1 & s2)
+
+
+def test_canonical_url_idempotent(spark):
+    """Canonicalization is a projection onto its own fixed points:
+    re-canonicalizing a canonical_url must be a no-op for every
+    variant shape (scheme case, www, default/odd ports, userinfo,
+    params, fragments, trailing slashes, NULL)."""
+    from ocr_spark.operators.urlops import with_canonical_url
+
+    rows = [
+        (0, "https://www.Example.com:443/a/b/?b=2&a=1&utm_source=x#f"),
+        (1, "http://user@example.com:8080/x?gclid=1"),
+        (2, "example.com"),
+        (3, "HTTPS://WWW.OTHER.ORG:80/p/?z=1&y=2&fbclid"),
+        (4, "ftp://files.example.net/dir/file.txt"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    once = with_canonical_url(df).select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = with_canonical_url(once).select("doc_id", "canonical_url")
+    a = {r.doc_id: r.url for r in once.collect()}
+    b = {r.doc_id: r.canonical_url for r in twice.collect()}
+    assert a == b
