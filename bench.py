@@ -439,6 +439,11 @@ def run_scaling(
                                 "metric": "scaling_aborted_box_degraded",
                                 "spot_tps": spots,
                                 "floor": box_floor,
+                                # completed reps are evidence too —
+                                # report, don't discard
+                                "partial_effs": {
+                                    f"{lo}->{hi}": [e for e, _, _ in effs]
+                                },
                             }
                         )
                     )
