@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ocr_spark.operators import clustering as CL
 from ocr_spark.operators import dedup as D
 from ocr_spark.operators import relational as R
 from ocr_spark.operators import search as SR
@@ -831,6 +832,24 @@ def q_decontaminate(spark, sf_dir):
     return D.decontaminate(docs, bench, n=13)
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (MinHash-verified Jaccard) decontamination: the synthetic
+    eval set is the first half of every 17th document's tokens —
+    truncation breaks exact long-n-gram overlap semantics but leaves
+    3-gram Jaccard ~0.5, exactly the near-duplicate-leak shape the
+    fuzzy filter exists for."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    half = F.greatest(
+        F.lit(3), F.floor(F.size(toks) / 2).cast("int")
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, F.lit(1), half), " ").alias("text"),
+    )
+    return D.decontaminate_fuzzy(docs, bench, threshold=0.3)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental (cross-run) exact dedup: run-1 commits docs with
     doc_id % 3 != 0; the run-2 increment is the even docs plus
@@ -1241,6 +1260,29 @@ def q_semantic_dedup(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means (2 Lloyd iterations, deterministic lowest-id
+    seeds, rounded fixed points) — final (vec_id, cid, cos) assignment.
+    The oracle unrolls the same two iterations as SQL CTEs."""
+    return CL.kmeans_assign(
+        load(spark, sf_dir, "embeddings"), k=8, iters=2, vec_dims=64
+    )
+
+
+def q_semantic_dedup_kmeans(spark, sf_dir):
+    """SemDeDup as published: k-means clusters bound the pair space,
+    within-cluster cosine >= threshold drops the larger id. Same low
+    threshold as the LSH variant (synthetic embeddings are random)."""
+    return CL.semantic_dedup_kmeans(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        k=8,
+        iters=2,
+        threshold=0.3,
+        vec_dims=64,
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_group_topk(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -1497,12 +1539,12 @@ QUERIES: dict[str, Callable] = {
     "substring_keep_first": q_substring_keep_first,
     "web_curation": q_web_curation,
     "decontaminate": q_decontaminate,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "near_dup_groups": q_near_dup_groups,
     "bm25_topk": q_bm25_topk,
     "tfidf_keywords": q_tfidf_keywords,
-    "domain_mix": q_domain_mix,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
@@ -1511,8 +1553,6 @@ QUERIES: dict[str, Callable] = {
     "ccnet_buckets": q_ccnet_buckets,
     "pack_conversations": q_pack_conversations,
     "conv_dedup": q_conv_dedup,
-    "pmi_bigrams": q_pmi_bigrams,
-    "kmv_distinct": q_kmv_distinct,
     "winnow": q_winnow,
     "winnow_pairs": q_winnow_pairs,
     "winnow_verified": q_winnow_verified,
@@ -1528,9 +1568,17 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "cosine_near_dup": q_cosine_near_dup,
     "semantic_dedup": q_semantic_dedup,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
     # -- tail: keys with existing driver hash-evidence (as_of_join /
-    #    sessionize driver-gated r4) or redundant relational singles
-    #    driver-green since r1/r2; all selfchecked every round --
+    #    sessionize driver-gated r4; domain_mix / pmi_bigrams /
+    #    kmv_distinct r4-hash-green, demoted to make gate room for the
+    #    r5 clustering + fuzzy-decontamination keys) or redundant
+    #    relational singles driver-green since r1/r2; all selfchecked
+    #    every round --
+    "domain_mix": q_domain_mix,
+    "pmi_bigrams": q_pmi_bigrams,
+    "kmv_distinct": q_kmv_distinct,
     "as_of_join": q_as_of_join,
     "sessionize": q_sessionize,
     "simhash": q_simhash,
@@ -1621,6 +1669,46 @@ _WINNOW_PAIRS_SQL = f"""
         GROUP BY doc_a, doc_b
         HAVING count(*) >= 2
 """
+
+def _kmeans_ctes(k: int = 8, d: int = 64) -> str:
+    """Two unrolled Lloyd iterations mirroring
+    ``clustering.kmeans_assign(k, iters=2)``: lowest-vec_id seeds,
+    assignment by round-4 cosine (ties to the smaller cid), centroid
+    coordinates re-rounded to 6 dp each update — the rounded fixed
+    points that make the iterative algorithm engine-portable. Ends with
+    ``e`` = (vec_id, emb DOUBLE[]) and ``c2`` = (cid, cent)."""
+
+    def assign(src: str, tag: str) -> str:
+        return f"""a{tag} AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.emb, c.cent),
+                                  4) DESC, c.cid) AS rk
+        FROM e CROSS JOIN {src} c) WHERE rk = 1
+)"""
+
+    def update(asg: str, tag: str) -> str:
+        return f"""c{tag} AS (
+    SELECT cid, list(cv ORDER BY pos) AS cent FROM (
+        SELECT a.cid, r.pos, round(avg(e.emb[r.pos]), 6) AS cv
+        FROM {asg} a JOIN e USING (vec_id)
+        CROSS JOIN unnest(range(1, {d + 1})) AS r(pos)
+        GROUP BY a.cid, r.pos) GROUP BY cid
+)"""
+
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       FROM embeddings),
+c0 AS (SELECT vec_id AS cid, emb AS cent FROM e ORDER BY vec_id
+       LIMIT {k}),
+{assign('c0', '0')},
+{update('a0', '1')},
+{assign('c1', '1')},
+{update('a1', '2')}"""
+
+
+_KMEANS_CTES = _kmeans_ctes(8, 64)
+
 
 ORACLES: dict[str, str] = {
     "run_stats_lineitem": """
@@ -1903,6 +1991,69 @@ ORACLES: dict[str, str] = {
         SELECT s.doc_id, s.n_kept, s.n_dropped
         FROM surv s LEFT JOIN cont c ON s.doc_id = c.doc_id
         WHERE c.doc_id IS NULL
+    """,
+    # fuzzy decontamination: band the corpus and the half-token eval
+    # set independently (same hash family as _MINHASH_SQL), verify band
+    # candidates with exact bipartite Jaccard (df cap over the
+    # candidate-restricted union), flag corpus docs with any match —
+    # mirrors dedup.decontaminate_fuzzy over the q_decontaminate_fuzzy
+    # fixture
+    "decontaminate_fuzzy": f"""
+        WITH corp AS (SELECT doc_id, text FROM documents),
+        bench AS (
+            SELECT doc_id,
+                   array_to_string(
+                       t[1:greatest(3, CAST(floor(len(t) / 2) AS INT))],
+                       ' ') AS text
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents WHERE doc_id % 17 = 0)
+        ),
+        {_bands_sql('bench', '1')},
+        {_bands_sql('corp', '2')},
+        cand AS (
+            SELECT DISTINCT b2.doc_id, b1.doc_id AS committed_id
+            FROM b2 JOIN b1 USING (band, band_key)
+        ),
+        shi AS (
+            SELECT sh2.doc_id, sh2.shingle FROM sh2
+            WHERE sh2.doc_id IN (SELECT doc_id FROM cand)
+        ),
+        shco AS (
+            SELECT sh1.doc_id AS committed_id, sh1.shingle FROM sh1
+            WHERE sh1.doc_id IN (SELECT committed_id FROM cand)
+        ),
+        dfp AS (
+            SELECT shingle FROM (
+                SELECT shingle FROM shi
+                UNION ALL SELECT shingle FROM shco
+            ) GROUP BY shingle HAVING count(*) <= 1000
+        ),
+        ship AS (SELECT shi.* FROM shi JOIN dfp USING (shingle)),
+        shcp AS (SELECT shco.* FROM shco JOIN dfp USING (shingle)),
+        szi AS (
+            SELECT doc_id, count(*) AS sz_i FROM ship GROUP BY doc_id
+        ),
+        szc AS (
+            SELECT committed_id, count(*) AS sz_c FROM shcp
+            GROUP BY committed_id
+        ),
+        inter AS (
+            SELECT i.doc_id, c.committed_id, count(*) AS inter
+            FROM ship i JOIN shcp c ON i.shingle = c.shingle
+            GROUP BY 1, 2
+        ),
+        hits AS (
+            SELECT DISTINCT inter.doc_id
+            FROM inter
+            JOIN szi USING (doc_id)
+            JOIN szc USING (committed_id)
+            JOIN cand USING (doc_id, committed_id)
+            WHERE round(inter / (szi.sz_i + szc.sz_c - inter), 4) >= 0.3
+        ),
+        ids AS (SELECT DISTINCT doc_id FROM corp)
+        SELECT ids.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+        FROM ids LEFT JOIN hits ON ids.doc_id = hits.doc_id
     """,
     "decontaminate": f"""
         WITH {_sh_cte(13)},
@@ -3001,6 +3152,38 @@ ORACLES: dict[str, str] = {
                 FROM b a JOIN b e
                   ON a.bucket = e.bucket AND a.vec_id < e.vec_id
             ) WHERE cos >= 0.3
+        )
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    "kmeans_clusters": f"""
+        WITH {_KMEANS_CTES}
+        SELECT vec_id, cid, cos FROM (
+            SELECT e.vec_id, c.cid,
+                   round(list_cosine_similarity(e.emb, c.cent), 4) AS cos,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    e.emb, c.cent), 4) DESC,
+                                c.cid) AS rk
+            FROM e CROSS JOIN c2 c) WHERE rk = 1
+    """,
+    "semantic_dedup_kmeans": f"""
+        WITH {_KMEANS_CTES},
+        af AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                                        e.emb, c.cent), 4) DESC,
+                                    c.cid) AS rk
+                FROM e CROSS JOIN c2 c) WHERE rk = 1
+        ),
+        m AS (SELECT a.vec_id, a.cid, e.emb
+              FROM af a JOIN e USING (vec_id)),
+        losers AS (
+            SELECT DISTINCT b.vec_id AS doc_id
+            FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3
         )
         SELECT doc_id, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)

@@ -1,0 +1,193 @@
+"""Distributed k-means clustering over an embedding column, and the
+cluster-bounded SemDeDup that consumes it.
+
+``kmeans_assign`` is Lloyd's algorithm made engine-reproducible:
+
+- **Deterministic seeding** — the ``k`` lowest-``vec_id`` corpus
+  vectors (the same sampled-quantizer convention as ``ivf_topk``), so
+  both engines start from identical centroids.
+- **Rounded fixed points** — assignment similarity rounds to 4 dp
+  (ties break to the smaller centroid id) and every updated centroid
+  coordinate rounds to 6 dp before the next pass, so the iteration
+  trajectory does not depend on either engine's float-summation order.
+  This is what lets an inherently iterative algorithm pass an exact
+  DuckDB equality oracle — cf. the ``ivf_topk`` docstring, which
+  punted Lloyd refinement for exactly this reason.
+
+Scale shape (per iteration):
+
+- assignment is a broadcast of the k x d centroid table against the
+  corpus — one map-side pass, no shuffle of the big side. At very
+  large k, swap the expression cosine for the ``ivf_topk``
+  ``mapInPandas`` numpy matmul (one kernel per Arrow batch); at the
+  default k the whole-stage-codegen expression path wins because it
+  avoids Python worker round-trips.
+- the update is ``posexplode`` -> ``groupBy(cid, pos)`` -> ``avg``:
+  the exploded stream is d x N rows but partial aggregation compresses
+  it map-side to k x d per task, so the one shuffle moves O(tasks*k*d)
+  rows, not O(N*d).
+- centroids are collected to the driver between iterations (k x d
+  doubles — bounded and tiny, the same justified-collect class as
+  ``ivf_topk``'s quantizer). Collecting also CUTS THE LINEAGE: keeping
+  centroids as a DataFrame would nest each iteration's plan inside the
+  next and grow the optimizer's work exponentially with ``iters``.
+
+Reference behavior grafted: clustering/bucketing of embedded corpora
+for near-dup curation (SemDeDup, Abbas et al. '23 arXiv:2303.09540
+§3: k-means the embeddings, then dedup WITHIN clusters — the cluster
+structure is what bounds the pairwise stage at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import _dot_expr, _norm_expr, _probe_dims
+
+
+def _assign(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]], d: int
+) -> DataFrame:
+    """One assignment pass: (vec_id, cid, cos) — nearest centroid by
+    rounded cosine, ties to the smaller cid."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        centroids, "cid bigint, cent array<double>"
+    ).withColumn("cn", _norm_expr("cent", d))
+    scored = emb.crossJoin(F.broadcast(cdf)).withColumn(
+        "cos",
+        F.round(
+            _dot_expr("embedding", "cent", d)
+            / (F.col("nrm") * F.col("cn")),
+            4,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid", "cos")
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_dims: int | None = None,
+) -> DataFrame:
+    """Cluster the corpus with ``iters`` Lloyd iterations and return the
+    final assignment (vec_id, cid, cos).
+
+    ``cid`` is the seed vector's vec_id (stable labels, no renumbering);
+    a cluster that loses all members simply disappears from later
+    rounds — deterministic in both engines, documented rather than
+    re-seeded. ``cos`` is the rounded similarity to the final centroid.
+
+    Each iteration runs one assignment pass and one update pass over
+    the corpus; the returned DataFrame is a final assignment against
+    the post-update centroids, so ``iters + 1`` corpus passes total.
+    Inherent to Lloyd — callers at 100 TB pick small ``iters`` (SemDeDup
+    itself reports diminishing returns past a few) or sample the fit
+    corpus and assign the remainder once.
+    """
+    d = vec_dims if vec_dims is not None else _probe_dims(
+        embeddings, "embedding"
+    )
+    emb = embeddings.select("vec_id", "embedding").withColumn(
+        "nrm", _norm_expr("embedding", d)
+    )
+    seeds = sorted(
+        embeddings.orderBy("vec_id").limit(k).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cents = [(int(r.vec_id), [float(v) for v in r.embedding]) for r in seeds]
+    for _ in range(iters):
+        assigned = _assign(emb, cents, d)
+        upd = (
+            assigned.join(emb, "vec_id")
+            .select(
+                "cid", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+            .collect()
+        )
+        by_cid: dict[int, list[tuple[int, float]]] = {}
+        for r in upd:
+            by_cid.setdefault(int(r.cid), []).append(
+                (int(r.pos), float(r.cv))
+            )
+        cents = [
+            (cid, [v for _, v in sorted(pv)])
+            for cid, pv in sorted(by_cid.items())
+        ]
+    return _assign(emb, cents, d)
+
+
+def semantic_dedup_kmeans(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    vec_dims: int | None = None,
+) -> DataFrame:
+    """SemDeDup as published (Abbas et al. '23 §3): k-means the
+    embeddings, compute pairwise cosine WITHIN each cluster only, drop
+    every document with a near-duplicate (cos >= ``threshold``) of
+    smaller id in its cluster, keep the rest.
+
+    vs :func:`ocr_spark.operators.similarity.semantic_dedup` (the LSH
+    sign-bucket variant): clusters adapt to the corpus geometry where
+    sign buckets are fixed axis-aligned cuts — correlated real-encoder
+    embeddings collapse into few sign buckets (the documented
+    degenerate case) but still spread over k learned centroids. The
+    pair space is sum over clusters of |c|^2, bounded by balanced
+    clusters instead of a ``max_bucket`` recall trade.
+
+    Keep rule is greedy-by-id within cluster (the paper keeps one
+    random member per duplicate group; min-id is the deterministic
+    equivalent, matching the LSH variant so the two are comparable).
+    """
+    d = vec_dims if vec_dims is not None else _probe_dims(
+        embeddings, "embedding"
+    )
+    assigned = kmeans_assign(
+        embeddings, k=k, iters=iters, vec_dims=d
+    ).select("vec_id", "cid")
+    e = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("nrm", _norm_expr("embedding", d))
+        .join(assigned, "vec_id")
+    )
+    a = e.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "cid",
+    )
+    b = e.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "cid",
+    )
+    losers = (
+        a.join(b, "cid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot_expr("ea", "eb", d) / (F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    return docs.join(losers, id_col, "left_anti")

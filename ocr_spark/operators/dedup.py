@@ -653,6 +653,67 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus documents whose
+    n-gram Jaccard against ANY eval-set document reaches ``threshold``
+    — the near-duplicate-overlap filter (Llama 2 / Gopher-style fuzzy
+    decontamination) that catches paraphrased or token-mutated
+    contamination the exact 13-gram filter (:func:`decontaminate`)
+    misses: mutate every ~8th token of a leaked eval answer and no
+    13-gram survives intact, while 3-gram Jaccard barely moves.
+
+    Same output contract as :func:`decontaminate`: one row per corpus
+    document, (doc_id, contaminated).
+
+    Plan shape: MinHash band keys on BOTH sides (the eval set is tiny —
+    its band-key table broadcasts), candidates from the band join,
+    exact cross-relation Jaccard on candidate docs only — the
+    :func:`incremental_minhash_verified` bipartite discipline with the
+    eval set playing the committed corpus. The full corpus is touched
+    exactly once (signature pass); verification explodes shingles only
+    for docs that banded with an eval doc.
+
+    Recall envelope is MinHash's: a contaminated doc is found iff it
+    shares >= 1 of the ``bands`` band keys — P ~ 1-(1-J^r)^b with
+    r = num_hashes/bands. For high-overlap leaks (J >= 0.5 at the
+    defaults) that is > 0.9; raise ``bands`` (or num_hashes) for lower
+    thresholds. The exact filter remains the complement for verbatim
+    short spans.
+    """
+    bench = benchmark.select(F.col("bench_id").alias("doc_id"), "text")
+    hits = incremental_minhash_verified(
+        df,
+        band_keys(bench, n=n, num_hashes=num_hashes, bands=bands),
+        bench,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_df=max_df,
+    )
+    flagged = (
+        hits.select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def _simhash_votes(df: DataFrame, bits: int) -> DataFrame:
     """Per-document SimHash bit votes (doc_id, s0..s{bits-1}).
 
