@@ -16,12 +16,13 @@ cluster-bounded SemDeDup that consumes it.
 
 Scale shape (per iteration):
 
-- assignment is a broadcast of the k x d centroid table against the
-  corpus — one map-side pass, no shuffle of the big side. At very
-  large k, swap the expression cosine for the ``ivf_topk``
-  ``mapInPandas`` numpy matmul (one kernel per Arrow batch); at the
-  default k the whole-stage-codegen expression path wins because it
-  avoids Python worker round-trips.
+- assignment is a PURE MAP: centroids are driver-known literals, so
+  each row argmaxes a k-element (cos, -cid) struct array in-row — no
+  join, no window, zero shuffle of the corpus. At very large k, swap
+  the expression cosine for the ``ivf_topk`` ``mapInPandas`` numpy
+  matmul (one kernel per Arrow batch); at the default k the
+  whole-stage-codegen expression path wins because it avoids Python
+  worker round-trips.
 - the update is ``posexplode`` -> ``groupBy(cid, pos)`` -> ``avg``:
   the exploded stream is d x N rows but partial aggregation compresses
   it map-side to k x d per task, so the one shuffle moves O(tasks*k*d)
@@ -40,7 +41,9 @@ structure is what bounds the pairwise stage at corpus scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import math
+
+from pyspark.sql import DataFrame, functions as F
 
 from .similarity import _dot_expr, _norm_expr, _probe_dims
 
@@ -49,26 +52,44 @@ def _assign(
     emb: DataFrame, centroids: list[tuple[int, list[float]]], d: int
 ) -> DataFrame:
     """One assignment pass: (vec_id, cid, cos) — nearest centroid by
-    rounded cosine, ties to the smaller cid."""
-    spark = emb.sparkSession
-    cdf = spark.createDataFrame(
-        centroids, "cid bigint, cent array<double>"
-    ).withColumn("cn", _norm_expr("cent", d))
-    scored = emb.crossJoin(F.broadcast(cdf)).withColumn(
-        "cos",
-        F.round(
-            _dot_expr("embedding", "cent", d)
-            / (F.col("nrm") * F.col("cn")),
-            4,
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cid").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cid", "cos")
+    rounded cosine, ties to the smaller cid.
+
+    The centroids are driver-known literals, so assignment is a PURE
+    MAP: each row builds a k-element array of (cos, -cid) structs and
+    takes ``array_max`` (struct ordering = cos first, then -cid, i.e.
+    ties break to the SMALLER cid). No join, no window, zero shuffle —
+    the first cut broadcast-joined a centroid table and ranked with a
+    row_number window, which re-shuffled the whole corpus by vec_id
+    once per iteration for no reason.
+
+    Centroid norms are computed driver-side with the same left-to-right
+    accumulation order as the engine's ``aggregate`` lambda; the 4 dp
+    round absorbs any last-ulp divergence (the module's standard float
+    policy)."""
+    entries = []
+    for cid, cent in centroids:
+        carr = F.array(*[F.lit(float(v)) for v in cent])
+        cn = math.sqrt(sum(v * v for v in cent))
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                carr,
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(
+            F.struct(
+                F.round(dot / (F.col("nrm") * F.lit(cn)), 4).alias("cos"),
+                F.lit(-cid).cast("long").alias("ncid"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return emb.select(
+        "vec_id",
+        (-best["ncid"]).alias("cid"),
+        best["cos"].alias("cos"),
     )
 
 

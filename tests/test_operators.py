@@ -1238,3 +1238,116 @@ def test_canonical_url_idempotent(spark):
     a = {r.doc_id: r.url for r in once.collect()}
     b = {r.doc_id: r.canonical_url for r in twice.collect()}
     assert a == b
+
+
+def test_kmeans_recovers_planted_direction_clusters(spark):
+    """Three well-separated direction clusters in 6-d; the three
+    lowest-id vectors (the deterministic seeds) land one per cluster,
+    so two Lloyd iterations must recover the planted membership."""
+    from ocr_spark.operators.clustering import kmeans_assign
+
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+    }
+    rows = []
+    for i in range(30):
+        c = i % 3
+        v = list(base[c])
+        # small deterministic jitter off the cluster axis
+        v[3 + c] = 0.05 + 0.01 * (i // 3)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r.cid for r in
+           kmeans_assign(emb, k=3, iters=2, vec_dims=6).collect()}
+    assert len(out) == 30
+    # seeds are vec_ids 0,1,2 — one per planted cluster
+    for i in range(30):
+        assert out[i] == i % 3, (i, out[i])
+
+
+def test_kmeans_empty_cluster_disappears(spark):
+    """Two identical seed vectors: every row ties and breaks to the
+    smaller cid, so cluster 1 empties after the first assignment and
+    must simply vanish from the final labelling (documented policy —
+    no re-seeding)."""
+    from ocr_spark.operators.clustering import kmeans_assign
+
+    rows = [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(10)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = kmeans_assign(emb, k=2, iters=2, vec_dims=4).collect()
+    assert {r.cid for r in out} == {0}
+    assert len(out) == 10
+
+
+def test_semantic_dedup_kmeans_drops_higher_id_near_dup(spark):
+    """A planted duplicate embedding (same direction, higher id) lands
+    in the same cluster by construction and must be the dropped side;
+    the original and unrelated docs survive."""
+    import pandas as pd
+
+    from ocr_spark.operators.clustering import semantic_dedup_kmeans
+
+    emb_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [2.0, 0.0, 0.0, 0.0]),  # near-dup of 0 (cos = 1)
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>"
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(5), "text": ["t"] * 5})
+    )
+    kept = {
+        r.doc_id
+        for r in semantic_dedup_kmeans(
+            docs, emb, k=3, iters=1, threshold=0.95, vec_dims=4
+        ).collect()
+    }
+    assert 3 not in kept
+    assert {0, 1, 2, 4} <= kept
+
+
+def test_decontaminate_fuzzy_catches_mutated_leak_exact_misses(spark):
+    """THE motivating case: a leaked eval answer with every 8th token
+    mutated has no 13-gram intact (exact filter blind) but 3-gram
+    Jaccard ~0.5 — the fuzzy filter must flag it. A clean doc stays
+    unflagged and the verbatim copy is flagged by both filters."""
+    import pandas as pd
+
+    from ocr_spark.operators.dedup import decontaminate, decontaminate_fuzzy
+
+    eval_text = " ".join(f"answer{i}" for i in range(48))
+    toks = eval_text.split()
+    mutated = [
+        ("MUT%d" % i) if i % 8 == 0 else t for i, t in enumerate(toks)
+    ]
+    docs = _docs(
+        spark,
+        [
+            " ".join(mutated),                         # mutated leak
+            " ".join(f"unrelated{i}" for i in range(48)),  # clean
+            eval_text,                                 # verbatim leak
+        ],
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"bench_id": [0], "text": [eval_text]})
+    )
+    exact = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, bench, n=13).collect()
+    }
+    fuzzy = {
+        r.doc_id: r.contaminated
+        for r in decontaminate_fuzzy(docs, bench, threshold=0.3).collect()
+    }
+    assert exact == {0: False, 1: False, 2: True}
+    assert fuzzy == {0: True, 1: False, 2: True}
