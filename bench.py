@@ -206,6 +206,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "line_dedup",
         "substring_dedup",
         "decontaminate",
+        "decontaminate_fuzzy",
         "web_curation",
         "extract_then_curate",
         "url_curation",
@@ -235,6 +236,9 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "ann_ivf",
         "cosine_near_dup",
         "semantic_dedup",
+        "kmeans_clusters",
+        "semantic_dedup_kmeans",
+        "d4_select",
         "media_decode",
         "media_frames",
         "media_near_dup",

@@ -1283,6 +1283,22 @@ def q_semantic_dedup_kmeans(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def q_d4_select(spark, sf_dir):
+    """D4 (SemDeDup + SSL-prototype pruning over the shared k-means
+    fit): drop within-cluster near-dups, then the 20% most-prototypical
+    survivors per cluster. The oracle unrolls the same Lloyd iterations
+    and mirrors the rank/floor cut exactly."""
+    return CL.d4_select(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        k=8,
+        iters=2,
+        threshold=0.3,
+        prune_frac=0.2,
+        vec_dims=64,
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_group_topk(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -1567,15 +1583,16 @@ QUERIES: dict[str, Callable] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "cosine_near_dup": q_cosine_near_dup,
-    "semantic_dedup": q_semantic_dedup,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+    "d4_select": q_d4_select,
     # -- tail: keys with existing driver hash-evidence (as_of_join /
     #    sessionize driver-gated r4; domain_mix / pmi_bigrams /
-    #    kmv_distinct r4-hash-green, demoted to make gate room for the
-    #    r5 clustering + fuzzy-decontamination keys) or redundant
-    #    relational singles driver-green since r1/r2; all selfchecked
-    #    every round --
+    #    kmv_distinct / semantic_dedup r4-hash-green, demoted to make
+    #    gate room for the r5 clustering + fuzzy-decontamination keys)
+    #    or redundant relational singles driver-green since r1/r2; all
+    #    selfchecked every round --
+    "semantic_dedup": q_semantic_dedup,
     "domain_mix": q_domain_mix,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
@@ -3187,6 +3204,52 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    # D4: the same kmeans CTEs + SemDeDup losers, then the prototype
+    # cut — row_number over (cos DESC, vec_id) per cluster, drop rank
+    # <= floor(0.2 * survivors). CAST AS DOUBLE so the cut multiply is
+    # the identical IEEE double both engines (DuckDB's bare 0.2 is
+    # DECIMAL arithmetic).
+    "d4_select": f"""
+        WITH {_KMEANS_CTES},
+        af AS (
+            SELECT vec_id, cid, cos FROM (
+                SELECT e.vec_id, c.cid,
+                       round(list_cosine_similarity(e.emb, c.cent),
+                             4) AS cos,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                                        e.emb, c.cent), 4) DESC,
+                                    c.cid) AS rk
+                FROM e CROSS JOIN c2 c) WHERE rk = 1
+        ),
+        m AS (SELECT a.vec_id, a.cid, e.emb
+              FROM af a JOIN e USING (vec_id)),
+        losers AS (
+            SELECT DISTINCT b.vec_id AS doc_id
+            FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3
+        ),
+        surv AS (
+            SELECT vec_id, cid, cos FROM af
+            WHERE vec_id NOT IN (SELECT doc_id FROM losers)
+        ),
+        ranked AS (
+            SELECT vec_id,
+                   row_number() OVER (PARTITION BY cid
+                       ORDER BY cos DESC, vec_id) AS rk,
+                   count(*) OVER (PARTITION BY cid) AS n
+            FROM surv
+        ),
+        protos AS (
+            SELECT vec_id AS doc_id FROM ranked
+            WHERE rk <= floor(CAST(0.2 AS DOUBLE) * n)
+        ),
+        dropped AS (
+            SELECT doc_id FROM losers UNION SELECT doc_id FROM protos
+        )
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     """,
     "group_topk": """
         SELECT l_returnflag, l_orderkey, l_linenumber, price, rank FROM (

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .similarity import _dot_expr, _norm_expr, _probe_dims
 
@@ -180,10 +180,25 @@ def semantic_dedup_kmeans(
     assigned = kmeans_assign(
         embeddings, k=k, iters=iters, vec_dims=d
     ).select("vec_id", "cid")
+    losers = _cluster_losers(embeddings, assigned, threshold, d, id_col)
+    return docs.join(losers, id_col, "left_anti")
+
+
+def _cluster_losers(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    threshold: float,
+    d: int,
+    id_col: str,
+) -> DataFrame:
+    """Within-cluster near-duplicate LOSERS: for every pair in the same
+    cluster with rounded cosine >= ``threshold``, the larger vec_id.
+    The cluster join bounds the pair space to sum over clusters of
+    |c|^2 (the SemDeDup scale argument)."""
     e = (
         embeddings.select("vec_id", "embedding")
         .withColumn("nrm", _norm_expr("embedding", d))
-        .join(assigned, "vec_id")
+        .join(assigned.select("vec_id", "cid"), "vec_id")
     )
     a = e.select(
         F.col("vec_id").alias("doc_a"),
@@ -197,7 +212,7 @@ def semantic_dedup_kmeans(
         F.col("nrm").alias("nb"),
         "cid",
     )
-    losers = (
+    return (
         a.join(b, "cid")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
@@ -211,4 +226,61 @@ def semantic_dedup_kmeans(
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )
-    return docs.join(losers, id_col, "left_anti")
+
+
+def d4_select(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.8,
+    prune_frac: float = 0.2,
+    id_col: str = "doc_id",
+    vec_dims: int | None = None,
+) -> DataFrame:
+    """D4 (Tirumala et al. '23, arXiv:2308.12284): SemDeDup then SSL
+    prototype pruning — after dropping within-cluster near-duplicates,
+    additionally drop the ``prune_frac`` most PROTOTYPICAL survivors of
+    each cluster (highest cosine to their final centroid: the points a
+    web crawl over-represents), keeping the diverse tail.
+
+    Deviations, both deterministic and documented: the paper re-fits
+    k-means on the deduplicated subset before the prototype stage — we
+    reuse the single full-corpus clustering for both stages (one fit,
+    two corpus passes saved; the centroids barely move when dups are a
+    small fraction); and "keep one random member" becomes keep-min-id,
+    matching the module's SemDeDup convention.
+
+    Per-cluster drop count is ``floor(prune_frac * |survivors in
+    cluster|)`` (floor: a tiny cluster loses nothing rather than its
+    only member); ranks break ties on the rounded cosine by smaller
+    vec_id first (= dropped first). The rank is a window over ``cid``:
+    with corpus-scale k (the paper uses 11k clusters; k ~ sqrt(N) is
+    the usual choice) the per-cluster sorts distribute across groups —
+    the degenerate case is SMALL k over a huge corpus, where one
+    cluster's sort lands on one task; pick k accordingly.
+
+    Docs without an embedding row are kept (no evidence to drop),
+    mirroring :func:`semantic_dedup_kmeans`.
+    """
+    d = vec_dims if vec_dims is not None else _probe_dims(
+        embeddings, "embedding"
+    )
+    assigned = kmeans_assign(embeddings, k=k, iters=iters, vec_dims=d)
+    losers = _cluster_losers(embeddings, assigned, threshold, d, id_col)
+    surv = assigned.join(
+        losers.withColumnRenamed(id_col, "vec_id"), "vec_id", "left_anti"
+    )
+    w = Window.partitionBy("cid")
+    rk = F.row_number().over(
+        w.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    )
+    n = F.count(F.lit(1)).over(w)
+    protos = (
+        surv.withColumn("rk", rk)
+        .withColumn("cut", F.floor(F.lit(float(prune_frac)) * n))
+        .filter(F.col("rk") <= F.col("cut"))
+        .select(F.col("vec_id").alias(id_col))
+    )
+    dropped = losers.unionByName(protos)
+    return docs.join(dropped, id_col, "left_anti")

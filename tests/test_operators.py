@@ -1351,3 +1351,34 @@ def test_decontaminate_fuzzy_catches_mutated_leak_exact_misses(spark):
     }
     assert exact == {0: False, 1: False, 2: True}
     assert fuzzy == {0: True, 1: False, 2: True}
+
+
+def test_d4_select_drops_dups_then_prototypes(spark):
+    """Two symmetric direction clusters of 5; each cluster's centroid
+    lands exactly on its axis, so the on-axis seed vector is the most
+    prototypical and floor(0.2 * 5) = 1 drops exactly it per cluster.
+    The dedup threshold is set above every planted cosine so stage 1
+    drops nothing, and a doc without an embedding row is kept."""
+    import pandas as pd
+
+    from ocr_spark.operators.clustering import d4_select
+
+    emb_rows = []
+    for j, off in enumerate([0.0, 0.1, -0.1, 0.3, -0.3]):
+        # evens on the e1 axis, odds on e2; offsets cancel in the mean
+        emb_rows.append((2 * j, [1.0, off, 0.0, 0.0]))
+        emb_rows.append((2 * j + 1, [0.0, 1.0, off, 0.0]))
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>"
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(11), "text": ["t"] * 11})
+    )
+    kept = {
+        r.doc_id
+        for r in d4_select(
+            docs, emb, k=2, iters=1, threshold=0.999,
+            prune_frac=0.2, vec_dims=4,
+        ).collect()
+    }
+    assert kept == set(range(2, 11)), kept

@@ -366,3 +366,35 @@ def test_incremental_minhash_never_pairwise(spark, sf001_dir):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_kmeans_assignment_is_pure_map(spark, sf001_dir):
+    # centroids are driver-known literals, so one assignment pass is a
+    # pure map over the embeddings scan: no join, no window, no
+    # aggregation, ZERO exchanges — the shape that lets each Lloyd
+    # iteration touch the corpus exactly twice (assign map + update agg)
+    from ocr_spark.operators.clustering import _assign
+
+    emb = (
+        spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "embedding",
+                        lambda x: x.cast("double") * x.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ),
+        )
+    )
+    cents = [(0, [0.1] * 64), (1, [0.2] * 64)]
+    tree = _tree(_formatted(_assign(emb, cents, 64)))
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "HashAggregate" not in tree
+    assert "Sort" not in tree
