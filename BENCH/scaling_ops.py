@@ -75,8 +75,13 @@ sys.path.insert(0, str(REPO))
 # measurements need enough work per level that the parallel fraction
 # dominates (same reason bench.py --scaling triples the conv count).
 N_DOCS = 2_000_000
+# kmeans input is smaller: the 64-d assignment fold is ~2 orders of
+# magnitude heavier per row than a tokenize pass, and the soak
+# geometry caps the member-combo space at 308k vectors anyway
+N_VECS = 262_144
 SEARCH_CACHE = Path("/tmp/ocr_spark_bench") / f"search_corpus_{N_DOCS}.parquet"
 CURATE_CACHE = Path("/tmp/ocr_spark_bench") / f"curate_corpus_{N_DOCS}.parquet"
+EMB_CACHE = Path("/tmp/ocr_spark_bench") / f"emb_corpus_{N_VECS}.parquet"
 PAIRS = [(2, 8)]
 REPS = 3
 
@@ -90,9 +95,12 @@ def _ensure_corpora():
 
     need = [
         (SEARCH_CACHE, "soak_search", "gen_partition",
-         "doc_id long, text string, planted boolean, paired boolean"),
+         "doc_id long, text string, planted boolean, paired boolean",
+         N_DOCS),
         (CURATE_CACHE, "soak_curate", "gen_partition",
-         "doc_id long, text string, has_banner boolean"),
+         "doc_id long, text string, has_banner boolean", N_DOCS),
+        (EMB_CACHE, "soak_cluster", "gen_partition_embeddings",
+         "vec_id long, embedding array<float>", N_VECS),
     ]
     missing = [x for x in need if not (x[0] / "_SUCCESS").exists()]
     if not missing:
@@ -106,7 +114,7 @@ def _ensure_corpora():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for cache, mod, fn, schema in missing:
+    for cache, mod, fn, schema, n_rows in missing:
         spec = importlib.util.spec_from_file_location(
             mod, REPO / "BENCH" / f"{mod}.py"
         )
@@ -116,7 +124,7 @@ def _ensure_corpora():
         spec.loader.exec_module(m)
         sys.argv = saved
         (
-            spark.range(N_DOCS)
+            spark.range(n_rows)
             .repartition(64)
             .mapInPandas(getattr(m, fn), schema)
             .write.mode("overwrite")
@@ -189,6 +197,17 @@ def _run_op(spark, op: str) -> int:
         pos = corpus.filter(F.col("doc_id") % 10 == 1)
         neg = corpus.filter(F.col("doc_id") % 10 == 2)
         out = nb_quality(corpus, pos, neg)
+    elif op == "kmeans":
+        # the clustering shape (r5): per-iteration PURE-MAP assignment
+        # (driver-literal centroids, in-row argmax — zero corpus
+        # shuffle) + one posexplode agg whose partials compress to
+        # k*d per task + a k*d driver collect barrier per iteration —
+        # the map-dominant, collect-barriered contrast to the
+        # shuffle-heavy ops above
+        from ocr_spark.operators.clustering import kmeans_assign
+
+        emb = spark.read.parquet(str(EMB_CACHE))
+        out = kmeans_assign(emb, k=8, iters=2, vec_dims=64)
     elif op == "simhash":
         # the compute-bound dedup-family datapoint (per-token md5 bit
         # votes dominate): contrasts with string/scan-bound line_dedup

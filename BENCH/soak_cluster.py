@@ -177,6 +177,18 @@ def ref_d4_dropped(cids, cos4, losers, prune_frac: float) -> set[int]:
     return dropped
 
 
+def gen_partition_embeddings(batches):
+    """mapInPandas generator over spark.range ids — dup-free member
+    vectors (the scaling_ops kmeans corpus; ids must stay below the
+    308k combo cap)."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids = pdf["id"].to_numpy()
+        v = base_vectors(ids)
+        yield pd.DataFrame({"vec_id": ids, "embedding": list(v)})
+
+
 def _emb_df(spark, n: int, dup_lo: int, dup_pairs: int):
     import pandas as pd
 

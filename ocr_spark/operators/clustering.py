@@ -65,27 +65,33 @@ def _assign(
     Centroid norms are computed driver-side with the same left-to-right
     accumulation order as the engine's ``aggregate`` lambda; the 4 dp
     round absorbs any last-ulp divergence (the module's standard float
-    policy)."""
+    policy).
+
+    The whole scoring expression is ONE SQL string parsed by a single
+    ``F.expr`` call: composing it from k*d ``F.lit`` Column objects
+    costs a py4j round-trip per literal (~1-2s of driver-serial time
+    per pass at k*d=512, measured — pure Amdahl tax repeated every
+    iteration). ``repr(float)`` round-trips through the SQL parser's
+    ``Double.parseDouble`` to the identical IEEE double, so the plan
+    and every score are bit-equal to the Column-composed form."""
+
+    def dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
     entries = []
     for cid, cent in centroids:
-        carr = F.array(*[F.lit(float(v)) for v in cent])
+        carr = "array(" + ",".join(dlit(float(v)) for v in cent) + ")"
         cn = math.sqrt(sum(v * v for v in cent))
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                carr,
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        dot = (
+            f"aggregate(zip_with(embedding, {carr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         entries.append(
-            F.struct(
-                F.round(dot / (F.col("nrm") * F.lit(cn)), 4).alias("cos"),
-                F.lit(-cid).cast("long").alias("ncid"),
-            )
+            f"struct(round({dot} / (nrm * {dlit(cn)}), 4) AS cos, "
+            f"CAST({-cid} AS BIGINT) AS ncid)"
         )
-    best = F.array_max(F.array(*entries))
+    best = F.expr("array_max(array(" + ",".join(entries) + "))")
     return emb.select(
         "vec_id",
         (-best["ncid"]).alias("cid"),
