@@ -213,6 +213,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "token_count",
         "quality_score",
         "gopher_rules",
+        "c4_rules",
         "bm25_topk",
         "tfidf_keywords",
         "domain_mix",

@@ -608,6 +608,58 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def _c4_docs(spark, sf_dir):
+    """Documents rebuilt with deterministic line/sentence structure
+    (the synthetic corpus has neither newlines nor punctuation): three
+    24-char sentence chunks, a planted no-punctuation line (%4), a
+    javascript line (%7), a lorem-ipsum line (%11), a curly-brace line
+    (%13), a blocklist-word line (%17), a 2-sentence closer — and %19
+    docs replaced wholesale by a 1-sentence page (the min_sentences
+    branch). Mirrored verbatim in the oracle."""
+    t = F.col("text")
+    built = F.concat(
+        F.substring(t, 1, 24), F.lit(". "),
+        F.substring(t, 25, 24), F.lit(". "),
+        F.substring(t, 49, 24), F.lit("."),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\nclick here"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nenable javascript to continue."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nlorem ipsum dolor sit amet."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nfunction() { return 1; }"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("\nthis page mentions forbiddenzz here."),
+        ).otherwise(F.lit("")),
+        F.lit("\n"),
+        F.substring(t, 73, 24),
+        F.lit(" done? ok then. fine now."),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.lit("too short."))
+        .otherwise(built)
+        .alias("text"),
+    )
+
+
+def q_c4_rules(spark, sf_dir):
+    """C4 page/line cleaning rules over the line-structured fixture:
+    every rule branch is exercised (planted lines per modulus class)
+    and the oracle recomputes line filter + page flags in SQL."""
+    return X.c4_rules(
+        _c4_docs(spark, sf_dir), blocklist=["forbiddenzz"]
+    ).select("doc_id", "text_clean", "c4_kept")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition signals: duplicated 2/3-gram and line
     fractions per document (curation quality rules)."""
@@ -1579,7 +1631,7 @@ QUERIES: dict[str, Callable] = {
     "repetition": q_repetition,
     "redact_pii": q_redact_pii,
     "quality_score": q_quality_score,
-    "cosine_topk": q_cosine_topk,
+    "c4_rules": q_c4_rules,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "cosine_near_dup": q_cosine_near_dup,
@@ -1593,6 +1645,7 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "cosine_topk": q_cosine_topk,
     "domain_mix": q_domain_mix,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
@@ -2367,6 +2420,66 @@ ORACLES: dict[str, str] = {
                 AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
                 AND stop_hits >= 2) AS gopher_pass
         FROM s
+    """,
+    # C4 rules: the fixture CASE mirrors _c4_docs verbatim; line filter
+    # and page flags recomputed with DuckDB list/regex functions. The
+    # ' +' and '\s+' word splits are ASCII in BOTH engines' regex
+    # dialects (Java default \s and DuckDB RE2), unlike Python's re.
+    "c4_rules": """
+        WITH fixture AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 19 = 0 THEN 'too short.'
+                        ELSE substr(text, 1, 24) || '. '
+                             || substr(text, 25, 24) || '. '
+                             || substr(text, 49, 24) || '.'
+                             || CASE WHEN doc_id % 4 = 0
+                                     THEN chr(10) || 'click here'
+                                     ELSE '' END
+                             || CASE WHEN doc_id % 7 = 0
+                                     THEN chr(10) ||
+                                          'enable javascript to continue.'
+                                     ELSE '' END
+                             || CASE WHEN doc_id % 11 = 0
+                                     THEN chr(10) ||
+                                          'lorem ipsum dolor sit amet.'
+                                     ELSE '' END
+                             || CASE WHEN doc_id % 13 = 0
+                                     THEN chr(10) ||
+                                          'function() { return 1; }'
+                                     ELSE '' END
+                             || CASE WHEN doc_id % 17 = 0
+                                     THEN chr(10) ||
+                                  'this page mentions forbiddenzz here.'
+                                     ELSE '' END
+                             || chr(10) || substr(text, 73, 24)
+                             || ' done? ok then. fine now.'
+                   END AS text
+            FROM documents
+        ),
+        cleaned AS (
+            -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+            -- array_join(empty) is '' -- align on ''
+            SELECT doc_id, text,
+                   coalesce(array_to_string(
+                       list_filter(
+                           list_transform(
+                               string_split(text, chr(10)),
+                               x -> trim(x)),
+                           x -> regexp_matches(x, '[.!?"]$')
+                                AND len(string_split_regex(x, ' +'))
+                                    >= 3
+                                AND NOT contains(lower(x), 'javascript')
+                       ), chr(10)), '') AS text_clean
+            FROM fixture
+        )
+        SELECT doc_id, text_clean,
+               (len(regexp_extract_all(text_clean, '[.!?]')) >= 5
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')
+                AND NOT list_has_any(
+                        string_split_regex(lower(text), '\\s+'),
+                        ['forbiddenzz'])) AS c4_kept
+        FROM cleaned
     """,
     "repetition": """
         WITH t AS (

@@ -772,6 +772,68 @@ def with_gopher_rules(
     )
 
 
+def c4_rules(
+    df: DataFrame,
+    min_words: int = 3,
+    min_sentences: int = 5,
+    blocklist: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. '20 §2.2 — the T5 web-corpus
+    recipe, still the baseline every later pipeline cites): LINE rules
+    keep only lines that end in terminal punctuation, have at least
+    ``min_words`` whitespace words, and do not mention javascript;
+    PAGE rules then flag any page whose cleaned text has fewer than
+    ``min_sentences`` sentences (terminal-punctuation count), or whose
+    RAW text contains the phrase "lorem ipsum", a curly brace, or any
+    ``blocklist`` word (C4 checks the original page for these).
+
+    Output: input columns + ``text_clean`` (kept lines re-joined) +
+    ``c4_kept`` — rows are never dropped (the error-channel
+    convention); callers filter on the flag.
+
+    Scale shape: a PURE MAP — every rule is an in-row array/regex
+    expression (no explode, no shuffle, whole-stage codegen). The
+    word splits use ``\\s+``/`` +`` which are ASCII in both Java and
+    DuckDB regex dialects (the portability footgun is Python's
+    unicode ``\\s``, not these engines)."""
+    # C4 strips each line before testing it (tensorflow c4.py
+    # recipe); kept lines are re-joined in stripped form.
+    lines = F.transform(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x)
+    )
+
+    def _line_ok(x):
+        return (
+            x.rlike('[.!?"]$')
+            & (F.size(F.split(x, " +")) >= min_words)
+            & ~F.contains(F.lower(x), F.lit("javascript"))
+        )
+
+    lower_text = F.lower(F.col(text_col))
+    no_block = (
+        ~F.arrays_overlap(
+            F.split(lower_text, "\\s+"),
+            F.array(*[F.lit(w.lower()) for w in blocklist]),
+        )
+        if blocklist
+        else F.lit(True)
+    )
+    out = df.withColumn(
+        "text_clean", F.array_join(F.filter(lines, _line_ok), "\n")
+    )
+    sentences = F.size(
+        F.regexp_extract_all("text_clean", F.lit("[.!?]"), 0)
+    )
+    return out.withColumn(
+        "c4_kept",
+        (sentences >= min_sentences)
+        & ~F.contains(lower_text, F.lit("lorem ipsum"))
+        & ~F.contains(F.col(text_col), F.lit("{"))
+        & no_block,
+    )
+
+
 def pack_conversations(
     df: DataFrame,
     max_tokens: int = 2048,

@@ -1382,3 +1382,49 @@ def test_d4_select_drops_dups_then_prototypes(spark):
         ).collect()
     }
     assert kept == set(range(2, 11)), kept
+
+
+def test_c4_rules_line_and_page_semantics(spark):
+    from ocr_spark.operators.textops import c4_rules
+
+    five = "one two three four went by. " * 5  # 5 clean sentences
+    docs = _docs(
+        spark,
+        [
+            five,                                     # kept, all rules pass
+            five + "\nno terminal punctuation here",  # line dropped
+            five + "\ntoo few.",                      # <3 words dropped
+            five + "\nenable JavaScript to view it.",  # js line dropped
+            "just one tiny sentence here.",           # <5 sentences
+            five + " lorem IPSUM dolor.",             # raw-text phrase
+            five + "\nvar f = function() { oops };",  # curly brace
+            five + "\nthe badword is mentioned too.",  # blocklist
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in c4_rules(docs, blocklist=["badword"]).collect()
+    }
+    assert len(out) == 8  # rows never dropped
+    assert out[0].c4_kept and out[0].text_clean == five.strip()
+    # the three bad lines are scrubbed, leaving the identical clean page
+    for i in (1, 2, 3):
+        assert out[i].text_clean == five.strip()
+        assert out[i].c4_kept, i
+    assert out[4].text_clean == "just one tiny sentence here."
+    assert not out[4].c4_kept          # min_sentences
+    assert not out[5].c4_kept          # lorem ipsum (case-folded, raw text)
+    assert not out[6].c4_kept          # curly brace in raw text
+    assert not out[7].c4_kept          # blocklist word
+    # blocklist/brace lines that END clean still appear in text_clean --
+    # page flags inspect RAW text, line filter is independent (C4 order)
+    assert "badword" in out[7].text_clean
+
+
+def test_c4_rules_empty_clean_is_empty_string(spark):
+    from ocr_spark.operators.textops import c4_rules
+
+    docs = _docs(spark, ["no punct at all", ""])
+    out = {r.doc_id: r for r in c4_rules(docs).collect()}
+    assert out[0].text_clean == "" and not out[0].c4_kept
+    assert out[1].text_clean == "" and not out[1].c4_kept
