@@ -214,6 +214,9 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "quality_score",
         "gopher_rules",
         "c4_rules",
+        "char_entropy",
+        "hash_split",
+        "shard_assign",
         "bm25_topk",
         "tfidf_keywords",
         "domain_mix",

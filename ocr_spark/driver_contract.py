@@ -987,6 +987,33 @@ def q_near_dup_groups(spark, sf_dir):
     return D.near_dup_groups(load(spark, sf_dir, "documents"))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Letter-distribution Shannon entropy + letter fraction per doc
+    (gibberish/encoded-blob signal); float32-cast both engines."""
+    return X.char_entropy(load(spark, sf_dir, "documents")).select(
+        "doc_id", "char_entropy", "letter_frac"
+    )
+
+
+def q_hash_split(spark, sf_dir):
+    """Leakage-safe train/val/test split keyed on l_orderkey: every
+    lineitem of an order lands in the same split (group coherence is
+    the point — the oracle recomputes the same md5 interval cut)."""
+    li = load(spark, sf_dir, "lineitem")
+    return X.hash_split(
+        li, {"val": 0.05, "test": 0.05}, key_col="l_orderkey"
+    ).select("l_orderkey", "l_linenumber", "split")
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic corpus shuffle -> 8 training shards with
+    within-shard positions; reproducible across engines (md5 order)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return X.shard_assign(docs, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling: short docs 20%,
     long docs 60% (training-data curation shape)."""
@@ -1627,10 +1654,10 @@ QUERIES: dict[str, Callable] = {
     "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
     "gopher_rules": q_gopher_rules,
-    "pack_sequences": q_pack_sequences,
-    "repetition": q_repetition,
+    "char_entropy": q_char_entropy,
+    "hash_split": q_hash_split,
     "redact_pii": q_redact_pii,
-    "quality_score": q_quality_score,
+    "shard_assign": q_shard_assign,
     "c4_rules": q_c4_rules,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1646,6 +1673,9 @@ QUERIES: dict[str, Callable] = {
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
     "cosine_topk": q_cosine_topk,
+    "repetition": q_repetition,
+    "quality_score": q_quality_score,
+    "pack_sequences": q_pack_sequences,
     "domain_mix": q_domain_mix,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
@@ -1778,6 +1808,39 @@ c0 AS (SELECT vec_id AS cid, emb AS cent FROM e ORDER BY vec_id
 
 
 _KMEANS_CTES = _kmeans_ctes(8, 64)
+
+
+def _entropy_sql() -> str:
+    """char_entropy oracle: the SAME left-associated 26-term sum and
+    per-term CASE guards as the operator, so the double arithmetic is
+    bit-identical before both engines truncate to float32."""
+    terms = []
+    for i in range(26):
+        c = chr(ord("a") + i)
+        cnt = f"(tot - length(replace(letters, '{c}', '')))"
+        p = f"(CAST({cnt} AS DOUBLE) / CAST(tot AS DOUBLE))"
+        terms.append(
+            f"CASE WHEN {cnt} > 0 THEN -({p} * ln({p})) "
+            f"ELSE 0.0 END"
+        )
+    ent = "\n                 + ".join(terms)
+    return f"""
+        WITH s AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   regexp_replace(lower(text), '[^a-z]', '', 'g')
+                       AS letters
+            FROM documents
+        ),
+        t AS (SELECT doc_id, n_chars, letters,
+                     length(letters) AS tot FROM s)
+        SELECT doc_id,
+               CAST(CASE WHEN tot > 0 THEN {ent}
+                         ELSE 0.0 END AS FLOAT) AS char_entropy,
+               CAST(CASE WHEN n_chars > 0
+                         THEN CAST(tot AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                         ELSE 0.0 END AS FLOAT) AS letter_frac
+        FROM t
+    """
 
 
 ORACLES: dict[str, str] = {
@@ -2246,6 +2309,50 @@ ORACLES: dict[str, str] = {
             FROM r JOIN edges e ON e.doc_a = r.doc_id
         )
         SELECT doc_id, min(lab) AS group_id FROM r GROUP BY doc_id
+    """,
+    "char_entropy": _entropy_sql(),
+    # hash_split: same 16-bit md5 selector as stratified_sample;
+    # cumulative cuts val [0,3276) test [3276,6552) train otherwise
+    # (int(0.05 * 65536) = 3276, matching the operator's int() floor).
+    "hash_split": """
+        WITH s AS (
+            SELECT l_orderkey, l_linenumber,
+                   md5(CAST(l_orderkey AS VARCHAR)) AS h
+            FROM lineitem
+        ),
+        u AS (
+            SELECT l_orderkey, l_linenumber,
+                   (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS sel
+            FROM s
+        )
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN sel < 3276 THEN 'val'
+                    WHEN sel < 6552 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM u
+    """,
+    # shard_assign: shard = first 8 md5 hex digits mod 8 (DuckDB parses
+    # '0x..' casts); pos = row_number over (shard ORDER BY h, key) --
+    # bit-identical to the operator's conv(substr(md5,1,8),16,10).
+    "shard_assign": """
+        WITH s AS (
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || '#') AS h
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, h,
+                   CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8
+                        AS INT) AS shard
+            FROM s
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+        FROM b
     """,
     "stratified_sample": """
         WITH s AS (

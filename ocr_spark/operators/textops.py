@@ -9,7 +9,7 @@ push down, prune, and scale linearly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Small English stopword list shared verbatim with the DuckDB oracles.
 STOPWORDS = (
@@ -159,6 +159,80 @@ def stratified_sample(
         )
     threshold = threshold.otherwise(F.lit(0))
     return df.filter(_hash_selector(key_col) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    default: str = "train",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test split.
+
+    Adds a ``split`` column: the md5 selector of ``key_col`` (16 bits,
+    [0, 65536)) is cut into cumulative intervals in ``splits`` dict
+    order; everything above the last boundary gets ``default``. Because
+    the selector is KEYED (not row-random), the split is
+    group-coherent: key it on a group id (conv_id, orderkey, url host)
+    and every row of the group lands in the same split — the property
+    that keeps near-identical rows of one group out of both train and
+    eval. Pure projection: no shuffle, no state, reproducible across
+    runs, partitionings and engines (md5 is bit-identical everywhere).
+
+    At 100 TB this is the only split design that works: a random()
+    split is neither reproducible nor group-coherent, and a join
+    against a precomputed assignment table is a pointless shuffle.
+    """
+    sel = _hash_selector(key_col)
+    lo, expr = 0, None
+    for name, frac in splits.items():
+        hi = lo + int(frac * 65536)
+        cond = (sel >= F.lit(lo)) & (sel < F.lit(hi))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+        lo = hi
+    expr = F.lit(default) if expr is None else expr.otherwise(
+        F.lit(default)
+    )
+    return df.withColumn("split", expr)
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible training-order materialization: deterministic
+    corpus shuffle + shard/position assignment.
+
+    Training runs need the corpus in a fixed pseudo-random order,
+    split into ``n_shards`` files, resumable by (shard, pos). A global
+    ``ORDER BY random()`` is neither: not reproducible, and a global
+    row_number forces every row through ONE partition. Instead:
+    ``h = md5(key # salt)`` is the shuffle key; ``shard`` = first 8
+    hex digits of h mod n_shards (uniform, deterministic); ``pos`` =
+    row_number within the shard ordered by (h, key). The only shuffle
+    is the window's partition-by-shard exchange — each shard sorts
+    independently, so the plan scales with n_shards (set n_shards >=
+    cluster parallelism; 10k shards at 100 TB = 10 GB sorts each).
+    Changing ``salt`` reshuffles every epoch, same plan.
+    """
+    h = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit("#" + salt))
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+        % n_shards
+    ).cast("int")
+    out = df.withColumn("shuffle_key", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", key_col)
+    return out.withColumn("pos", F.row_number().over(w)).drop(
+        "shuffle_key"
+    )
 
 
 def domain_mix(
@@ -677,6 +751,52 @@ def with_quality(df: DataFrame) -> DataFrame:
         * F.least(F.lit(1.0), F.lit(5.0) * stop_hits / n_tokens)
     )
     return df.withColumn("quality", F.round(quality, 4))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-level Shannon entropy of the case-folded letter
+    distribution + letter fraction — the standard gibberish /
+    encoded-blob / key-dump quality signal (natural English prose sits
+    ~2.6-2.9 nats over a-z; base64 blobs and mashed keyboards push
+    toward ln(26)=3.258, single-char floods toward 0).
+
+    Adds ``char_entropy`` (0.0 when the text has no letters) and
+    ``letter_frac`` (letters / total chars, 0.0 on empty text), both
+    float32 — the cross-engine contract is "same IEEE double
+    expression, then cast to float32" (CLAUDE.md rounding rule).
+
+    Scale shape: PURE MAP, zero shuffle. Letter counts come from 26
+    ``replace`` passes over the pre-filtered letters string (length
+    delta per letter) — no explode, no per-char aggregation state, the
+    whole row stays inside whole-stage codegen. 26 linear scans of a
+    few-KB string is cheap; an explode+groupBy formulation would
+    shuffle corpus-chars rows at 100 TB.
+    """
+    letters = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    tot = F.length(letters)
+    terms = []
+    for i in range(26):
+        c = chr(ord("a") + i)
+        cnt = tot - F.length(F.regexp_replace(letters, c, ""))
+        p = cnt.cast("double") / tot.cast("double")
+        terms.append(
+            F.when(cnt > 0, -(p * F.log(p))).otherwise(F.lit(0.0))
+        )
+    ent = terms[0]
+    for t in terms[1:]:
+        ent = ent + t
+    n_chars = F.length(F.col(text_col))
+    return df.withColumn(
+        "char_entropy",
+        F.when(tot > 0, ent).otherwise(F.lit(0.0)).cast("float"),
+    ).withColumn(
+        "letter_frac",
+        F.when(
+            n_chars > 0, tot.cast("double") / n_chars.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .cast("float"),
+    )
 
 
 def with_gopher_rules(

@@ -1428,3 +1428,89 @@ def test_c4_rules_empty_clean_is_empty_string(spark):
     out = {r.doc_id: r for r in c4_rules(docs).collect()}
     assert out[0].text_clean == "" and not out[0].c4_kept
     assert out[1].text_clean == "" and not out[1].c4_kept
+
+
+def test_hash_split_group_coherent_and_deterministic(spark):
+    from ocr_spark.operators.textops import hash_split
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(200) for _ in range(3)],
+            "turn_idx": list(range(3)) * 200,
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = hash_split(
+        df, {"val": 0.1, "test": 0.1}, key_col="conv_id"
+    ).toPandas()
+    # group coherence: every turn of a conversation in the same split
+    assert (out.groupby("conv_id")["split"].nunique() == 1).all()
+    # all three labels present; val/test near the 10% target
+    per_key = out.drop_duplicates("conv_id")["split"].value_counts()
+    assert per_key.get("train", 0) > 100
+    assert 5 <= per_key.get("val", 0) <= 40
+    assert 5 <= per_key.get("test", 0) <= 40
+    # partition-layout independence
+    out2 = hash_split(
+        df.repartition(7), {"val": 0.1, "test": 0.1}, key_col="conv_id"
+    ).toPandas()
+    m = out.merge(out2, on=["conv_id", "turn_idx"])
+    assert (m["split_x"] == m["split_y"]).all()
+
+
+def test_shard_assign_positions_stable_and_salted(spark):
+    from ocr_spark.operators.textops import shard_assign
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = shard_assign(df, n_shards=4, key_col="doc_id").toPandas()
+    assert len(out) == 500 and set(out["shard"]) <= set(range(4))
+    # positions are contiguous 1..n within each shard
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+    # no shard is starved (md5 is uniform: 500/4 +- wide slack)
+    assert out.groupby("shard").size().min() > 60
+    # deterministic under a different input partitioning
+    out2 = shard_assign(
+        df.repartition(9), n_shards=4, key_col="doc_id"
+    ).toPandas()
+    m = out.merge(out2, on="doc_id")
+    assert (m["shard_x"] == m["shard_y"]).all()
+    assert (m["pos_x"] == m["pos_y"]).all()
+    # a different salt is a different epoch order
+    out3 = shard_assign(
+        df, n_shards=4, key_col="doc_id", salt="epoch1"
+    ).toPandas()
+    m3 = out.merge(out3, on="doc_id")
+    assert (m3["shard_x"] != m3["shard_y"]).any()
+
+
+def test_char_entropy_closed_forms(spark):
+    import math
+
+    from ocr_spark.operators.textops import char_entropy
+
+    uniform = "".join(chr(ord("a") + i) for i in range(26))
+    docs = _docs(
+        spark,
+        [
+            "aaaa AAAA",        # single letter -> 0 nats
+            "abab BABA",        # two equiprobable letters -> ln 2
+            uniform + uniform.upper(),   # uniform 26 -> ln 26
+            "",                 # empty: entropy 0, letter_frac 0
+            "ab12",             # letter_frac 0.5
+        ],
+    )
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert out[0].char_entropy == 0.0 and out[0].letter_frac < 1.0
+    assert abs(out[1].char_entropy - math.log(2)) < 1e-6
+    assert abs(out[2].char_entropy - math.log(26)) < 1e-6
+    assert out[3].char_entropy == 0.0 and out[3].letter_frac == 0.0
+    assert abs(out[4].letter_frac - 0.5) < 1e-7
+    # direction: english prose < base64-ish blob < uniform bound
+    blob = "qz8Jk2vXw9yRb4Tn6LpA3sDfG7hMcEuViWoN5"
+    prose = "the cat sat on the mat and then the cat ran to the barn"
+    d2 = {
+        r.doc_id: r.char_entropy
+        for r in char_entropy(_docs(spark, [prose, blob])).collect()
+    }
+    assert d2[0] < d2[1] <= math.log(26) + 1e-6

@@ -398,3 +398,39 @@ def test_kmeans_assignment_is_pure_map(spark, sf001_dir):
     assert "Join" not in tree
     assert "HashAggregate" not in tree
     assert "Sort" not in tree
+
+
+def test_hash_split_is_pure_projection(spark):
+    from ocr_spark.operators.textops import hash_split
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "text": ["x"] * 100})
+    )
+    out = hash_split(df, {"val": 0.05, "test": 0.05})
+    tree = _tree(_formatted(out))
+    assert "Exchange" not in tree, "split must not shuffle"
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+
+
+def test_shard_assign_single_partitioned_window_exchange(spark):
+    from ocr_spark.operators.textops import shard_assign
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    tree = _tree(_formatted(shard_assign(df, n_shards=8)))
+    # exactly one shuffle (hashpartitioning on shard for the window);
+    # crucially NOT a single-partition global sort
+    assert tree.count("Exchange") == 1
+    assert "SinglePartition" not in _formatted(shard_assign(df, 8))
+
+
+def test_char_entropy_and_c4_rules_are_pure_map(spark):
+    from ocr_spark.operators.textops import c4_rules, char_entropy
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(50), "text": ["a b c."] * 50})
+    )
+    for out in (char_entropy(df), c4_rules(df)):
+        tree = _tree(_formatted(out))
+        assert "Exchange" not in tree
+        assert "ArrowEvalPython" not in tree
+        assert "BatchEvalPython" not in tree
