@@ -217,6 +217,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "char_entropy",
         "hash_split",
         "shard_assign",
+        "train_shards",
         "bm25_topk",
         "tfidf_keywords",
         "domain_mix",

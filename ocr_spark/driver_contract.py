@@ -1014,6 +1014,24 @@ def q_shard_assign(spark, sf_dir):
     )
 
 
+def q_train_shards(spark, sf_dir):
+    """Last-mile training-data composition, ONE Catalyst plan:
+    char-entropy quality gate (drops the low-entropy ~quartile) ->
+    leakage-safe hash split -> per-split deterministic shard
+    materialization. What a loader consumes: (doc_id, split, shard,
+    pos) with pos contiguous within each (split, shard)."""
+    docs = X.char_entropy(load(spark, sf_dir, "documents"))
+    kept = docs.filter(
+        (F.col("char_entropy") >= 2.85) & (F.col("letter_frac") >= 0.3)
+    )
+    split = X.hash_split(
+        kept, {"val": 0.02, "test": 0.02}, key_col="doc_id"
+    )
+    return X.shard_assign(
+        split, n_shards=8, key_col="doc_id", by=("split",)
+    ).select("doc_id", "split", "shard", "pos")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling: short docs 20%,
     long docs 60% (training-data curation shape)."""
@@ -1628,7 +1646,7 @@ QUERIES: dict[str, Callable] = {
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
     "incremental_verified": q_incremental_verified,
-    "ngram_jaccard": q_ngram_jaccard,
+    "train_shards": q_train_shards,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
     "substring_keep_first": q_substring_keep_first,
@@ -1676,6 +1694,7 @@ QUERIES: dict[str, Callable] = {
     "repetition": q_repetition,
     "quality_score": q_quality_score,
     "pack_sequences": q_pack_sequences,
+    "ngram_jaccard": q_ngram_jaccard,
     "domain_mix": q_domain_mix,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
@@ -1810,10 +1829,11 @@ c0 AS (SELECT vec_id AS cid, emb AS cent FROM e ORDER BY vec_id
 _KMEANS_CTES = _kmeans_ctes(8, 64)
 
 
-def _entropy_sql() -> str:
-    """char_entropy oracle: the SAME left-associated 26-term sum and
-    per-term CASE guards as the operator, so the double arithmetic is
-    bit-identical before both engines truncate to float32."""
+def _entropy_ctes() -> str:
+    """CTE chain ending in `e(doc_id, char_entropy, letter_frac)`: the
+    SAME left-associated 26-term sum and per-term CASE guards as the
+    char_entropy operator, so the double arithmetic is bit-identical
+    before both engines truncate to float32."""
     terms = []
     for i in range(26):
         c = chr(ord("a") + i)
@@ -1824,22 +1844,72 @@ def _entropy_sql() -> str:
             f"ELSE 0.0 END"
         )
     ent = "\n                 + ".join(terms)
-    return f"""
-        WITH s AS (
+    return f"""s_ent AS (
             SELECT doc_id, length(text) AS n_chars,
                    regexp_replace(lower(text), '[^a-z]', '', 'g')
                        AS letters
             FROM documents
         ),
-        t AS (SELECT doc_id, n_chars, letters,
-                     length(letters) AS tot FROM s)
-        SELECT doc_id,
-               CAST(CASE WHEN tot > 0 THEN {ent}
-                         ELSE 0.0 END AS FLOAT) AS char_entropy,
-               CAST(CASE WHEN n_chars > 0
-                         THEN CAST(tot AS DOUBLE) / CAST(n_chars AS DOUBLE)
-                         ELSE 0.0 END AS FLOAT) AS letter_frac
-        FROM t
+        t_ent AS (SELECT doc_id, n_chars, letters,
+                         length(letters) AS tot FROM s_ent),
+        e AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN tot > 0 THEN {ent}
+                             ELSE 0.0 END AS FLOAT) AS char_entropy,
+                   CAST(CASE WHEN n_chars > 0
+                             THEN CAST(tot AS DOUBLE)
+                                  / CAST(n_chars AS DOUBLE)
+                             ELSE 0.0 END AS FLOAT) AS letter_frac
+            FROM t_ent
+        )"""
+
+
+def _entropy_sql() -> str:
+    return f"""
+        WITH {_entropy_ctes()}
+        SELECT doc_id, char_entropy, letter_frac FROM e
+    """
+
+
+def _train_shards_sql() -> str:
+    """Composition oracle: entropy gate (thresholds compared as DOUBLE
+    — DuckDB bare decimals are DECIMAL) -> cumulative md5 split cut
+    (int(0.02 * 65536) = 1310) -> per-(split, shard) row_number."""
+    return f"""
+        WITH {_entropy_ctes()},
+        k AS (
+            SELECT doc_id FROM e
+            WHERE char_entropy >= CAST(2.85 AS DOUBLE)
+              AND letter_frac >= CAST(0.3 AS DOUBLE)
+        ),
+        h AS (
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR)) AS h1,
+                   md5(CAST(doc_id AS VARCHAR) || '#') AS h2
+            FROM k
+        ),
+        u AS (
+            SELECT doc_id, h2,
+                   (strpos('0123456789abcdef', substr(h1, 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(h1, 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(h1, 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h1, 4, 1)) - 1) AS sel,
+                   CAST(CAST('0x' || substr(h2, 1, 8) AS BIGINT) % 8
+                        AS INT) AS shard
+            FROM h
+        ),
+        lab AS (
+            SELECT doc_id, h2, shard,
+                   CASE WHEN sel < 1310 THEN 'val'
+                        WHEN sel < 2620 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM u
+        )
+        SELECT doc_id, split, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY split, shard ORDER BY h2, doc_id)
+                   AS INT) AS pos
+        FROM lab
     """
 
 
@@ -2311,6 +2381,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, min(lab) AS group_id FROM r GROUP BY doc_id
     """,
     "char_entropy": _entropy_sql(),
+    "train_shards": _train_shards_sql(),
     # hash_split: same 16-bit md5 selector as stratified_sample;
     # cumulative cuts val [0,3276) test [3276,6552) train otherwise
     # (int(0.05 * 65536) = 3276, matching the operator's int() floor).

@@ -205,6 +205,7 @@ def shard_assign(
     n_shards: int,
     key_col: str = "doc_id",
     salt: str = "",
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Reproducible training-order materialization: deterministic
     corpus shuffle + shard/position assignment.
@@ -219,7 +220,10 @@ def shard_assign(
     is the window's partition-by-shard exchange — each shard sorts
     independently, so the plan scales with n_shards (set n_shards >=
     cluster parallelism; 10k shards at 100 TB = 10 GB sorts each).
-    Changing ``salt`` reshuffles every epoch, same plan.
+    Changing ``salt`` reshuffles every epoch, same plan. ``by`` adds
+    extra window-partition columns (e.g. a train/val/test ``split``
+    label) so positions are contiguous within each (by..., shard)
+    group — the shape a per-split data loader needs.
     """
     h = F.md5(
         F.concat(F.col(key_col).cast("string"), F.lit("#" + salt))
@@ -229,7 +233,7 @@ def shard_assign(
         % n_shards
     ).cast("int")
     out = df.withColumn("shuffle_key", h).withColumn("shard", shard)
-    w = Window.partitionBy("shard").orderBy("shuffle_key", key_col)
+    w = Window.partitionBy(*by, "shard").orderBy("shuffle_key", key_col)
     return out.withColumn("pos", F.row_number().over(w)).drop(
         "shuffle_key"
     )

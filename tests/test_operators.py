@@ -1514,3 +1514,22 @@ def test_char_entropy_closed_forms(spark):
         for r in char_entropy(_docs(spark, [prose, blob])).collect()
     }
     assert d2[0] < d2[1] <= math.log(26) + 1e-6
+
+
+def test_shard_assign_by_split_positions_restart(spark):
+    from ocr_spark.operators.textops import hash_split, shard_assign
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    out = shard_assign(
+        hash_split(df, {"val": 0.2}, key_col="doc_id"),
+        n_shards=4,
+        key_col="doc_id",
+        by=("split",),
+    ).toPandas()
+    # positions restart per (split, shard) — the per-split loader shape
+    for _, g in out.groupby(["split", "shard"]):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+    # shard bucket itself is split-independent (same md5)
+    base = shard_assign(df, n_shards=4, key_col="doc_id").toPandas()
+    m = out.merge(base, on="doc_id")
+    assert (m["shard_x"] == m["shard_y"]).all()
