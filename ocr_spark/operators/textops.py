@@ -769,34 +769,59 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     float32 — the cross-engine contract is "same IEEE double
     expression, then cast to float32" (CLAUDE.md rounding rule).
 
-    Scale shape: PURE MAP, zero shuffle. Letter counts come from 26
-    ``replace`` passes over the pre-filtered letters string (length
-    delta per letter) — no explode, no per-char aggregation state, the
-    whole row stays inside whole-stage codegen. 26 linear scans of a
-    few-KB string is cheap; an explode+groupBy formulation would
-    shuffle corpus-chars rows at 100 TB.
+    Scale shape: MAP-ONLY (the only exchange is the
+    ``_ensure_parallelism`` guard on under-partitioned inputs). Letter
+    counts come from 26 literal ``replace`` passes over the
+    pre-filtered letters string (length delta per letter) — no
+    explode, no per-char aggregation state, the whole row stays inside
+    whole-stage codegen. 26 linear scans of a few-KB string is cheap;
+    an explode+groupBy formulation would shuffle corpus-chars rows at
+    100 TB. (Literal replace, not regexp_replace: the per-letter
+    regex compile+scan was ~10x the whole op's cost.)
     """
-    letters = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
-    tot = F.length(letters)
-    terms = []
-    for i in range(26):
-        c = chr(ord("a") + i)
-        cnt = tot - F.length(F.regexp_replace(letters, c, ""))
-        p = cnt.cast("double") / tot.cast("double")
-        terms.append(
-            F.when(cnt > 0, -(p * F.log(p))).otherwise(F.lit(0.0))
-        )
-    ent = terms[0]
-    for t in terms[1:]:
-        ent = ent + t
+    # ONE compact higher-order-function expression, not 26 unrolled
+    # terms. The unrolled form was a trap twice over: (a) a single
+    # fused expression tree blows codegen's 64 KB method limit (one
+    # expression = one unsplittable Java method) and silently falls
+    # back to the interpreter at ~6x cost; (b) even staged across
+    # projections, any FILTER on the output gets predicate-pushdown-
+    # inlined back into one giant tree, recreating (a) inside every
+    # composition. The fix: bind the letters string ONCE as a lambda
+    # variable via a single-element transform(array(...)), then fold
+    # sequence(97,122) left-to-right — the tree stays ~1 KB, inlines
+    # safely into pushed-down predicates, and the a..z left fold is
+    # bit-identical to the oracle's left-associated 26-term sum
+    # (acc starts at 0.0; every term is >= 0, so 0.0 + x == x).
+    df = _ensure_parallelism(df)
+    ent = F.expr(
+        f"""
+        transform(
+            array(regexp_replace(lower({text_col}), '[^a-z]', '')),
+            l -> CASE WHEN length(l) > 0 THEN aggregate(
+                transform(sequence(97, 122),
+                          cp -> length(l) - length(replace(l, char(cp)))),
+                CAST(0.0 AS DOUBLE),
+                (acc, cnt) -> acc + (CASE WHEN cnt > 0
+                    THEN -((CAST(cnt AS DOUBLE)
+                            / CAST(length(l) AS DOUBLE))
+                           * ln(CAST(cnt AS DOUBLE)
+                                / CAST(length(l) AS DOUBLE)))
+                    ELSE CAST(0.0 AS DOUBLE) END))
+            ELSE CAST(0.0 AS DOUBLE) END
+        )[0]
+        """
+    )
+    letters_len = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    )
     n_chars = F.length(F.col(text_col))
     return df.withColumn(
-        "char_entropy",
-        F.when(tot > 0, ent).otherwise(F.lit(0.0)).cast("float"),
+        "char_entropy", ent.cast("float")
     ).withColumn(
         "letter_frac",
         F.when(
-            n_chars > 0, tot.cast("double") / n_chars.cast("double")
+            n_chars > 0,
+            letters_len.cast("double") / n_chars.cast("double"),
         )
         .otherwise(F.lit(0.0))
         .cast("float"),
