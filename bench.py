@@ -206,6 +206,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "line_dedup",
         "substring_dedup",
         "decontaminate",
+        "contamination_report",
         "decontaminate_fuzzy",
         "web_curation",
         "extract_then_curate",

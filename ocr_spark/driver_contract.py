@@ -884,6 +884,29 @@ def q_decontaminate(spark, sf_dir):
     return D.decontaminate(docs, bench, n=13)
 
 
+def q_contamination_report(spark, sf_dir):
+    """Per-eval-doc gram coverage: the synthetic eval set is every
+    17th doc with every 20th token replaced by an out-of-corpus marker
+    — grams inside the 19-token runs still hit (contiguous in the
+    original), grams spanning a marker never do, so coverage lands
+    mid-range and both count branches are exercised."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.transform(
+                toks,
+                lambda t, i: F.when(
+                    i % 20 == 0, F.lit("xmarkerx")
+                ).otherwise(t),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return D.contamination_report(docs, bench, n=13)
+
+
 def q_decontaminate_fuzzy(spark, sf_dir):
     """Fuzzy (MinHash-verified Jaccard) decontamination: the synthetic
     eval set is the first half of every 17th document's tokens —
@@ -1657,7 +1680,7 @@ QUERIES: dict[str, Callable] = {
     "simhash_pairs": q_simhash_pairs,
     "near_dup_groups": q_near_dup_groups,
     "bm25_topk": q_bm25_topk,
-    "tfidf_keywords": q_tfidf_keywords,
+    "contamination_report": q_contamination_report,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
@@ -1695,6 +1718,7 @@ QUERIES: dict[str, Callable] = {
     "quality_score": q_quality_score,
     "pack_sequences": q_pack_sequences,
     "ngram_jaccard": q_ngram_jaccard,
+    "tfidf_keywords": q_tfidf_keywords,
     "domain_mix": q_domain_mix,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
@@ -2268,6 +2292,37 @@ ORACLES: dict[str, str] = {
         )
         SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
         FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+    """,
+    # contamination_report: bench = every 17th doc, every 20th token
+    # replaced by an out-of-corpus marker; grams_hit = count(non-null)
+    # (NOT sum(CASE): DuckDB sum(int) is HUGEINT -> pandas float)
+    "contamination_report": f"""
+        WITH {_sh_cte(13)},
+        bmod AS (
+            SELECT doc_id AS bench_id,
+                   list(CASE WHEN (r.i % 20) = 0 THEN 'xmarkerx'
+                             ELSE t[r.i + 1] END ORDER BY r.i) AS bt
+            FROM toks, unnest(range(0, len(t))) AS r(i)
+            WHERE doc_id % 17 = 0
+            GROUP BY doc_id
+        ),
+        bsh AS (
+            SELECT DISTINCT bench_id,
+                   unnest([array_to_string(bt[i + 1:i + 13], ' ')
+                           for i in range(0, len(bt) - 12)]) AS shingle
+            FROM bmod WHERE len(bt) >= 13
+        ),
+        hit AS (
+            SELECT DISTINCT sh.shingle FROM sh
+            JOIN (SELECT DISTINCT shingle FROM bsh) v
+              ON sh.shingle = v.shingle
+        )
+        SELECT bench_id, count(*) AS grams_total,
+               count(h.shingle) AS grams_hit,
+               CAST(CAST(count(h.shingle) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS FLOAT) AS coverage
+        FROM bsh LEFT JOIN hit h ON bsh.shingle = h.shingle
+        GROUP BY bench_id
     """,
     # incremental (cross-run) dedup fixture: run-1 = doc_id % 3 != 0
     # committed, increment = even docs + ws-mangled first-50 remixes

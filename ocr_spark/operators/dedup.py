@@ -607,6 +607,60 @@ def substring_dedup(
     )
 
 
+def contamination_report(
+    df: DataFrame, benchmark: DataFrame, n: int = 13
+) -> DataFrame:
+    """Per-eval-document contamination coverage — the operational
+    report run alongside :func:`decontaminate`: for each benchmark
+    document, how many of its distinct word ``n``-grams occur anywhere
+    in the corpus, and the coverage fraction. 1.0 = the eval doc leaks
+    verbatim; mid values = partial/near-duplicate leakage; ~0 = clean.
+    (GPT-3 appendix C reports exactly this per-benchmark "dirtiness"
+    table before deciding what to drop.)
+
+    Returns (bench_id, grams_total, grams_hit, coverage) — counts are
+    over DISTINCT grams per eval doc (mirrors the dedup-family shingle
+    convention); eval docs with fewer than ``n`` tokens have no grams
+    and are absent, like every shingle op here.
+
+    Scale shape: the corpus-side gram stream is SEMI-JOINED to the
+    tiny benchmark gram vocabulary BEFORE any distinct, so the only
+    corpus-sized work is the map-side explode (AQE broadcasts the
+    vocabulary); the distinct and the per-eval-doc counts then run on
+    eval-vocabulary-sized data. Never a corpus-wide distinct.
+    """
+    bench_sh = _with_shingles(
+        benchmark.select(F.col("bench_id").alias("doc_id"), "text"), n
+    ).select(F.col("doc_id").alias("bench_id"), "shingle")
+    vocab = bench_sh.select("shingle").distinct()
+    present = (
+        _with_shingles(df, n)
+        .select("shingle")
+        .join(vocab, "shingle", "left_semi")
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    return (
+        bench_sh.join(present, "shingle", "left")
+        .groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("grams_total"),
+            F.count("present").alias("grams_hit"),
+        )
+        .select(
+            "bench_id",
+            "grams_total",
+            "grams_hit",
+            (
+                F.col("grams_hit").cast("double")
+                / F.col("grams_total").cast("double")
+            )
+            .cast("float")
+            .alias("coverage"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame, benchmark: DataFrame, n: int = 13
 ) -> DataFrame:

@@ -1533,3 +1533,36 @@ def test_shard_assign_by_split_positions_restart(spark):
     base = shard_assign(df, n_shards=4, key_col="doc_id").toPandas()
     m = out.merge(base, on="doc_id")
     assert (m["shard_x"] == m["shard_y"]).all()
+
+
+def test_contamination_report_coverage_levels(spark):
+    from ocr_spark.operators.dedup import contamination_report
+
+    words = [f"w{i}" for i in range(40)]
+    corpus_doc = " ".join(words)
+    docs = _docs(spark, [corpus_doc, "other unrelated text entirely"])
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "bench_id": [0, 1, 2],
+                "text": [
+                    corpus_doc,                        # fully leaked
+                    " ".join(words[:16])               # first 16 toks leak,
+                    + " "                              # rest is novel
+                    + " ".join(f"z{i}" for i in range(16)),
+                    " ".join(f"q{i}" for i in range(20)),  # clean
+                ],
+            }
+        )
+    )
+    out = {
+        r.bench_id: r
+        for r in contamination_report(docs, bench, n=13).collect()
+    }
+    assert out[0].coverage == 1.0
+    assert out[0].grams_total == 40 - 12
+    # bench 1: 32 tokens -> 20 grams, of which starts 0..3 lie fully
+    # inside the leaked 16-token prefix
+    assert out[1].grams_total == 20 and out[1].grams_hit == 4
+    assert 0.0 < out[1].coverage < 1.0
+    assert out[2].grams_hit == 0 and out[2].coverage == 0.0
