@@ -200,6 +200,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "dedup_exact",
         "dedup_keep_best",
         "incremental_dedup",
+        "incremental_dedup_bloom",
         "incremental_minhash",
         "incremental_verified",
         "conv_dedup",

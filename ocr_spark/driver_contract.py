@@ -947,6 +947,24 @@ def q_incremental_dedup(spark, sf_dir):
     return D.incremental_exact_dedup(incr, committed)
 
 
+def q_incremental_dedup_bloom(spark, sf_dir):
+    """The Bloom-prefilter path of incremental_exact_dedup: identical
+    fixture and (by construction) identical result to
+    incremental_dedup — the bloom only routes rows around the
+    anti-join — so the SAME oracle must hash-match, proving the
+    prefilter is exactness-preserving on the gate corpus."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    run1 = docs.filter(F.col("doc_id") % 3 != 0)
+    committed = D.exact_dedup(run1).select("fingerprint", "keep_id")
+    incr = docs.filter(F.col("doc_id") % 2 == 0).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000000).alias("doc_id"),
+            F.regexp_replace("text", " ", "  ").alias("text"),
+        )
+    )
+    return D.incremental_exact_dedup(incr, committed, bloom_bits=1 << 20)
+
+
 def q_incremental_minhash(spark, sf_dir):
     """Incremental near-dup screening against the committed MinHash
     band-key store: same run-1/run-2 split as incremental_dedup; an
@@ -1665,7 +1683,7 @@ QUERIES: dict[str, Callable] = {
     "media_features": q_media_features,
     # -- training-data operators --
     "dedup_exact": q_dedup_exact,
-    "dedup_keep_best": q_dedup_keep_best,
+    "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
     "incremental_verified": q_incremental_verified,
@@ -1719,6 +1737,7 @@ QUERIES: dict[str, Callable] = {
     "pack_sequences": q_pack_sequences,
     "ngram_jaccard": q_ngram_jaccard,
     "tfidf_keywords": q_tfidf_keywords,
+    "dedup_keep_best": q_dedup_keep_best,
     "domain_mix": q_domain_mix,
     "pmi_bigrams": q_pmi_bigrams,
     "kmv_distinct": q_kmv_distinct,
@@ -3690,3 +3709,8 @@ ORACLES: dict[str, str] = {
         ) WHERE rank <= 5
     """,
 }
+
+# The bloom-prefilter path must produce the IDENTICAL two-phase result:
+# same oracle, separate gate key -> a hash mismatch would mean the bloom
+# routed a row wrong (it cannot, by construction -- this pins it).
+ORACLES["incremental_dedup_bloom"] = ORACLES["incremental_dedup"]

@@ -1566,3 +1566,34 @@ def test_contamination_report_coverage_levels(spark):
     assert out[1].grams_total == 20 and out[1].grams_hit == 4
     assert 0.0 < out[1].coverage < 1.0
     assert out[2].grams_hit == 0 and out[2].coverage == 0.0
+
+
+def test_incremental_dedup_bloom_prefilter_is_exactness_preserving(spark):
+    from ocr_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    texts = [f"doc number {i} body text {i}" for i in range(40)]
+    docs = _docs(spark, texts)
+    committed = exact_dedup(docs.filter(F.col("doc_id") % 2 == 0))
+    incr = _docs(spark, texts).unionByName(
+        _docs(spark, texts[:10]).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+    base = {
+        r.fingerprint: (r.keep_id, r.n_dups)
+        for r in incremental_exact_dedup(incr, committed).collect()
+    }
+    # m=64: nearly every row is a false-positive suspect -> all routed
+    # through the anti-join; m=2^22: committed hits suspect, fresh rows
+    # overwhelmingly bypass. Both must equal the no-bloom result.
+    for m in (64, 1 << 22):
+        got = {
+            r.fingerprint: (r.keep_id, r.n_dups)
+            for r in incremental_exact_dedup(
+                incr, committed, bloom_bits=m
+            ).collect()
+        }
+        assert got == base, m

@@ -434,3 +434,24 @@ def test_char_entropy_and_c4_rules_are_pure_map(spark):
         assert "Exchange" not in tree
         assert "ArrowEvalPython" not in tree
         assert "BatchEvalPython" not in tree
+
+
+def test_incremental_bloom_probe_is_broadcast(spark):
+    from ocr_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(30), "text": [f"t {i}" for i in range(30)]}
+        )
+    )
+    committed = exact_dedup(docs.limit(10))
+    plan = _formatted(
+        incremental_exact_dedup(docs, committed, bloom_bits=1 << 20)
+    )
+    tree = _tree(plan)
+    # the bitmap probe must be a broadcast join (no shuffle to probe)
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoop" in tree
+    assert "bit_or" in plan  # bitmap built by one hash agg
