@@ -1122,10 +1122,35 @@ class FingerprintStore:
         ).parquet(str(self.bands_dir / f"run_id={run_id}"))
 
 
+def bloom_bitmap(
+    committed_fps: DataFrame, bloom_bits: int
+) -> DataFrame:
+    """The k=1 Bloom bitmap over committed fingerprints as an
+    (word, bits) table — build this ONCE at store-commit time and
+    persist it next to the fingerprint partitions; rebuilding per
+    increment costs a full store pass that measured 3x the entire
+    plain anti-join at 5M committed / 2M increment
+    (BENCH/soak_bloom.py). m/64 rows, ~16 bytes each."""
+    m = int(bloom_bits)
+    word = f"CAST(pmod(xxhash64(fingerprint), {m}) / 64 AS BIGINT)"
+    mask = (
+        "shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(pmod(xxhash64(fingerprint), {m}) % 64 AS INT))"
+    )
+    return (
+        committed_fps.select(
+            F.expr(word).alias("word"), F.expr(mask).alias("mask")
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
 def incremental_exact_dedup(
     increment: DataFrame,
     committed_fps: DataFrame,
     bloom_bits: int | None = None,
+    bitmap: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase exact dedup of an ingest increment against the
     committed corpus:
@@ -1154,13 +1179,20 @@ def incremental_exact_dedup(
     anti-join entirely; only bit-set suspects (true dups + ~n/m false
     positives) shuffle into the ``left_anti``. EXACTNESS IS UNCHANGED
     for any bitmap contents: the bitmap only routes rows, the
-    anti-join still decides. At dump-scale ingest (mostly-fresh
-    increments, ~10^9-row committed store) this removes the bulk of
-    the increment-side shuffle for one broadcast table (m=2^34 bits =
-    2 GB -> fpp ~6% at 10^9 items; k=1 costs ~5x the bits of an
-    optimal-k Bloom at equal fpp but keeps the probe a single
-    broadcast join, which is the right trade inside a shuffle-bound
-    job).
+    anti-join still decides.
+
+    Measured economics (BENCH/soak_bloom.py, 5M committed / 2M
+    increment, m=2^27, local[32]): fpp 3.66% == the n/m theory; with a
+    PREBUILT bitmap the probe path is at parity with the plain
+    anti-join (4.8s vs 5.0s — locally the anti-join is sort-bound, not
+    shuffle-bound, so there is nothing to save); building the bitmap
+    inline costs a full store pass (3x the whole op here). So: pass
+    ``bitmap=`` prebuilt via :func:`bloom_bitmap` at store-commit time
+    and amortize it across increments — the bypass only pays off in
+    the cluster regime where the increment side's anti-join SHUFFLE
+    dominates (TB increments, 10^9-row store, m=2^34 = 2 GB -> fpp
+    ~6%; k=1 costs ~5x the bits of an optimal-k Bloom at equal fpp
+    but keeps the probe one broadcast join).
     """
     inc = with_fingerprint(_ensure_parallelism(increment))
     store = committed_fps.select("fingerprint")
@@ -1173,13 +1205,8 @@ def incremental_exact_dedup(
             "shiftleft(CAST(1 AS BIGINT), "
             f"CAST(pmod(xxhash64(fingerprint), {m}) % 64 AS INT))"
         )
-        bitmap = (
-            store.select(
-                F.expr(word).alias("word"), F.expr(mask).alias("mask")
-            )
-            .groupBy("word")
-            .agg(F.bit_or("mask").alias("bits"))
-        )
+        if bitmap is None:
+            bitmap = bloom_bitmap(store, m)
         probed = inc.withColumn("_w", F.expr(word)).withColumn(
             "_m", F.expr(mask)
         ).join(
