@@ -514,3 +514,57 @@ def test_streaming_incremental_against_fingerprint_store(spark, tmp_path):
     write_transcripts_parquet(b, f"{in_dir}/b.parquet")
     drain("S2")
     assert _count(out_dir) == n1, "redelivered content extracted zero rows"
+
+
+def test_streaming_hash_split_is_stateless_and_stable(spark, tmp_path):
+    """hash_split composes with the streaming ingest path unchanged:
+    a pure keyed projection needs no state store, and a conversation
+    whose turns arrive across DIFFERENT micro-batches still lands in
+    one split — the leakage-safety property survives incremental
+    ingest by construction (the selector is keyed, not batch-scoped)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.textops import hash_split
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    a = gen_transcripts(20, seed=31, whale_lo=30, whale_hi=40)
+    half = len(a) // 2
+    write_transcripts_parquet(a.iloc[:half], f"{in_dir}/batch-a.parquet")
+
+    def drain():
+        stream = read_transcript_stream(spark, in_dir)
+        q = (
+            hash_split(stream, {"val": 0.2}, key_col="conv_id")
+            .select("conv_id", "turn_idx", "split")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # second half arrives later — same conversations, new turns
+    write_transcripts_parquet(a.iloc[half:], f"{in_dir}/batch-b.parquet")
+    drain()
+
+    out = duckdb.sql(
+        f"select conv_id, count(distinct split) ns, count(*) n "
+        f"from '{out_dir}/*.parquet' group by conv_id"
+    ).fetchdf()
+    assert int(out["n"].sum()) == len(a)      # exactly-once, all turns
+    assert (out["ns"] == 1).all()             # split-coherent across batches
+    # batch result is identical to the streamed assignment
+    batch = hash_split(
+        spark.createDataFrame(a), {"val": 0.2}, key_col="conv_id"
+    ).select("conv_id", "split").distinct().toPandas()
+    streamed = duckdb.sql(
+        f"select distinct conv_id, split from '{out_dir}/*.parquet'"
+    ).fetchdf()
+    m = batch.merge(streamed, on="conv_id")
+    assert (m["split_x"] == m["split_y"]).all()
