@@ -1073,6 +1073,91 @@ def q_train_shards(spark, sf_dir):
     ).select("doc_id", "split", "shard", "pos")
 
 
+def _intra_docs(spark, sf_dir):
+    """Documents rebuilt with deterministic repeated-line structure
+    (the synthetic corpus is single-line): five 20-char chunk lines
+    with line 3 always a repeat of line 1 and line 5 a repeat of
+    line 2 on %3 docs. Mirrored verbatim in the oracle."""
+    t = F.col("text")
+    l1 = F.substring(t, 1, 20)
+    l2 = F.substring(t, 21, 20)
+    l5 = F.when(F.col("doc_id") % 3 == 0, l2).otherwise(
+        F.substring(t, 61, 20)
+    )
+    built = F.concat_ws("\n", l1, l2, l1, F.substring(t, 41, 20), l5)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", built.alias("text")
+    )
+
+
+def q_intra_doc_dedup(spark, sf_dir):
+    """Within-page repeated-line collapse (RefinedWeb intra-doc half):
+    first occurrence kept, original order preserved, pure map."""
+    return D.intra_doc_dedup(_intra_docs(spark, sf_dir)).select(
+        "doc_id", "text_clean", "n_lines", "n_dropped"
+    )
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Exact per-domain token-budget mix: hash-ordered prefix of every
+    source until 600 whitespace tokens are reached (the oracle
+    recomputes the same running sum over the same md5 order)."""
+    return X.token_budget_mix(
+        load(spark, sf_dir, "documents"), budget_tokens=600
+    )
+
+
+def q_quality_select(spark, sf_dir):
+    """FineWeb-Edu-style within-domain top-40% quality selection with
+    a deterministic (quality DESC, doc_id) boundary."""
+    return X.quality_select(
+        load(spark, sf_dir, "documents"), frac=0.4
+    )
+
+
+def _dirty_docs(spark, sf_dir):
+    """Documents deterministically dirtied for unicode_clean: curly
+    quote wrap (%3), appended ellipsis (%5), soft hyphen inside 'row',
+    zero-width space after every 'e', nbsp around ' a ' (%2), em-dash
+    suffix (%11), BEL control prefix (%7), BOM prefix (all) — applied
+    in this exact order in both engines."""
+    d = F.col("doc_id")
+    s = F.col("text")
+    s = F.when(
+        d % 3 == 0, F.concat(F.lit("\u201c"), s, F.lit("\u201d"))
+    ).otherwise(s)
+    s = F.when(d % 5 == 0, F.concat(s, F.lit("\u2026"))).otherwise(s)
+    s = F.replace(s, F.lit("row"), F.lit("r\u00adow"))
+    s = F.replace(s, F.lit("e"), F.lit("e\u200b"))
+    s = F.when(
+        d % 2 == 0,
+        F.replace(s, F.lit(" a "), F.lit(" \u00a0a\u00a0 ")),
+    ).otherwise(s)
+    s = F.when(d % 11 == 0, F.concat(s, F.lit("\u2014done"))).otherwise(s)
+    s = F.when(d % 7 == 0, F.concat(F.lit("\x07"), s)).otherwise(s)
+    s = F.concat(F.lit("\ufeff"), s)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", s.alias("text")
+    )
+
+
+def q_unicode_clean(spark, sf_dir):
+    """ftfy-lite unicode canonicalization over the dirtied fixture:
+    quotes/dashes/spaces to ASCII, zero-width/control strip, ellipsis
+    expansion, whitespace collapse — pure map, oracle mirrors every
+    pass in RE2."""
+    return X.unicode_clean(_dirty_docs(spark, sf_dir)).select(
+        "doc_id", "text_clean", "n_chars_clean"
+    )
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus top-100 trigrams (boilerplate discovery): in-row gram
+    build, hash-agg, distributed TakeOrdered with deterministic
+    (count DESC, gram ASC) boundary."""
+    return X.ngram_topk(load(spark, sf_dir, "documents"), n=3, k=100)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling: short docs 20%,
     long docs 60% (training-data curation shape)."""
@@ -1683,6 +1768,11 @@ QUERIES: dict[str, Callable] = {
     "media_features": q_media_features,
     # -- training-data operators --
     "dedup_exact": q_dedup_exact,
+    "intra_doc_dedup": q_intra_doc_dedup,
+    "token_budget_mix": q_token_budget_mix,
+    "quality_select": q_quality_select,
+    "unicode_clean": q_unicode_clean,
+    "ngram_topk": q_ngram_topk,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
@@ -1699,7 +1789,6 @@ QUERIES: dict[str, Callable] = {
     "near_dup_groups": q_near_dup_groups,
     "bm25_topk": q_bm25_topk,
     "contamination_report": q_contamination_report,
-    "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
     "dsir_select": q_dsir_select,
@@ -1707,8 +1796,6 @@ QUERIES: dict[str, Callable] = {
     "ccnet_buckets": q_ccnet_buckets,
     "pack_conversations": q_pack_conversations,
     "conv_dedup": q_conv_dedup,
-    "winnow": q_winnow,
-    "winnow_pairs": q_winnow_pairs,
     "winnow_verified": q_winnow_verified,
     "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
@@ -1718,8 +1805,6 @@ QUERIES: dict[str, Callable] = {
     "redact_pii": q_redact_pii,
     "shard_assign": q_shard_assign,
     "c4_rules": q_c4_rules,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
     "cosine_near_dup": q_cosine_near_dup,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
@@ -1731,6 +1816,11 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "unigram_logprob": q_unigram_logprob,
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
+    "winnow_pairs": q_winnow_pairs,
+    "winnow": q_winnow,
     "cosine_topk": q_cosine_topk,
     "repetition": q_repetition,
     "quality_score": q_quality_score,
@@ -1953,6 +2043,69 @@ def _train_shards_sql() -> str:
                    PARTITION BY split, shard ORDER BY h2, doc_id)
                    AS INT) AS pos
         FROM lab
+    """
+
+
+def _unicode_clean_sql() -> str:
+    """unicode_clean oracle: the dirt CTEs mirror _dirty_docs step by
+    step, then the clean passes reuse textops' _UC_FROM/_UC_TO/
+    _UC_STRIP constants VERBATIM (imported, not copied — the translate
+    table and the strip regex cannot drift between engines; the strip
+    class mixes literal codepoints with RE2 \\xNN escapes, both of
+    which RE2 and Java regex read identically)."""
+    from_sql = X._UC_FROM.replace("'", "''")
+    to_sql = X._UC_TO.replace("'", "''")
+    return f"""
+        WITH d1 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '\u201c' || text || '\u201d'
+                        ELSE text END AS s
+            FROM documents
+        ),
+        d2 AS (
+            SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                                THEN s || '\u2026' ELSE s END AS s
+            FROM d1
+        ),
+        d3 AS (
+            SELECT doc_id, replace(s, 'row', 'r\u00adow') AS s FROM d2
+        ),
+        d4 AS (
+            SELECT doc_id, replace(s, 'e', 'e\u200b') AS s FROM d3
+        ),
+        d5 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN replace(s, ' a ', ' \u00a0a\u00a0 ')
+                        ELSE s END AS s
+            FROM d4
+        ),
+        d6 AS (
+            SELECT doc_id, CASE WHEN doc_id % 11 = 0
+                                THEN s || '\u2014done' ELSE s END AS s
+            FROM d5
+        ),
+        d7 AS (
+            SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                                THEN chr(7) || s ELSE s END AS s
+            FROM d6
+        ),
+        d8 AS (SELECT doc_id, '\ufeff' || s AS s FROM d7),
+        cleaned AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               translate(s, '{from_sql}', '{to_sql}'),
+                               '{X._UC_STRIP}', '', 'g'),
+                           '\u2026', '...', 'g'),
+                       '[ \\t]{{2,}}', ' ', 'g')) AS text_clean
+            FROM d8
+        )
+        SELECT doc_id, text_clean,
+               CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+        FROM cleaned
     """
 
 
@@ -2498,6 +2651,112 @@ ORACLES: dict[str, str] = {
                CAST(row_number() OVER (
                    PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
         FROM b
+    """,
+    # intra_doc_dedup: fixture mirrors _intra_docs; keep line i iff its
+    # first-occurrence index == i (DuckDB lambda index is 1-based where
+    # Spark's is 0-based — hence `= i` here vs `= i + 1` in the op).
+    "intra_doc_dedup": """
+        WITH fixture AS (
+            SELECT doc_id,
+                   substr(text, 1, 20) || chr(10)
+                   || substr(text, 21, 20) || chr(10)
+                   || substr(text, 1, 20) || chr(10)
+                   || substr(text, 41, 20) || chr(10)
+                   || CASE WHEN doc_id % 3 = 0 THEN substr(text, 21, 20)
+                           ELSE substr(text, 61, 20) END AS text
+            FROM documents
+        ),
+        l AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM fixture
+        ),
+        k AS (
+            SELECT doc_id, ls,
+                   list_filter(ls, (x, i) -> list_position(ls, x) = i)
+                       AS kept
+            FROM l
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped
+        FROM k
+    """,
+    # token_budget_mix: same md5 order and integer running sum as the
+    # operator; SUM over int is HUGEINT in DuckDB -> CAST BIGINT.
+    "token_budget_mix": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                   END AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < 600
+    """,
+    # quality_select: the quality expression is the quality_score
+    # oracle's verbatim; CAST(0.4 AS DOUBLE) is load-bearing (DuckDB's
+    # bare 0.4 is DECIMAL and 0.4*25 rounds differently from IEEE).
+    "quality_select": f"""
+        WITH s AS (
+            SELECT doc_id, source,
+                   round(
+                     0.4 * least(1.0,
+                         len(regexp_split_to_array(trim(text), '\\s+'))
+                             / 50.0)
+                   + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]',
+                                                  '', 'g'))
+                            / length(text))
+                   + 0.3 * least(1.0,
+                         5.0 * len(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             t -> lower(t) IN ({_STOP_SQL})))
+                         / len(regexp_split_to_array(trim(text),
+                                                     '\\s+'))),
+                   4) AS quality
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source, quality,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY quality DESC, doc_id ASC) AS INT) AS rk,
+                   count(*) OVER (PARTITION BY source) AS n_domain
+            FROM s
+        )
+        SELECT doc_id, source, quality, rk
+        FROM r WHERE rk <= ceil(CAST(0.4 AS DOUBLE) * n_domain)
+    """,
+    "unicode_clean": _unicode_clean_sql(),
+    "ngram_topk": """
+        WITH t AS (
+            SELECT list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 2),
+                       j -> array_to_string(
+                           list_slice(t, j, j + 2), ' '))) AS gram
+            FROM t WHERE len(t) >= 3
+        )
+        SELECT gram, count(*) AS n_occurrences
+        FROM g GROUP BY gram
+        ORDER BY n_occurrences DESC, gram ASC
+        LIMIT 100
     """,
     "stratified_sample": """
         WITH s AS (

@@ -481,6 +481,44 @@ def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
     )
 
 
+def intra_doc_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repeated-line removal — the WITHIN-page half of
+    RefinedWeb's line dedup (Penedo et al. '23 §4.2; C4 keeps only the
+    first occurrence of a repeated line inside one page: nav menus and
+    footers duplicated by templating collapse to one copy). The
+    corpus-level cross-document half is :func:`line_dedup`; this one
+    needs no corpus state at all.
+
+    Keeps the FIRST occurrence of every distinct line (exact match on
+    the raw line, no trimming — trimming policy belongs to
+    :func:`line_dedup` / C4 rules) and reassembles in original order.
+    Returns (doc_id, text_clean, n_lines, n_dropped); rows are never
+    dropped.
+
+    Scale shape: a PURE MAP — one higher-order-function expression per
+    row (``filter`` with the positional lambda: keep line i iff its
+    first occurrence index is i), zero shuffle, zero corpus state,
+    whole-stage codegen'd. The in-row first-occurrence probe is
+    O(lines^2) worst-case per document, but pages have tens-to-hundreds
+    of lines, so the constant is trivial next to the string scan — and
+    unlike an explode+window formulation there is nothing to exchange
+    at 100 TB.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    staged = df.withColumn("_lines", lines)
+    kept = (
+        "filter(_lines, (x, i) -> array_position(_lines, x) = i + 1)"
+    )
+    return staged.select(
+        "doc_id",
+        F.expr(f"array_join({kept}, '\\n')").alias("text_clean"),
+        F.size("_lines").cast("long").alias("n_lines"),
+        (F.size("_lines") - F.expr(f"size({kept})"))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     min_len: int = 50,

@@ -285,6 +285,103 @@ def domain_mix(
     )
 
 
+def token_budget_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-budget mix building: take documents per domain, in
+    deterministic hash order, until the domain's running token total
+    reaches ``budget_tokens`` — the "assemble a 300B-token mix with
+    exactly this many tokens of code / web / books" operator (the
+    Pile/LLaMA mix tables are token budgets, not doc rates).
+
+    :func:`domain_mix` is the RATE-based sibling (one derived
+    keep-probability per domain — cheap, but the realized token count
+    wanders by sampling noise); this one is exact-by-construction: docs
+    order by ``md5(key)`` (a deterministic uniform shuffle, so the
+    prefix is an unbiased sample) and a per-domain running sum keeps
+    every doc whose PRE-sum is still under budget — so the budget is
+    always reached or exhausted, overshooting by at most one document.
+
+    Returns kept rows only: (key, domain, n_tokens, cum_tokens) with
+    cum_tokens the inclusive running total (== realized mix size on
+    the last kept doc of each domain).
+
+    Scale shape: tokens count map-side, then ONLY the narrow
+    (key, domain, n_tokens, h) projection — ~60 bytes/row, never text —
+    shuffles into the per-domain window sort. With tens of domains over
+    10^9 docs each partition is a few-GB sort of fixed-width rows;
+    skew-free because domain count is the partition count. The budget
+    filter cannot push below the window (it reads the running sum), but
+    everything downstream sees only kept ids to semi-join text back.
+    """
+    toked = with_token_count(df).select(
+        key_col,
+        domain_col,
+        "n_tokens",
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy("h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(
+            F.col("cum_tokens") - F.col("n_tokens")
+            < F.lit(int(budget_tokens))
+        )
+        .select(key_col, domain_col, "n_tokens", "cum_tokens")
+    )
+
+
+def quality_select(
+    df: DataFrame,
+    frac: float = 0.5,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Within-domain top-fraction quality selection — the
+    FineWeb-Edu / phi-style "keep the best-scoring X% of every source"
+    gate (Penedo et al. '24 threshold a learned edu score; with the
+    repo's deterministic :func:`with_quality` score standing in for the
+    classifier). Selecting per-domain rather than globally is the
+    point: a global cut empties low-scoring-but-wanted domains (code,
+    forums) and keeps only encyclopedia prose.
+
+    keep = rank <= ceil(frac * n_domain), rank ordered by
+    (quality DESC, key ASC) — the tie-break makes the boundary
+    deterministic and engine-portable (quality is already rounded 4 dp
+    inside :func:`with_quality`).
+
+    Returns kept rows only: (key, domain, quality, rk).
+
+    Scale shape: like :func:`token_budget_mix`, only the narrow
+    (key, domain, quality) projection enters the per-domain window —
+    the score computes map-side from the text, the text itself never
+    shuffles. count(*) over the same partition reuses the one exchange
+    (two window functions, same spec, one shuffle).
+    """
+    scored = with_quality(df).select(key_col, domain_col, "quality")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("quality").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_domain", F.count(F.lit(1)).over(Window.partitionBy(domain_col))
+        )
+        .filter(
+            F.col("rk")
+            <= F.ceil(F.lit(float(frac)) * F.col("n_domain"))
+        )
+        .select(key_col, domain_col, "quality", "rk")
+    )
+
+
 def _dsir_features(df: DataFrame, n_buckets: int) -> DataFrame:
     """Hashed uni+bigram feature stream (doc_id, bucket) — DSIR's
     bag-of-hashed-ngrams representation (Xie et al. '23 §2.2)."""
@@ -520,6 +617,88 @@ def vocab_topk(df: DataFrame, k: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
+    )
+
+
+def ngram_topk(df: DataFrame, n: int = 3, k: int = 100) -> DataFrame:
+    """Corpus most-frequent word n-grams — the boilerplate-discovery /
+    corpus-inspection operator (the top trigrams of a web dump ARE its
+    cookie banners; Dodge et al. '21 profile C4 exactly this way), and
+    the candidate source for phrase-vocabulary construction.
+
+    Grams form over the empty-stripped lowercased token stream (an
+    in-row transform over a token-array slice — no positional
+    self-join), then one hash-agg with map-side partials and a
+    distributed TakeOrdered: ``orderBy(n desc, gram asc).limit(k)``
+    ships one k-row head per partition to the driver, never a global
+    sort. Total order (count desc, gram asc) pins the boundary
+    deterministically on both engines.
+
+    Returns (gram, n_occurrences).
+    """
+    arr = (
+        _ensure_parallelism(df)
+        .select(
+            F.expr(f"filter({TOKENS_LC}, x -> x != '')").alias("t")
+        )
+        .filter(F.size("t") >= n)
+    )
+    grams = arr.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {n}), "
+                f"j -> concat_ws(' ', slice(t, j + 1, {n})))"
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+# unicode_clean's 1:1 character canonicalizations, one translate()
+# pass: curly quotes -> straight, en/em dash -> '-', six unicode
+# space variants (nbsp, thin, hair, en, em, ideographic) -> ' '.
+# Shared verbatim (as chr() codepoints) with the DuckDB oracle.
+_UC_FROM = (
+    "\u2018\u2019\u201c\u201d\u2013\u2014"
+    "\u00a0\u2009\u200a\u2002\u2003\u3000"
+)
+_UC_TO = "''\"\"--      "
+# Width-changing removals, one regex class: zero-width space/joiners,
+# BOM, soft hyphen, and C0/C1-ish control chars except \t \n \r.
+_UC_STRIP = (
+    "[\u200b\u200c\u200d\ufeff\u00ad"
+    "\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+)
+
+
+def unicode_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic unicode text canonicalization — the ftfy-lite
+    pre-dedup normalizer every web pipeline runs first (Dolma/RefinedWeb
+    normalize before fingerprinting so that a zero-width-space variant
+    of a page is not a "distinct" document): smart quotes/dashes and
+    unicode space variants map to ASCII, zero-width characters / BOM /
+    soft hyphens / control chars strip, horizontal whitespace runs
+    collapse, edges trim. Ellipsis expands to '...' so downstream
+    sentence-punctuation rules (C4) see it.
+
+    Exactly one translate pass + two regex passes + one literal
+    replace, all JVM built-ins inside whole-stage codegen — a pure map,
+    zero shuffle, and the regexes are shared semantics with RE2 (the
+    oracle runs the same classes in DuckDB).
+
+    Adds text_clean + n_chars_clean; never drops rows.
+    """
+    c = F.translate(F.col(text_col), _UC_FROM, _UC_TO)
+    c = F.regexp_replace(c, _UC_STRIP, "")
+    c = F.regexp_replace(c, "\u2026", "...")
+    c = F.trim(F.regexp_replace(c, "[ \\t]{2,}", " "))
+    return df.withColumn("text_clean", c).withColumn(
+        "n_chars_clean", F.length("text_clean").cast("long")
     )
 
 

@@ -1,0 +1,183 @@
+"""Tests for the mix/clean operator family: intra_doc_dedup,
+token_budget_mix, quality_select, unicode_clean, ngram_topk."""
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import intra_doc_dedup
+from ocr_spark.operators.textops import (
+    ngram_topk,
+    quality_select,
+    token_budget_mix,
+    unicode_clean,
+)
+
+
+def test_intra_doc_dedup_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),   # two repeats, interleaved
+            (2, "x\ny\nz"),          # no repeats -> unchanged
+            (3, "q\nq\nq\nq"),       # one line flooded
+            (4, "  a\na"),           # exact match only: '  a' != 'a'
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in intra_doc_dedup(df).collect()
+    }
+    assert out[1]["text_clean"] == "a\nb\nc"
+    assert (out[1]["n_lines"], out[1]["n_dropped"]) == (5, 2)
+    assert out[2]["text_clean"] == "x\ny\nz"
+    assert out[2]["n_dropped"] == 0
+    assert out[3]["text_clean"] == "q"
+    assert out[3]["n_dropped"] == 3
+    # no trimming: whitespace variants are distinct lines by design
+    assert out[4]["text_clean"] == "  a\na"
+
+
+def test_intra_doc_dedup_is_pure_map(spark):
+    df = spark.createDataFrame([(1, "a\na")], "doc_id long, text string")
+    tree = intra_doc_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in tree, "intra-doc dedup must not shuffle"
+
+
+def _md5(v) -> str:
+    return hashlib.md5(str(v).encode()).hexdigest()
+
+
+def test_token_budget_mix_matches_greedy_reference(spark):
+    # domain 'small' sits under budget (all kept); 'big' is clipped.
+    rows = []
+    for i in range(6):
+        rows.append((i, "small", "tok " * 3))          # 3 tokens each
+    for i in range(100, 140):
+        rows.append((i, "big", "w " * (5 + i % 7)))    # 5..11 tokens
+    df = spark.createDataFrame(
+        [(i, d, t.strip()) for i, d, t in rows],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_mix(df, budget_tokens=60).collect()
+    got = {(r["doc_id"]): (r["n_tokens"], r["cum_tokens"]) for r in out}
+
+    # python greedy reference over the same md5 order
+    exp = {}
+    for dom in ("small", "big"):
+        docs = [(i, d, t) for i, d, t in rows if d == dom]
+        docs.sort(key=lambda r: (_md5(r[0]), r[0]))
+        cum = 0
+        for i, _, t in docs:
+            n = len(t.split())
+            if cum < 60:
+                cum += n
+                exp[i] = (n, cum)
+            else:
+                break
+    assert got == exp
+    # the under-budget domain keeps every doc
+    assert all(i in got for i in range(6))
+
+
+def test_token_budget_mix_overshoots_by_at_most_one_doc(spark):
+    df = spark.createDataFrame(
+        [(i, "d", "t " * 10) for i in range(50)],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_mix(df, budget_tokens=95).orderBy("cum_tokens")
+    rows = out.collect()
+    # last kept doc crosses the budget; everything before it is under
+    assert rows[-1]["cum_tokens"] >= 95
+    assert rows[-1]["cum_tokens"] - rows[-1]["n_tokens"] < 95
+    assert rows[-2]["cum_tokens"] < 95
+
+
+def test_quality_select_per_domain_fraction_and_boundary(spark):
+    words = ["the", "fast", "table", "row", "scan", "merge", "is", "a"]
+    rows = [
+        (i, f"src{i % 3}", " ".join(words[: 2 + i % 7]) )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    frac = 0.4
+    out = quality_select(df, frac=frac).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    n_per_dom = {f"src{k}": 20 for k in range(3)}
+    for dom, kept in by_dom.items():
+        assert len(kept) == math.ceil(frac * n_per_dom[dom])
+        # ranks are 1..k with deterministic boundary
+        assert sorted(r["rk"] for r in kept) == list(
+            range(1, len(kept) + 1)
+        )
+    # kept min quality >= dropped max quality within each domain
+    # (ties broken toward the smaller doc_id, checked via rk order)
+    full = quality_select(df, frac=1.0).collect()
+    for dom in n_per_dom:
+        scored = sorted(
+            [r for r in full if r["source"] == dom],
+            key=lambda r: (-r["quality"], r["doc_id"]),
+        )
+        kept_ids = {r["doc_id"] for r in by_dom[dom]}
+        assert kept_ids == {r["doc_id"] for r in scored[: len(kept_ids)]}
+
+
+def test_unicode_clean_canonicalizations(spark):
+    cases = [
+        # curly quotes + dashes -> ascii
+        ("\u201chi\u201d \u2013 there \u2014 ok", '"hi" - there - ok'),
+        # zero-width / BOM / soft hyphen strip
+        ("\ufeffa\u200bb\u00adc\u200dd", "abcd"),
+        # control chars stripped, \n and \t-as-separator survive
+        ("a\x07b\x00c\nnext", "abc\nnext"),
+        # unicode spaces -> ascii space, runs collapse, edges trim
+        ("x\u00a0\u2009y\u3000 z ", "x y z"),
+        # ellipsis expands so sentence rules see punctuation
+        ("wait\u2026", "wait..."),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_clean"] for r in unicode_clean(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_unicode_clean_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "\u201cm\u2026\u201d \u2014 x\u200b\u00a0 y\x07z"),
+            (2, "already clean text."),
+        ],
+        "doc_id long, text string",
+    )
+    once = unicode_clean(df).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    twice = unicode_clean(once).select("doc_id", "text_clean")
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text_clean"] for r in twice.collect()}
+    assert a == b
+
+
+def test_ngram_topk_counts_and_tie_boundary(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),   # 'a b c' x2, 'b c a' x2, 'c a b' x2
+            (2, "a b c"),             # 'a b c' -> 3 total
+            (3, "z z"),               # too short for trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_topk(df, n=3, k=2).collect()
+    assert [(r["gram"], r["n_occurrences"]) for r in out] == [
+        ("a b c", 3),
+        ("b c a", 2),  # tie with 'c a b' broken by gram asc
+    ]
