@@ -216,6 +216,12 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "quality_score",
         "gopher_rules",
         "c4_rules",
+        "unicode_clean",
+        "intra_doc_dedup",
+        "token_budget_mix",
+        "quality_select",
+        "ngram_topk",
+        "mix_pipeline",
         "char_entropy",
         "hash_split",
         "shard_assign",

@@ -1115,12 +1115,13 @@ def q_quality_select(spark, sf_dir):
     )
 
 
-def _dirty_docs(spark, sf_dir):
+def _dirty_docs(spark, sf_dir, keep=()):
     """Documents deterministically dirtied for unicode_clean: curly
     quote wrap (%3), appended ellipsis (%5), soft hyphen inside 'row',
     zero-width space after every 'e', nbsp around ' a ' (%2), em-dash
     suffix (%11), BEL control prefix (%7), BOM prefix (all) — applied
-    in this exact order in both engines."""
+    in this exact order in both engines. ``keep`` carries extra
+    columns (e.g. source) for compositions."""
     d = F.col("doc_id")
     s = F.col("text")
     s = F.when(
@@ -1137,7 +1138,7 @@ def _dirty_docs(spark, sf_dir):
     s = F.when(d % 7 == 0, F.concat(F.lit("\x07"), s)).otherwise(s)
     s = F.concat(F.lit("\ufeff"), s)
     return load(spark, sf_dir, "documents").select(
-        "doc_id", s.alias("text")
+        "doc_id", s.alias("text"), *keep
     )
 
 
@@ -1149,6 +1150,21 @@ def q_unicode_clean(spark, sf_dir):
     return X.unicode_clean(_dirty_docs(spark, sf_dir)).select(
         "doc_id", "text_clean", "n_chars_clean"
     )
+
+
+def q_mix_pipeline(spark, sf_dir):
+    """Mix-building composition, ONE Catalyst plan: dirty corpus ->
+    unicode_clean -> within-domain top-50% quality selection (text
+    carried through the narrow window projection) -> exact 400-token
+    per-domain budget mix. The chain a curation job actually runs
+    before handing shards to a loader; both windows partition by
+    source so the exchange plans once."""
+    dirty = _dirty_docs(spark, sf_dir, keep=("source",))
+    clean = X.unicode_clean(dirty).select(
+        "doc_id", "source", F.col("text_clean").alias("text")
+    )
+    kept = X.quality_select(clean, frac=0.5, keep=("text",))
+    return X.token_budget_mix(kept, budget_tokens=400)
 
 
 def q_ngram_topk(spark, sf_dir):
@@ -1773,6 +1789,7 @@ QUERIES: dict[str, Callable] = {
     "quality_select": q_quality_select,
     "unicode_clean": q_unicode_clean,
     "ngram_topk": q_ngram_topk,
+    "mix_pipeline": q_mix_pipeline,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
@@ -1805,7 +1822,6 @@ QUERIES: dict[str, Callable] = {
     "redact_pii": q_redact_pii,
     "shard_assign": q_shard_assign,
     "c4_rules": q_c4_rules,
-    "cosine_near_dup": q_cosine_near_dup,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
     "d4_select": q_d4_select,
@@ -1816,6 +1832,7 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "cosine_near_dup": q_cosine_near_dup,
     "unigram_logprob": q_unigram_logprob,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
@@ -2046,54 +2063,57 @@ def _train_shards_sql() -> str:
     """
 
 
-def _unicode_clean_sql() -> str:
-    """unicode_clean oracle: the dirt CTEs mirror _dirty_docs step by
-    step, then the clean passes reuse textops' _UC_FROM/_UC_TO/
-    _UC_STRIP constants VERBATIM (imported, not copied — the translate
-    table and the strip regex cannot drift between engines; the strip
-    class mixes literal codepoints with RE2 \\xNN escapes, both of
-    which RE2 and Java regex read identically)."""
+def _unicode_clean_ctes(extra: str = "") -> str:
+    """CTE chain ``d1..d8, cleaned(doc_id{extra}, text_clean)``: the
+    dirt steps mirror _dirty_docs step by step, then the clean passes
+    reuse textops' _UC_FROM/_UC_TO/_UC_STRIP constants VERBATIM
+    (imported, not copied -- the translate table and the strip regex
+    cannot drift between engines; the strip class mixes literal
+    codepoints with RE2 \\xNN escapes, which RE2 and Java regex read
+    identically). ``extra`` (e.g. ``", source"``) carries columns
+    through for composition oracles."""
     from_sql = X._UC_FROM.replace("'", "''")
     to_sql = X._UC_TO.replace("'", "''")
-    return f"""
-        WITH d1 AS (
-            SELECT doc_id,
+    return f"""d1 AS (
+            SELECT doc_id{extra},
                    CASE WHEN doc_id % 3 = 0
                         THEN '\u201c' || text || '\u201d'
                         ELSE text END AS s
             FROM documents
         ),
         d2 AS (
-            SELECT doc_id, CASE WHEN doc_id % 5 = 0
+            SELECT doc_id{extra}, CASE WHEN doc_id % 5 = 0
                                 THEN s || '\u2026' ELSE s END AS s
             FROM d1
         ),
         d3 AS (
-            SELECT doc_id, replace(s, 'row', 'r\u00adow') AS s FROM d2
+            SELECT doc_id{extra}, replace(s, 'row', 'r\u00adow') AS s
+            FROM d2
         ),
         d4 AS (
-            SELECT doc_id, replace(s, 'e', 'e\u200b') AS s FROM d3
+            SELECT doc_id{extra}, replace(s, 'e', 'e\u200b') AS s
+            FROM d3
         ),
         d5 AS (
-            SELECT doc_id,
+            SELECT doc_id{extra},
                    CASE WHEN doc_id % 2 = 0
                         THEN replace(s, ' a ', ' \u00a0a\u00a0 ')
                         ELSE s END AS s
             FROM d4
         ),
         d6 AS (
-            SELECT doc_id, CASE WHEN doc_id % 11 = 0
+            SELECT doc_id{extra}, CASE WHEN doc_id % 11 = 0
                                 THEN s || '\u2014done' ELSE s END AS s
             FROM d5
         ),
         d7 AS (
-            SELECT doc_id, CASE WHEN doc_id % 7 = 0
+            SELECT doc_id{extra}, CASE WHEN doc_id % 7 = 0
                                 THEN chr(7) || s ELSE s END AS s
             FROM d6
         ),
-        d8 AS (SELECT doc_id, '\ufeff' || s AS s FROM d7),
+        d8 AS (SELECT doc_id{extra}, '\ufeff' || s AS s FROM d7),
         cleaned AS (
-            SELECT doc_id,
+            SELECT doc_id{extra},
                    trim(regexp_replace(
                        regexp_replace(
                            regexp_replace(
@@ -2102,10 +2122,80 @@ def _unicode_clean_sql() -> str:
                            '\u2026', '...', 'g'),
                        '[ \\t]{{2,}}', ' ', 'g')) AS text_clean
             FROM d8
-        )
+        )"""
+
+
+def _unicode_clean_sql() -> str:
+    return f"""
+        WITH {_unicode_clean_ctes()}
         SELECT doc_id, text_clean,
                CAST(length(text_clean) AS BIGINT) AS n_chars_clean
         FROM cleaned
+    """
+
+
+def _quality_expr_sql(col: str = "text") -> str:
+    """The with_quality blend as a DuckDB expression over ``col`` --
+    single source for the quality_select / mix_pipeline oracles
+    (aliasing the column must not fork the formula)."""
+    return f"""round(
+                 0.4 * least(1.0,
+                     len(regexp_split_to_array(trim({col}), '\\s+'))
+                         / 50.0)
+               + 0.3 * (length(regexp_replace({col}, '[^a-zA-Z]',
+                                              '', 'g'))
+                        / length({col}))
+               + 0.3 * least(1.0,
+                     5.0 * len(list_filter(
+                         regexp_split_to_array(trim({col}), '\\s+'),
+                         t -> lower(t) IN ({_STOP_SQL})))
+                     / len(regexp_split_to_array(trim({col}),
+                                                 '\\s+'))),
+               4)"""
+
+
+def _mix_pipeline_sql() -> str:
+    """Composition oracle: dirt -> unicode_clean CTEs (source carried)
+    -> quality over text_clean -> within-domain top-50% rank cut ->
+    md5-ordered running token sum -> 400-token budget cut."""
+    return f"""
+        WITH {_unicode_clean_ctes(", source")},
+        s AS (
+            SELECT doc_id, source, text_clean,
+                   {_quality_expr_sql("text_clean")} AS quality
+            FROM cleaned
+        ),
+        r AS (
+            SELECT doc_id, source, text_clean, quality,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY quality DESC, doc_id ASC) AS INT) AS rk,
+                   count(*) OVER (PARTITION BY source) AS n_domain
+            FROM s
+        ),
+        kept AS (
+            SELECT doc_id, source, text_clean FROM r
+            WHERE rk <= ceil(CAST(0.5 AS DOUBLE) * n_domain)
+        ),
+        t AS (
+            SELECT doc_id, source,
+                   CASE WHEN trim(text_clean) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text_clean),
+                                                       '\\s+'))
+                   END AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM kept
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < 400
     """
 
 
@@ -2705,26 +2795,14 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, source, n_tokens, cum_tokens
         FROM c WHERE cum_tokens - n_tokens < 600
     """,
-    # quality_select: the quality expression is the quality_score
-    # oracle's verbatim; CAST(0.4 AS DOUBLE) is load-bearing (DuckDB's
-    # bare 0.4 is DECIMAL and 0.4*25 rounds differently from IEEE).
+    # quality_select: the quality expression comes from
+    # _quality_expr_sql (single source with mix_pipeline); the
+    # CAST(0.4 AS DOUBLE) is load-bearing (DuckDB's bare 0.4 is
+    # DECIMAL and 0.4*25 rounds differently from IEEE).
     "quality_select": f"""
         WITH s AS (
             SELECT doc_id, source,
-                   round(
-                     0.4 * least(1.0,
-                         len(regexp_split_to_array(trim(text), '\\s+'))
-                             / 50.0)
-                   + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]',
-                                                  '', 'g'))
-                            / length(text))
-                   + 0.3 * least(1.0,
-                         5.0 * len(list_filter(
-                             regexp_split_to_array(trim(text), '\\s+'),
-                             t -> lower(t) IN ({_STOP_SQL})))
-                         / len(regexp_split_to_array(trim(text),
-                                                     '\\s+'))),
-                   4) AS quality
+                   {_quality_expr_sql("text")} AS quality
             FROM documents
         ),
         r AS (
@@ -2739,6 +2817,7 @@ ORACLES: dict[str, str] = {
         FROM r WHERE rk <= ceil(CAST(0.4 AS DOUBLE) * n_domain)
     """,
     "unicode_clean": _unicode_clean_sql(),
+    "mix_pipeline": _mix_pipeline_sql(),
     "ngram_topk": """
         WITH t AS (
             SELECT list_filter(

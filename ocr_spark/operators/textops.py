@@ -338,11 +338,98 @@ def token_budget_mix(
     )
 
 
+def domain_upsample(
+    df: DataFrame,
+    factors: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain repetition-factor mixing, the UP-sampling half of mix
+    building (LLaMA trains Wikipedia for ~2.4 epochs while CommonCrawl
+    gets <1; :func:`domain_mix` only thins): every document of a domain
+    with factor f appears floor(f) times always, plus one extra time
+    for a deterministic hash-selected frac(f) of documents. Domains
+    absent from ``factors`` pass through once (f = 1).
+
+    Emits (key, domain, epoch) with epoch in [0, floor(f)]; a loader
+    treats each (key, epoch) as an independent training occurrence
+    (shuffle them apart with :func:`shard_assign` keyed on both). A
+    factor < 1 degenerates to deterministic rate sampling (0 or 1
+    occurrences). The fractional-epoch selector is the shared 16-bit
+    md5 selector, so the extra-epoch subset is reproducible and
+    group-coherent in ``key_col`` like every sampler here.
+
+    Scale shape: pure map + in-row ``sequence`` explode — zero
+    shuffle, no joins (the factor table compiles into literal CASE
+    expressions); output size is exactly sum over domains of
+    round-to-hash(f) * n_domain. The n_epochs >= 1 guard is SEMANTIC:
+    Spark's ``sequence(0, -1)`` is a DESCENDING [0, -1], not empty.
+    """
+    n_full = None
+    frac_thr = None
+    for dom, f in factors.items():
+        if f < 0:
+            raise ValueError(f"negative factor for {dom!r}: {f}")
+        nf = int(f)
+        thr = int((f - nf) * 65536)
+        cond = F.col(domain_col) == dom
+        n_full = (
+            F.when(cond, F.lit(nf))
+            if n_full is None
+            else n_full.when(cond, F.lit(nf))
+        )
+        frac_thr = (
+            F.when(cond, F.lit(thr))
+            if frac_thr is None
+            else frac_thr.when(cond, F.lit(thr))
+        )
+    n_full = F.lit(1) if n_full is None else n_full.otherwise(F.lit(1))
+    frac_thr = (
+        F.lit(0) if frac_thr is None else frac_thr.otherwise(F.lit(0))
+    )
+    extra = (_hash_selector(key_col) < frac_thr).cast("int")
+    out = df.select(
+        key_col,
+        domain_col,
+        (n_full + extra).alias("n_epochs"),
+    ).filter(F.col("n_epochs") >= 1)
+    return out.select(
+        key_col,
+        domain_col,
+        F.explode(F.expr("sequence(0, n_epochs - 1)")).alias("epoch"),
+    )
+
+
+def corpus_stats(df: DataFrame, domain_col: str = "source") -> DataFrame:
+    """One-pass corpus profiling (the mix-sheet a pipeline operator
+    reads before choosing budgets/factors): per-domain doc count, token
+    totals and spread, and quality aggregates — one hash-agg with
+    map-side partials, nothing corpus-sized leaves the executors.
+
+    avg columns round 3 dp: group sums of O(1) doubles sit ~1e-13 from
+    a 5e-4 rounding boundary, so the cross-engine agg-order risk is
+    negligible at any group size that fits a BIGINT count.
+    """
+    d = with_quality(with_token_count(df))
+    return d.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
+        F.round(F.avg("quality"), 3).alias("avg_quality"),
+        F.sum((F.col("quality") >= 0.5).cast("long")).alias(
+            "n_high_quality"
+        ),
+    )
+
+
 def quality_select(
     df: DataFrame,
     frac: float = 0.5,
     domain_col: str = "source",
     key_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Within-domain top-fraction quality selection — the
     FineWeb-Edu / phi-style "keep the best-scoring X% of every source"
@@ -357,15 +444,19 @@ def quality_select(
     deterministic and engine-portable (quality is already rounded 4 dp
     inside :func:`with_quality`).
 
-    Returns kept rows only: (key, domain, quality, rk).
+    Returns kept rows only: (key, domain, quality, rk, *keep) —
+    ``keep`` names extra input columns carried through (e.g. the text,
+    when a downstream composition stage still needs it).
 
-    Scale shape: like :func:`token_budget_mix`, only the narrow
-    (key, domain, quality) projection enters the per-domain window —
-    the score computes map-side from the text, the text itself never
-    shuffles. count(*) over the same partition reuses the one exchange
-    (two window functions, same spec, one shuffle).
+    Scale shape: only the narrow (key, domain, quality, *keep)
+    projection enters the per-domain window — by default the score
+    computes map-side from the text and the text itself never
+    shuffles. count(*) over the same partition key reuses the one
+    exchange (two window functions, one shuffle).
     """
-    scored = with_quality(df).select(key_col, domain_col, "quality")
+    scored = with_quality(df).select(
+        key_col, domain_col, "quality", *keep
+    )
     w = Window.partitionBy(domain_col).orderBy(
         F.col("quality").desc(), F.col(key_col).asc()
     )
@@ -378,7 +469,7 @@ def quality_select(
             F.col("rk")
             <= F.ceil(F.lit(float(frac)) * F.col("n_domain"))
         )
-        .select(key_col, domain_col, "quality", "rk")
+        .select(key_col, domain_col, "quality", "rk", *keep)
     )
 
 

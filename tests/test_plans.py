@@ -455,3 +455,16 @@ def test_incremental_bloom_probe_is_broadcast(spark):
     # the bitmap probe must be a broadcast join (no shuffle to probe)
     assert "BroadcastHashJoin" in tree or "BroadcastNestedLoop" in tree
     assert "bit_or" in plan  # bitmap built by one hash agg
+
+
+def test_mix_pipeline_single_exchange(spark):
+    """The clean -> quality_select -> token_budget_mix composition
+    partitions every window by the domain column, so the whole chain
+    must plan exactly ONE Exchange (three Window nodes above it); a
+    second exchange would mean a window spec silently diverged."""
+    from ocr_spark.driver_contract import q_mix_pipeline
+
+    df = q_mix_pipeline(spark, "/root/testdata/sf0.001")
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 3
