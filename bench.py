@@ -222,6 +222,8 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "quality_select",
         "ngram_topk",
         "mix_pipeline",
+        "domain_upsample",
+        "corpus_stats",
         "char_entropy",
         "hash_split",
         "shard_assign",

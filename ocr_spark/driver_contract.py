@@ -1152,6 +1152,67 @@ def q_unicode_clean(spark, sf_dir):
     )
 
 
+# domain_upsample gate factors: 2.4 epochs for src0 (LLaMA-Wikipedia
+# shape), 0.25 rate-sample for src1, exactly 3 epochs for src2, every
+# other domain passes through once.
+_UPSAMPLE_FACTORS = {"src0": 2.4, "src1": 0.25, "src2": 3.0}
+
+
+def q_domain_upsample(spark, sf_dir):
+    """Per-domain repetition-factor mixing (the up-sampling half of
+    mix building): (doc_id, source, epoch) occurrence stream."""
+    return X.domain_upsample(
+        load(spark, sf_dir, "documents"), _UPSAMPLE_FACTORS
+    )
+
+
+def _upsample_sql() -> str:
+    """domain_upsample oracle generated from _UPSAMPLE_FACTORS with
+    the OPERATOR's own integer arithmetic (int(f) epochs + a
+    16-bit-selector threshold int((f - int(f)) * 65536)) so the
+    float-to-threshold conversion cannot drift between engines."""
+    nf_cases = " ".join(
+        f"WHEN '{dom}' THEN {int(f)}"
+        for dom, f in _UPSAMPLE_FACTORS.items()
+    )
+    thr_cases = " ".join(
+        f"WHEN '{dom}' THEN {int((f - int(f)) * 65536)}"
+        for dom, f in _UPSAMPLE_FACTORS.items()
+    )
+    return f"""
+        WITH f AS (
+            SELECT doc_id, source,
+                   CASE source {nf_cases} ELSE 1 END AS n_full,
+                   CASE source {thr_cases} ELSE 0 END AS thr,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, source,
+                   n_full + CASE WHEN
+                       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                           * 4096
+                     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+                           * 256
+                     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                           * 16
+                     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+                       < thr THEN 1 ELSE 0 END AS n_epochs
+            FROM f
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(0, n_epochs - 1)) AS INT)
+                   AS epoch
+        FROM e WHERE n_epochs >= 1
+    """
+
+
+def q_corpus_stats(spark, sf_dir):
+    """One-pass per-domain corpus profiling (the mix sheet read before
+    choosing budgets/factors)."""
+    return X.corpus_stats(load(spark, sf_dir, "documents"))
+
+
 def q_mix_pipeline(spark, sf_dir):
     """Mix-building composition, ONE Catalyst plan: dirty corpus ->
     unicode_clean -> within-domain top-50% quality selection (text
@@ -1790,6 +1851,8 @@ QUERIES: dict[str, Callable] = {
     "unicode_clean": q_unicode_clean,
     "ngram_topk": q_ngram_topk,
     "mix_pipeline": q_mix_pipeline,
+    "domain_upsample": q_domain_upsample,
+    "corpus_stats": q_corpus_stats,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
@@ -1816,10 +1879,8 @@ QUERIES: dict[str, Callable] = {
     "winnow_verified": q_winnow_verified,
     "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
-    "gopher_rules": q_gopher_rules,
     "char_entropy": q_char_entropy,
     "hash_split": q_hash_split,
-    "redact_pii": q_redact_pii,
     "shard_assign": q_shard_assign,
     "c4_rules": q_c4_rules,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1832,6 +1893,8 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "redact_pii": q_redact_pii,
+    "gopher_rules": q_gopher_rules,
     "cosine_near_dup": q_cosine_near_dup,
     "unigram_logprob": q_unigram_logprob,
     "ann_ivf": q_ann_ivf,
@@ -2818,6 +2881,27 @@ ORACLES: dict[str, str] = {
     """,
     "unicode_clean": _unicode_clean_sql(),
     "mix_pipeline": _mix_pipeline_sql(),
+    "domain_upsample": _upsample_sql(),
+    "corpus_stats": f"""
+        WITH d AS (
+            SELECT source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                   END AS n_tokens,
+                   {_quality_expr_sql("text")} AS quality
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens,
+               round(AVG(n_tokens), 3) AS avg_tokens,
+               round(AVG(quality), 3) AS avg_quality,
+               CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high_quality
+        FROM d GROUP BY source
+    """,
     "ngram_topk": """
         WITH t AS (
             SELECT list_filter(

@@ -181,3 +181,54 @@ def test_ngram_topk_counts_and_tie_boundary(spark):
         ("a b c", 3),
         ("b c a", 2),  # tie with 'c a b' broken by gram asc
     ]
+
+
+def test_domain_upsample_epochs_and_fractional_selection(spark):
+    import pytest
+
+    from ocr_spark.operators.textops import domain_upsample
+
+    rows = [(i, ["wiki", "cc", "other"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_upsample(df, {"wiki": 2.5, "cc": 0.25}).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+
+    thr_half = int(0.5 * 65536)
+    thr_quarter = int(0.25 * 65536)
+    for i, dom in rows:
+        sel = int(_md5(i)[:4], 16)
+        if dom == "wiki":
+            want = 2 + (1 if sel < thr_half else 0)
+        elif dom == "cc":
+            want = 1 if sel < thr_quarter else 0
+        else:
+            want = 1  # absent domain passes through once
+        got = sorted(by_doc.get(i, []))
+        assert got == list(range(want)), (i, dom, got, want)
+
+    with pytest.raises(ValueError):
+        domain_upsample(df, {"wiki": -1.0})
+
+
+def test_corpus_stats_hand_checked(spark):
+    from ocr_spark.operators.textops import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "the fast table"),          # 3 tokens
+            (2, "a", "scan"),                    # 1 token
+            (3, "b", "the the the the the"),     # 5 tokens, stopwordy
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in corpus_stats(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["total_tokens"]) == (2, 4)
+    assert (a["min_tokens"], a["max_tokens"]) == (1, 3)
+    assert a["avg_tokens"] == 2.0
+    assert (b["n_docs"], b["total_tokens"]) == (1, 5)
+    # quality is the with_quality blend; 'b' is all stopwords ->
+    # 0.4*(5/50) + 0.3*(15/19 alpha) + 0.3*min(1, 5*5/5) = high
+    assert b["n_high_quality"] == 1
