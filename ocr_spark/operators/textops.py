@@ -309,27 +309,58 @@ def token_budget_mix(
     cum_tokens the inclusive running total (== realized mix size on
     the last kept doc of each domain).
 
-    Scale shape: tokens count map-side, then ONLY the narrow
-    (key, domain, n_tokens, h) projection — ~60 bytes/row, never text —
-    shuffles into the per-domain window sort. With tens of domains over
-    10^9 docs each partition is a few-GB sort of fixed-width rows;
-    skew-free because domain count is the partition count. The budget
-    filter cannot push below the window (it reads the running sum), but
-    everything downstream sees only kept ids to semi-join text back.
+    Scale shape — a DISTRIBUTED running sum, not one sort per domain
+    (a plain per-domain window caps parallelism at the domain count
+    and sorts the whole corpus to keep a small prefix): the hash
+    order's first ``bucket_chars`` hex digits split each domain into
+    256 uniform buckets whose order REFINES the (h, key) order, so
+    global cum = (exclusive prefix sum of whole earlier buckets)
+    + (running sum within my bucket). Per-(domain, bucket) token
+    totals are one tiny hash-agg (256 x domains rows); their prefix
+    sums broadcast back; buckets whose offset already exceeds the
+    budget are PRUNED BEFORE the window — only the ~budget-sized
+    prefix of each domain is ever sorted, in 256-way parallel
+    (domain, bucket) partitions of narrow ~60 B rows (text never
+    shuffles). Identical output to the one-window form by integer
+    arithmetic; the 2M-doc soak pins kept-set equality with a pure
+    python greedy. Cost of the design: the input scans twice (once
+    for the bucket totals, once for the probe) — two map-only passes
+    in exchange for zero corpus-wide sorts; persist the input if its
+    upstream is expensive.
     """
+    bucket_chars = 2
     toked = with_token_count(df).select(
         key_col,
         domain_col,
         "n_tokens",
         F.md5(F.col(key_col).cast("string")).alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, bucket_chars))
+    totals = toked.groupBy(domain_col, "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
     )
+    wb = Window.partitionBy(domain_col).orderBy("bucket")
+    offsets = totals.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("bucket_tokens").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).filter(F.col("offset") < F.lit(int(budget_tokens)))
     w = (
-        Window.partitionBy(domain_col)
+        Window.partitionBy(domain_col, "bucket")
         .orderBy("h", key_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        toked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        toked.join(
+            F.broadcast(offsets.select(domain_col, "bucket", "offset")),
+            [domain_col, "bucket"],
+        )
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w)
+        )
         .filter(
             F.col("cum_tokens") - F.col("n_tokens")
             < F.lit(int(budget_tokens))
@@ -446,29 +477,67 @@ def quality_select(
 
     Returns kept rows only: (key, domain, quality, rk, *keep) —
     ``keep`` names extra input columns carried through (e.g. the text,
-    when a downstream composition stage still needs it).
+    when a downstream composition stage still needs it); rk is the
+    exact per-domain (quality DESC, key ASC) rank.
 
-    Scale shape: only the narrow (key, domain, quality, *keep)
-    projection enters the per-domain window — by default the score
-    computes map-side from the text and the text itself never
-    shuffles. count(*) over the same partition key reuses the one
-    exchange (two window functions, one shuffle).
+    Scale shape — a COUNT-TABLE rank, not one sort per domain (a
+    per-domain window caps parallelism at the domain count and sorts
+    the whole corpus): quality is 4 dp-rounded, so distinct
+    (domain, quality) pairs number at most 10^4 x domains. One tiny
+    hash-agg counts them; an exclusive prefix sum over that table
+    (quality DESC) gives each score level its starting rank
+    ``cum_above`` and the domain total; the table broadcasts back and
+    levels that start at or past the cut are PRUNED before any
+    corpus-wide sort. rk = cum_above + row_number within the
+    (domain, quality) level ordered by key — fine-grained uniform
+    window partitions over only the surviving ~frac of rows, narrow
+    projection, text never shuffles. NULL scores (empty text) rank
+    last via a -1 sentinel level, matching desc_nulls_last. Cost of
+    the design: the scored input computes twice (count pass + probe
+    pass) — two map-only passes in exchange for zero corpus-wide
+    sorts; persist upstream if scoring is expensive.
     """
     scored = with_quality(df).select(
         key_col, domain_col, "quality", *keep
+    ).withColumn("qv", F.coalesce(F.col("quality"), F.lit(-1.0)))
+    counts = scored.groupBy(domain_col, "qv").agg(
+        F.count(F.lit(1)).alias("n_level")
     )
-    w = Window.partitionBy(domain_col).orderBy(
-        F.col("quality").desc(), F.col(key_col).asc()
+    wq = Window.partitionBy(domain_col).orderBy(F.col("qv").desc())
+    levels = (
+        counts.withColumn(
+            "cum_above",
+            F.coalesce(
+                F.sum("n_level").over(
+                    wq.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "n_domain",
+            F.sum("n_level").over(
+                Window.partitionBy(domain_col).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
+            "cut", F.ceil(F.lit(float(frac)) * F.col("n_domain"))
+        )
+        .filter(F.col("cum_above") < F.col("cut"))
+        .select(domain_col, "qv", "cum_above", "cut")
+    )
+    wl = Window.partitionBy(domain_col, "qv").orderBy(
+        F.col(key_col).asc()
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.join(F.broadcast(levels), [domain_col, "qv"])
         .withColumn(
-            "n_domain", F.count(F.lit(1)).over(Window.partitionBy(domain_col))
+            "rk",
+            (F.col("cum_above") + F.row_number().over(wl)).cast("int"),
         )
-        .filter(
-            F.col("rk")
-            <= F.ceil(F.lit(float(frac)) * F.col("n_domain"))
-        )
+        .filter(F.col("rk") <= F.col("cut"))
         .select(key_col, domain_col, "quality", "rk", *keep)
     )
 

@@ -457,14 +457,60 @@ def test_incremental_bloom_probe_is_broadcast(spark):
     assert "bit_or" in plan  # bitmap built by one hash agg
 
 
-def test_mix_pipeline_single_exchange(spark):
-    """The clean -> quality_select -> token_budget_mix composition
-    partitions every window by the domain column, so the whole chain
-    must plan exactly ONE Exchange (three Window nodes above it); a
-    second exchange would mean a window spec silently diverged."""
+def _corpus_window_specs(df) -> list[str]:
+    """windowspecdefinition(...) clauses of windows that run over
+    corpus rows — identified by the doc_id tie-break in their ORDER
+    BY (the tiny count/offset-table windows order by bucket/qv
+    alone)."""
+    import re
+
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", tree)
+    return [s for s in specs if "doc_id" in s]
+
+
+def test_token_budget_mix_window_is_bucket_partitioned(spark):
+    """The running sum must partition by (domain, bucket) — a window
+    partitioned by the domain alone would sort each whole domain in
+    ONE task (parallelism capped at the domain count, the whole
+    corpus sorted to keep a budget-sized prefix)."""
+    from ocr_spark.driver_contract import q_token_budget_mix
+
+    df = q_token_budget_mix(spark, "/root/testdata/sf0.001")
+    specs = _corpus_window_specs(df)
+    assert specs, "no corpus-row window found"
+    for s in specs:
+        assert "bucket" in s, s
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    # the bucket-offset prune table reaches the corpus via broadcast
+    assert "BroadcastHashJoin" in tree
+
+
+def test_quality_select_window_is_level_partitioned(spark):
+    """The rank must partition by (domain, quality level) — the
+    count-table design; a (domain)-only row_number sort would be the
+    monolithic per-domain shape this operator exists to avoid."""
+    from ocr_spark.driver_contract import q_quality_select
+
+    df = q_quality_select(spark, "/root/testdata/sf0.001")
+    specs = _corpus_window_specs(df)
+    assert specs, "no corpus-row window found"
+    for s in specs:
+        assert "qv" in s, s
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in tree
+
+
+def test_mix_pipeline_composes_pruned_shapes(spark):
+    """The composition inherits both pruned designs: every corpus-row
+    window is fine-grained (bucket or quality-level partitioning) and
+    all three prune/level tables broadcast."""
     from ocr_spark.driver_contract import q_mix_pipeline
 
     df = q_mix_pipeline(spark, "/root/testdata/sf0.001")
+    specs = _corpus_window_specs(df)
+    assert specs, "no corpus-row window found"
+    for s in specs:
+        assert "bucket" in s or "qv" in s, s
     tree = df._jdf.queryExecution().executedPlan().toString()
-    assert tree.count("Exchange") == 1
-    assert tree.count("Window") == 3
+    assert tree.count("BroadcastHashJoin") >= 2
