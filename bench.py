@@ -212,6 +212,8 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "web_curation",
         "extract_then_curate",
         "url_curation",
+        "url_category",
+        "url_decontaminate",
         "token_count",
         "quality_score",
         "gopher_rules",

@@ -1440,6 +1440,67 @@ def q_unigram_logprob(spark, sf_dir):
     return X.unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def q_url_category(spark, sf_dir):
+    """UT1-style category tagging over synthesized URLs with planted
+    category segments (%7 casino, %11 xxx; first-match-wins order is
+    part of the contract — %77 docs carry both and tag 'adult'). The
+    oracle recomputes the canonical form arithmetically, so a
+    canonicalization drift (e.g. unstripped www) would hash-mismatch."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    seg = (
+        F.when(d % 77 == 0, F.lit("casino-xxx"))
+        .when(d % 7 == 0, F.lit("casino"))
+        .when(d % 11 == 0, F.lit("xxx-zone"))
+        .otherwise(F.lit("news"))
+    )
+    url = F.concat(
+        F.lit("https://www.site"),
+        (d % 10).cast("string"),
+        F.lit(".example.com/"),
+        seg,
+        F.lit("/page?x=1"),
+    )
+    return U.url_category(
+        docs.withColumn("url", url),
+        {"adult": "xxx", "gambling": "casino|poker"},
+    ).select("doc_id", "canonical_url", "url_category", "url_blocked")
+
+
+def q_url_decontaminate(spark, sf_dir):
+    """URL-level decontamination: the train corpus carries raw variant
+    URLs (scheme case, www, :80, utm tracking) while the eval set
+    (%13 docs) carries the clean variant of the SAME page — only
+    canonical-level matching removes them. Survivors = %13 != 0."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    train = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTP://www.s"),
+            (d % 20).cast("string"),
+            F.lit(".example.org:80/a"),
+            d.cast("string"),
+            F.lit("?utm_source=f&q="),
+            (d % 5).cast("string"),
+        ),
+    )
+    ev = docs.filter(d % 13 == 0).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://s"),
+            (d % 20).cast("string"),
+            F.lit(".example.org/a"),
+            d.cast("string"),
+            F.lit("?q="),
+            (d % 5).cast("string"),
+        ),
+    )
+    return U.url_decontaminate(train, ev).select(
+        "doc_id", "canonical_url"
+    )
+
+
 def q_url_curation(spark, sf_dir):
     """URL-level curation over a deterministically synthesized url
     column (doc_id div/mod arithmetic — identical expression in the
@@ -1853,6 +1914,8 @@ QUERIES: dict[str, Callable] = {
     "mix_pipeline": q_mix_pipeline,
     "domain_upsample": q_domain_upsample,
     "corpus_stats": q_corpus_stats,
+    "url_category": q_url_category,
+    "url_decontaminate": q_url_decontaminate,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
@@ -1865,8 +1928,6 @@ QUERIES: dict[str, Callable] = {
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "minhash_lsh": q_minhash_lsh,
-    "simhash_pairs": q_simhash_pairs,
-    "near_dup_groups": q_near_dup_groups,
     "bm25_topk": q_bm25_topk,
     "contamination_report": q_contamination_report,
     "bigram_logprob": q_bigram_logprob,
@@ -1893,6 +1954,8 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "near_dup_groups": q_near_dup_groups,
+    "simhash_pairs": q_simhash_pairs,
     "redact_pii": q_redact_pii,
     "gopher_rules": q_gopher_rules,
     "cosine_near_dup": q_cosine_near_dup,
@@ -3781,6 +3844,46 @@ ORACLES: dict[str, str] = {
         SELECT canonical_url, host, blocked,
                min(doc_id) AS keep_id, count(*) AS n_dups
         FROM canon GROUP BY 1, 2, 3
+    """,
+    # url_category / url_decontaminate: the oracle derives the expected
+    # CANONICAL form arithmetically (the canonical chain itself is
+    # value-pinned by url_curation's oracle), then applies the same
+    # first-match-wins category CASE / eval-set cut.
+    "url_category": """
+        SELECT doc_id,
+               'site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/'
+                 || (CASE WHEN doc_id % 77 = 0 THEN 'casino-xxx'
+                          WHEN doc_id % 7 = 0 THEN 'casino'
+                          WHEN doc_id % 11 = 0 THEN 'xxx-zone'
+                          ELSE 'news' END)
+                 || '/page?x=1' AS canonical_url,
+               CASE WHEN regexp_matches(
+                        'site' || CAST(doc_id % 10 AS VARCHAR)
+                        || '.example.com/'
+                        || (CASE WHEN doc_id % 77 = 0 THEN 'casino-xxx'
+                                 WHEN doc_id % 7 = 0 THEN 'casino'
+                                 WHEN doc_id % 11 = 0 THEN 'xxx-zone'
+                                 ELSE 'news' END) || '/page?x=1',
+                        'xxx') THEN 'adult'
+                    WHEN regexp_matches(
+                        'site' || CAST(doc_id % 10 AS VARCHAR)
+                        || '.example.com/'
+                        || (CASE WHEN doc_id % 77 = 0 THEN 'casino-xxx'
+                                 WHEN doc_id % 7 = 0 THEN 'casino'
+                                 WHEN doc_id % 11 = 0 THEN 'xxx-zone'
+                                 ELSE 'news' END) || '/page?x=1',
+                        'casino|poker') THEN 'gambling'
+                    ELSE 'ok' END AS url_category,
+               (doc_id % 7 = 0 OR doc_id % 11 = 0) AS url_blocked
+        FROM documents
+    """,
+    "url_decontaminate": """
+        SELECT doc_id,
+               's' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/a'
+                 || CAST(doc_id AS VARCHAR)
+                 || '?q=' || CAST(doc_id % 5 AS VARCHAR)
+                   AS canonical_url
+        FROM documents WHERE doc_id % 13 <> 0
     """,
     # mirrors textops.bigram_logprob (lam=0.7): interpolated bigram LM
     # trained on the corpus, scored per doc; / on BIGINTs is float

@@ -129,3 +129,59 @@ def domain_filter(
     # breaking the rows-never-dropped contract; NULL urls are not
     # blocked, they are just unmatchable
     return out.withColumn("blocked", F.coalesce(pred, F.lit(False)))
+
+
+def url_category(
+    df: DataFrame,
+    categories: dict[str, str],
+    url_col: str = "url",
+) -> DataFrame:
+    """UT1-blocklist-style URL category tagging (C4 and RefinedWeb both
+    gate on URL word/category lists before reading any content): the
+    first category (dict order) whose regex matches the lowercased
+    canonical URL wins; unmatched URLs tag ``'ok'``. Appends
+    ``url_category`` + ``url_blocked``; rows never dropped.
+
+    Regexes run over the CANONICAL form so scheme/www/port/tracking
+    variants cannot dodge a pattern. Keep patterns RE2-simple
+    (alternations of literals) — they are shared semantics with the
+    DuckDB oracle. Pure map: the category table compiles to a literal
+    CASE chain (category lists are config-sized), zero shuffle.
+    """
+    out = with_canonical_url(df, url_col)
+    target = F.lower(F.col("canonical_url"))
+    cat = None
+    for name, pat in categories.items():
+        cond = target.rlike(pat)
+        cat = (
+            F.when(cond, F.lit(name))
+            if cat is None
+            else cat.when(cond, F.lit(name))
+        )
+    cat = F.lit("ok") if cat is None else cat.otherwise(F.lit("ok"))
+    return out.withColumn(
+        "url_category", F.coalesce(cat, F.lit("ok"))
+    ).withColumn("url_blocked", F.col("url_category") != "ok")
+
+
+def url_decontaminate(
+    train: DataFrame, eval_df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """URL-level decontamination — drop training documents whose
+    canonical URL appears in an eval set (C4 held out exact eval URLs;
+    running it at the URL level catches page-identity leaks BEFORE any
+    content hashing, and canonicalization means scheme/www/port/
+    tracking variants of an eval page cannot slip through).
+
+    left_anti on the canonical key; the eval side is eval-sized so it
+    broadcasts (explicit), and the training corpus never reshuffles —
+    the same join discipline as ``decontaminate``/``anti_join_resume``.
+    Returns surviving train rows with their canonical columns.
+    """
+    t = with_canonical_url(train, url_col)
+    e = (
+        with_canonical_url(eval_df, url_col)
+        .select("canonical_url")
+        .distinct()
+    )
+    return t.join(F.broadcast(e), "canonical_url", "left_anti")

@@ -1597,3 +1597,54 @@ def test_incremental_dedup_bloom_prefilter_is_exactness_preserving(spark):
             ).collect()
         }
         assert got == base, m
+
+
+def test_url_category_first_match_and_canonical_target(spark):
+    from ocr_spark.operators.urlops import url_category
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.shop.example.com/casino/promo"),
+            (2, "http://x.example.com/photos/xxx/1"),
+            # both patterns present -> first category in dict order
+            (3, "https://a.example.com/casino-xxx"),
+            (4, "https://ok.example.com/news"),
+            # variant dodging attempt: port + tracking + fragment
+            (5, "HTTPS://www.y.example.com:443/poker?utm_source=a#f"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: (r["url_category"], r["url_blocked"])
+        for r in url_category(
+            df, {"adult": "xxx", "gambling": "casino|poker"}
+        ).collect()
+    }
+    assert out[1] == ("gambling", True)
+    assert out[2] == ("adult", True)
+    assert out[3] == ("adult", True)  # dict order wins on double match
+    assert out[4] == ("ok", False)
+    assert out[5] == ("gambling", True)  # canonical form is matched
+
+
+def test_url_decontaminate_matches_across_variants(spark):
+    from ocr_spark.operators.urlops import url_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "HTTP://www.a.example.org:80/p?utm_source=f&k=1"),
+            (2, "https://b.example.org/q"),
+            (3, "https://c.example.org/r"),
+        ],
+        "doc_id long, url string",
+    )
+    ev = spark.createDataFrame(
+        # raw variant differs from train's in every stripped component
+        [(100, "https://a.example.org/p?k=1"),
+         (101, "http://unrelated.example.org/z")],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in url_decontaminate(train, ev).collect()
+    )
+    assert kept == [2, 3]
