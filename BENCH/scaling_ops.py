@@ -197,6 +197,24 @@ def _run_op(spark, op: str) -> int:
         pos = corpus.filter(F.col("doc_id") % 10 == 1)
         neg = corpus.filter(F.col("doc_id") % 10 == 2)
         out = nb_quality(corpus, pos, neg)
+    elif op == "mix":
+        # the distributed-running-sum shape (r5): two map-only corpus
+        # scans (per-bucket token totals, then the probe join), a tiny
+        # broadcast offset table, and 256-way PRUNED per-(domain,
+        # bucket) window sorts over the ~budget prefix — the
+        # scan-dominant, sort-pruned contrast to the agg-heavy ops
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.textops import token_budget_mix
+
+        corpus = spark.read.parquet(str(SEARCH_CACHE)).select(
+            "doc_id",
+            F.concat(F.lit("dom"), (F.col("doc_id") % 16)).alias(
+                "source"
+            ),
+            "text",
+        )
+        out = token_budget_mix(corpus, budget_tokens=1_000_000)
     elif op == "kmeans":
         # the clustering shape (r5): per-iteration PURE-MAP assignment
         # (driver-literal centroids, in-row argmax — zero corpus

@@ -226,6 +226,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "mix_pipeline",
         "domain_upsample",
         "corpus_stats",
+        "epoch_shards",
         "char_entropy",
         "hash_split",
         "shard_assign",

@@ -1166,11 +1166,12 @@ def q_domain_upsample(spark, sf_dir):
     )
 
 
-def _upsample_sql() -> str:
-    """domain_upsample oracle generated from _UPSAMPLE_FACTORS with
-    the OPERATOR's own integer arithmetic (int(f) epochs + a
-    16-bit-selector threshold int((f - int(f)) * 65536)) so the
-    float-to-threshold conversion cannot drift between engines."""
+def _upsample_ctes() -> str:
+    """domain_upsample CTE chain ``f, e, occ(doc_id, source, epoch)``
+    generated from _UPSAMPLE_FACTORS with the OPERATOR's own integer
+    arithmetic (int(f) epochs + a 16-bit-selector threshold
+    int((f - int(f)) * 65536)) so the float-to-threshold conversion
+    cannot drift between engines."""
     nf_cases = " ".join(
         f"WHEN '{dom}' THEN {int(f)}"
         for dom, f in _UPSAMPLE_FACTORS.items()
@@ -1179,8 +1180,7 @@ def _upsample_sql() -> str:
         f"WHEN '{dom}' THEN {int((f - int(f)) * 65536)}"
         for dom, f in _UPSAMPLE_FACTORS.items()
     )
-    return f"""
-        WITH f AS (
+    return f"""f AS (
             SELECT doc_id, source,
                    CASE source {nf_cases} ELSE 1 END AS n_full,
                    CASE source {thr_cases} ELSE 0 END AS thr,
@@ -1199,11 +1199,68 @@ def _upsample_sql() -> str:
                      + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
                        < thr THEN 1 ELSE 0 END AS n_epochs
             FROM f
+        ),
+        occ AS (
+            SELECT doc_id, source,
+                   CAST(unnest(generate_series(0, n_epochs - 1)) AS INT)
+                       AS epoch
+            FROM e WHERE n_epochs >= 1
+        )"""
+
+
+def _upsample_sql() -> str:
+    return f"""
+        WITH {_upsample_ctes()}
+        SELECT doc_id, source, epoch FROM occ
+    """
+
+
+def q_epoch_shards(spark, sf_dir):
+    """Training-occurrence materialization, ONE plan: domain_upsample
+    emits (doc, epoch) occurrences, each keyed ``doc_id:epoch`` and
+    shard-assigned — the (occ_key, shard, pos) table an epoch-aware
+    loader consumes. Epochs of one document land in DIFFERENT shards
+    (the occurrence key hashes apart), which is the point: repeated
+    epochs must not sit adjacent in training order."""
+    ups = X.domain_upsample(
+        load(spark, sf_dir, "documents"), _UPSAMPLE_FACTORS
+    ).withColumn(
+        "occ_key",
+        F.concat_ws(":", F.col("doc_id"), F.col("epoch")),
+    )
+    return X.shard_assign(ups, n_shards=8, key_col="occ_key").select(
+        "doc_id", "epoch", "shard", "pos"
+    )
+
+
+def _epoch_shards_sql() -> str:
+    """epoch_shards oracle: the upsample CTE chain (same generated
+    thresholds as _upsample_sql) -> occ_key = doc_id:epoch ->
+    shard_assign's md5 bucket + per-shard (h, key) row_number."""
+    return f"""
+        WITH {_upsample_ctes()},
+        k AS (
+            SELECT doc_id, epoch,
+                   CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(epoch AS VARCHAR) AS occ_key
+            FROM occ
+        ),
+        h2 AS (
+            SELECT doc_id, epoch, occ_key,
+                   md5(occ_key || '#') AS hh
+            FROM k
+        ),
+        b AS (
+            SELECT doc_id, epoch, hh, occ_key,
+                   CAST(CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 8
+                        AS INT) AS shard
+            FROM h2
         )
-        SELECT doc_id, source,
-               CAST(unnest(generate_series(0, n_epochs - 1)) AS INT)
-                   AS epoch
-        FROM e WHERE n_epochs >= 1
+        SELECT doc_id, epoch, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY hh, occ_key) AS INT)
+                   AS pos
+        FROM b
     """
 
 
@@ -1914,6 +1971,7 @@ QUERIES: dict[str, Callable] = {
     "mix_pipeline": q_mix_pipeline,
     "domain_upsample": q_domain_upsample,
     "corpus_stats": q_corpus_stats,
+    "epoch_shards": q_epoch_shards,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
@@ -1927,7 +1985,6 @@ QUERIES: dict[str, Callable] = {
     "web_curation": q_web_curation,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "minhash_lsh": q_minhash_lsh,
     "bm25_topk": q_bm25_topk,
     "contamination_report": q_contamination_report,
     "bigram_logprob": q_bigram_logprob,
@@ -1954,6 +2011,7 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "minhash_lsh": q_minhash_lsh,
     "near_dup_groups": q_near_dup_groups,
     "simhash_pairs": q_simhash_pairs,
     "redact_pii": q_redact_pii,
@@ -2945,6 +3003,7 @@ ORACLES: dict[str, str] = {
     "unicode_clean": _unicode_clean_sql(),
     "mix_pipeline": _mix_pipeline_sql(),
     "domain_upsample": _upsample_sql(),
+    "epoch_shards": _epoch_shards_sql(),
     "corpus_stats": f"""
         WITH d AS (
             SELECT source,

@@ -232,3 +232,25 @@ def test_corpus_stats_hand_checked(spark):
     # quality is the with_quality blend; 'b' is all stopwords ->
     # 0.4*(5/50) + 0.3*(15/19 alpha) + 0.3*min(1, 5*5/5) = high
     assert b["n_high_quality"] == 1
+
+
+def test_epoch_shards_composition_scatters_epochs(spark):
+    """domain_upsample -> shard_assign keyed on doc_id:epoch — every
+    occurrence gets a shard/pos, positions are contiguous per shard,
+    and a document's epochs scatter across shards rather than
+    clumping (the occurrence key hashes apart)."""
+    from ocr_spark.driver_contract import q_epoch_shards
+
+    out = q_epoch_shards(spark, "/root/testdata/sf0.001").collect()
+    # positions contiguous 1..n per shard
+    by_shard: dict[int, list[int]] = {}
+    multi: dict[int, set[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+        multi.setdefault(r["doc_id"], set()).add(r["shard"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # docs with 3 epochs (src2 factor 3.0) use >1 shard almost surely;
+    # assert the aggregate scatter rather than any single doc
+    tri = [s for d, s in multi.items() if len(s) >= 2]
+    assert tri, "no doc scattered across shards"
