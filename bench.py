@@ -227,6 +227,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "domain_upsample",
         "corpus_stats",
         "epoch_shards",
+        "weighted_sample",
         "char_entropy",
         "hash_split",
         "shard_assign",

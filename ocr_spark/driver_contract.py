@@ -1270,6 +1270,18 @@ def q_corpus_stats(spark, sf_dir):
     return X.corpus_stats(load(spark, sf_dir, "documents"))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-proportional weighted sampling: Efraimidis-Spirakis
+    race keyed by md5-uniform u, top-10 per source; the oracle
+    recomputes ln(u)/w over the same 48-bit u."""
+    docs = X.with_quality(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "quality"
+    )
+    return X.weighted_sample(
+        docs, k=10, weight_col="quality", domain_col="source"
+    )
+
+
 def q_mix_pipeline(spark, sf_dir):
     """Mix-building composition, ONE Catalyst plan: dirty corpus ->
     unicode_clean -> within-domain top-50% quality selection (text
@@ -1972,6 +1984,7 @@ QUERIES: dict[str, Callable] = {
     "domain_upsample": q_domain_upsample,
     "corpus_stats": q_corpus_stats,
     "epoch_shards": q_epoch_shards,
+    "weighted_sample": q_weighted_sample,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
@@ -1985,7 +1998,6 @@ QUERIES: dict[str, Callable] = {
     "web_curation": q_web_curation,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "bm25_topk": q_bm25_topk,
     "contamination_report": q_contamination_report,
     "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
@@ -2011,6 +2023,7 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "bm25_topk": q_bm25_topk,
     "minhash_lsh": q_minhash_lsh,
     "near_dup_groups": q_near_dup_groups,
     "simhash_pairs": q_simhash_pairs,
@@ -3004,6 +3017,31 @@ ORACLES: dict[str, str] = {
     "mix_pipeline": _mix_pipeline_sql(),
     "domain_upsample": _upsample_sql(),
     "epoch_shards": _epoch_shards_sql(),
+    "weighted_sample": f"""
+        WITH s AS (
+            SELECT doc_id, source,
+                   {_quality_expr_sql("text")} AS quality
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, source, quality,
+                   ln((CAST('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) + 1) / 281474976710656.0)
+                       / quality AS es
+            FROM s WHERE quality > 0
+        ),
+        r AS (
+            SELECT doc_id, source, quality, es,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY es DESC, doc_id ASC) AS INT) AS rk
+            FROM w
+        )
+        SELECT doc_id, source, quality,
+               round(es, 6) AS es_key, rk
+        FROM r WHERE rk <= 10
+    """,
     "corpus_stats": f"""
         WITH d AS (
             SELECT source,

@@ -431,6 +431,57 @@ def domain_upsample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    domain_col: str | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis '06): each row races with key ln(u)/w — u a 48-bit
+    md5-uniform in (0, 1], w its weight — and the k largest win;
+    inclusion probability is proportional to weight, the standard
+    "sample the corpus proportional to quality score" curation
+    operator. With ``domain_col``, k rows per domain. Deterministic,
+    reproducible, engine-portable (same md5-derived u and the same
+    IEEE expression both engines; DSIR's md5-Gumbel top-k is the same
+    discipline).
+
+    Returns (key, [domain,] weight, es_key(rounded 6 dp), rk).
+
+    Scale shape: the rank-filter compiles to ``WindowGroupLimit``
+    (plan-pinned): each input partition keeps only its local top-k
+    BEFORE the shuffle, so the exchange moves O(partitions x k) rows
+    regardless of corpus size — the distributed-heap top-k, not a
+    per-domain sort. Weights must be > 0 (rows with w <= 0 or NULL
+    are dropped — they have zero inclusion probability).
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 48))
+    es = F.log(u) / F.col(weight_col)
+    parts = [domain_col] if domain_col else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("es_key_raw").desc(), F.col(key_col).asc()
+    )
+    out = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key_raw", es)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    cols = [key_col, *parts, weight_col]
+    return out.select(
+        *cols, F.round("es_key_raw", 6).alias("es_key"), "rk"
+    )
+
+
 def corpus_stats(df: DataFrame, domain_col: str = "source") -> DataFrame:
     """One-pass corpus profiling (the mix-sheet a pipeline operator
     reads before choosing budgets/factors): per-domain doc count, token

@@ -254,3 +254,47 @@ def test_epoch_shards_composition_scatters_epochs(spark):
     # assert the aggregate scatter rather than any single doc
     tri = [s for d, s in multi.items() if len(s) >= 2]
     assert tri, "no doc scattered across shards"
+
+
+def test_weighted_sample_matches_reference_and_bias(spark):
+    import math
+
+    from ocr_spark.operators.textops import weighted_sample
+
+    # two weight classes; heavy rows 10x the weight of light rows
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, k=50, weight_col="w").collect()
+
+    # python reference: same 48-bit md5 uniform, same race
+    def es(i, w):
+        u = (int(_md5(i)[:12], 16) + 1) / float(1 << 48)
+        return math.log(u) / w
+
+    ref = sorted(rows, key=lambda r: (-es(r[0], r[1]), r[0]))[:50]
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rk"])] == [
+        i for i, _ in ref
+    ]
+    # heavy rows dominate the sample (p ~ 10:1 per race)
+    heavy = sum(1 for r in out if r["w"] == 10.0)
+    assert heavy > 35, heavy
+
+    # zero/negative weights are excluded
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0)], "doc_id long, w double"
+    )
+    kept = [r["doc_id"] for r in weighted_sample(df2, 3, "w").collect()]
+    assert kept == [3]
+
+
+def test_weighted_sample_plans_window_group_limit(spark):
+    from ocr_spark.operators.textops import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 4}", 1.0 + i % 3) for i in range(100)],
+        "doc_id long, source string, w double",
+    )
+    out = weighted_sample(df, 5, "w", domain_col="source")
+    tree = out._jdf.queryExecution().executedPlan().toString()
+    # partial top-k per input partition BEFORE the shuffle
+    assert "WindowGroupLimit" in tree
