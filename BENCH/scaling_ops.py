@@ -215,6 +215,33 @@ def _run_op(spark, op: str) -> int:
             "text",
         )
         out = token_budget_mix(corpus, budget_tokens=1_000_000)
+    elif op == "mix6m":
+        # 3x the corpus (distinct ids, same budget) so the 8-core wall
+        # clears the >=30s Amdahl floor: the scans triple while the
+        # pruned window prefix stays budget-sized — the regime where
+        # the op's data-parallel fraction dominates (same rationale as
+        # line_dedup6m; the 2M row documents the short-wall artifact)
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.textops import token_budget_mix
+
+        corpus = spark.read.parquet(str(SEARCH_CACHE))
+        big = corpus
+        for off in (10_000_000, 20_000_000):
+            big = big.unionByName(
+                corpus.select(
+                    (F.col("doc_id") + off).alias("doc_id"),
+                    *[c for c in corpus.columns if c != "doc_id"],
+                )
+            )
+        big = big.select(
+            "doc_id",
+            F.concat(F.lit("dom"), (F.col("doc_id") % 16)).alias(
+                "source"
+            ),
+            "text",
+        )
+        out = token_budget_mix(big, budget_tokens=1_000_000)
     elif op == "kmeans":
         # the clustering shape (r5): per-iteration PURE-MAP assignment
         # (driver-literal centroids, in-row argmax — zero corpus

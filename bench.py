@@ -228,6 +228,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "corpus_stats",
         "epoch_shards",
         "weighted_sample",
+        "doc_chunks",
         "char_entropy",
         "hash_split",
         "shard_assign",

@@ -1270,6 +1270,15 @@ def q_corpus_stats(spark, sf_dir):
     return X.corpus_stats(load(spark, sf_dir, "documents"))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (32-token windows, 8-token overlap):
+    strided in-row slices, one chunk for at-or-under-window docs, the
+    corpus straddles both branches at ~40 tokens/doc."""
+    return X.doc_chunks(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-proportional weighted sampling: Efraimidis-Spirakis
     race keyed by md5-uniform u, top-10 per source; the oracle
@@ -1985,6 +1994,7 @@ QUERIES: dict[str, Callable] = {
     "corpus_stats": q_corpus_stats,
     "epoch_shards": q_epoch_shards,
     "weighted_sample": q_weighted_sample,
+    "doc_chunks": q_doc_chunks,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
@@ -2005,7 +2015,6 @@ QUERIES: dict[str, Callable] = {
     "nb_quality": q_nb_quality,
     "ccnet_buckets": q_ccnet_buckets,
     "pack_conversations": q_pack_conversations,
-    "conv_dedup": q_conv_dedup,
     "winnow_verified": q_winnow_verified,
     "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
@@ -2023,6 +2032,7 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "conv_dedup": q_conv_dedup,
     "bm25_topk": q_bm25_topk,
     "minhash_lsh": q_minhash_lsh,
     "near_dup_groups": q_near_dup_groups,
@@ -3017,6 +3027,33 @@ ORACLES: dict[str, str] = {
     "mix_pipeline": _mix_pipeline_sql(),
     "domain_upsample": _upsample_sql(),
     "epoch_shards": _epoch_shards_sql(),
+    "doc_chunks": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, t,
+                   CASE WHEN len(t) <= 32 THEN 1
+                        ELSE CAST(ceil(CAST(len(t) - 32 AS DOUBLE)
+                                       / 24.0) AS INT) + 1
+                   END AS nc
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(0, nc - 1)) AS ci
+            FROM n
+        )
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+               array_to_string(
+                   list_slice(t, ci * 24 + 1, ci * 24 + 32), ' ')
+                   AS chunk_text,
+               CAST(len(list_slice(t, ci * 24 + 1, ci * 24 + 32))
+                    AS INT) AS n_chunk_tokens
+        FROM e
+    """,
     "weighted_sample": f"""
         WITH s AS (
             SELECT doc_id, source,

@@ -482,6 +482,66 @@ def weighted_sample(
     )
 
 
+def doc_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking with overlap — the long-document
+    splitter every embedding/training prep runs (a doc longer than the
+    model window becomes strided chunks; ``overlap`` tokens repeat at
+    each boundary so no span is ever cut mid-context). Chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; docs at or under the window emit
+    exactly one chunk (rows never dropped — blank docs emit one empty
+    chunk), and the last chunk clips at the end, so every token
+    appears in at least one chunk.
+
+    Emits (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Scale shape: PURE MAP — the chunk list builds in-row
+    (transform over a sequence of starts + array slice), one explode,
+    zero shuffle, no UDFs. chunk count is an exact integer formula
+    (1 + ceil((n - chunk)/stride)) mirrored in the oracle; the double
+    division inside ceil is exact for any document shorter than 2^52
+    tokens.
+    """
+    stride = int(chunk_tokens) - int(overlap)
+    if stride <= 0:
+        raise ValueError(
+            f"overlap {overlap} must be < chunk_tokens {chunk_tokens}"
+        )
+    c, s = int(chunk_tokens), stride
+    arr = df.withColumn("_t", F.expr(TOKENS.replace("text", text_col)))
+    n = F.size("_t")
+    n_chunks = F.when(n <= c, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(c)).cast("double") / F.lit(float(s))).cast(
+            "int"
+        )
+        + 1
+    )
+    return (
+        arr.withColumn("_nc", n_chunks)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, _nc - 1), "
+                    f"i -> struct(i AS chunk_idx, "
+                    f"slice(_t, i * {s} + 1, {c}) AS ck))"
+                )
+            ).alias("_e"),
+        )
+        .select(
+            "doc_id",
+            F.col("_e.chunk_idx").alias("chunk_idx"),
+            F.expr("array_join(_e.ck, ' ')").alias("chunk_text"),
+            F.expr("size(_e.ck)").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def corpus_stats(df: DataFrame, domain_col: str = "source") -> DataFrame:
     """One-pass corpus profiling (the mix-sheet a pipeline operator
     reads before choosing budgets/factors): per-domain doc count, token

@@ -298,3 +298,48 @@ def test_weighted_sample_plans_window_group_limit(spark):
     tree = out._jdf.queryExecution().executedPlan().toString()
     # partial top-k per input partition BEFORE the shuffle
     assert "WindowGroupLimit" in tree
+
+
+def test_doc_chunks_coverage_overlap_and_edges(spark):
+    import pytest
+
+    from ocr_spark.operators.textops import doc_chunks
+
+    toks = [f"t{i}" for i in range(11)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(toks)),        # 11 tokens -> 3 chunks
+            (2, "a b c"),               # under window -> 1 chunk
+            (3, ""),                    # blank -> one empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = doc_chunks(df, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"])
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # starts 0,3,6,9 -> 4 chunks; last clips to 2 tokens
+    assert [r["chunk_text"] for r in d1] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+        "t9 t10",
+    ]
+    assert [r["n_chunk_tokens"] for r in d1] == [4, 4, 4, 2]
+    # every token somewhere; consecutive chunks share `overlap` tokens
+    seen = set(" ".join(r["chunk_text"] for r in d1).split())
+    assert seen == set(toks)
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c"
+    d3 = [r for r in rows if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["chunk_text"] == ""
+
+    # pure map: no shuffle
+    tree = (
+        doc_chunks(df, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in tree
+
+    with pytest.raises(ValueError):
+        doc_chunks(df, chunk_tokens=4, overlap=4)
