@@ -229,6 +229,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "epoch_shards",
         "weighted_sample",
         "doc_chunks",
+        "dedup_weights",
         "char_entropy",
         "hash_split",
         "shard_assign",

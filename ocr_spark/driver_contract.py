@@ -1270,6 +1270,21 @@ def q_corpus_stats(spark, sf_dir):
     return X.corpus_stats(load(spark, sf_dir, "documents"))
 
 
+def q_dedup_weights(spark, sf_dir):
+    """SoftDeDup weights over a corpus with planted canonical
+    duplicates: every %3 doc gets a case/whitespace-mangled twin at
+    +10^9 (collision-free at any sf per ADVICE r4) — twins share the
+    canonical fingerprint, so both members weigh 0.5."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.upper("text"), " ", "  "), F.lit("  ")
+        ).alias("text"),
+    )
+    return D.dedup_weights(docs.unionByName(mangled))
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking (32-token windows, 8-token overlap):
     strided in-row slices, one chunk for at-or-under-window docs, the
@@ -1995,6 +2010,7 @@ QUERIES: dict[str, Callable] = {
     "epoch_shards": q_epoch_shards,
     "weighted_sample": q_weighted_sample,
     "doc_chunks": q_doc_chunks,
+    "dedup_weights": q_dedup_weights,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
@@ -2004,7 +2020,6 @@ QUERIES: dict[str, Callable] = {
     "train_shards": q_train_shards,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
-    "substring_keep_first": q_substring_keep_first,
     "web_curation": q_web_curation,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -2032,6 +2047,7 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "substring_keep_first": q_substring_keep_first,
     "conv_dedup": q_conv_dedup,
     "bm25_topk": q_bm25_topk,
     "minhash_lsh": q_minhash_lsh,
@@ -3027,6 +3043,31 @@ ORACLES: dict[str, str] = {
     "mix_pipeline": _mix_pipeline_sql(),
     "domain_upsample": _upsample_sql(),
     "epoch_shards": _epoch_shards_sql(),
+    # dedup_weights: CAST(1.0 AS DOUBLE) is load-bearing — DuckDB's
+    # bare 1.0 is DECIMAL and DECIMAL/BIGINT division rounds
+    # differently from IEEE before the 6 dp round.
+    "dedup_weights": """
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000000,
+                   regexp_replace(upper(text), ' ', '  ', 'g') || '  '
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        f AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g')) AS fingerprint
+            FROM u
+        )
+        SELECT doc_id, fingerprint,
+               CAST(count(*) OVER (PARTITION BY fingerprint)
+                    AS BIGINT) AS n_dups,
+               round(CAST(1.0 AS DOUBLE)
+                     / count(*) OVER (PARTITION BY fingerprint), 6)
+                   AS weight
+        FROM f
+    """,
     "doc_chunks": """
         WITH t AS (
             SELECT doc_id,

@@ -519,6 +519,34 @@ def intra_doc_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_weights(df: DataFrame) -> DataFrame:
+    """Soft dedup (SoftDeDup, He et al. '24): instead of DROPPING
+    duplicates, every member of an exact-duplicate cluster gets
+    sampling weight 1/|cluster| — the corpus keeps its diversity
+    while repeated content contributes one document's worth of
+    expected training mass (feed the weight to
+    :func:`ocr_spark.operators.textops.weighted_sample` or a
+    loss-weighting loader). Clusters are the ws/case-canonical md5
+    fingerprint groups ``exact_dedup`` uses, so the two policies are
+    interchangeable on the same corpus.
+
+    Emits every row: (doc_id, fingerprint, n_dups, weight). One
+    fingerprint-keyed exchange (uniform md5 keys, map-side partial
+    counts); no text shuffles — the window input projects to
+    (doc_id, fp) before the exchange.
+    """
+    from pyspark.sql import Window
+
+    d = with_fingerprint(df).select("doc_id", "fingerprint")
+    n = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    return d.select(
+        "doc_id",
+        "fingerprint",
+        n.cast("long").alias("n_dups"),
+        F.round(F.lit(1.0) / n, 6).alias("weight"),
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     min_len: int = 50,

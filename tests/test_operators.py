@@ -1648,3 +1648,25 @@ def test_url_decontaminate_matches_across_variants(spark):
         r["doc_id"] for r in url_decontaminate(train, ev).collect()
     )
     assert kept == [2, 3]
+
+
+def test_dedup_weights_cluster_mass(spark):
+    from ocr_spark.operators.dedup import dedup_weights
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "Hello   WORLD  "),   # canonical twin of 1
+            (3, "hello world"),       # triplet member
+            (4, "unique doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_weights(df).collect()}
+    assert len(out) == 4  # rows never dropped
+    for i in (1, 2, 3):
+        assert out[i]["n_dups"] == 3
+        assert abs(out[i]["weight"] - 1 / 3) < 1e-6
+    assert out[4]["n_dups"] == 1 and out[4]["weight"] == 1.0
+    # expected training mass of each cluster is one document
+    assert abs(sum(r["weight"] for r in out.values()) - 2.0) < 1e-5
