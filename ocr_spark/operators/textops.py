@@ -450,12 +450,18 @@ def weighted_sample(
 
     Returns (key, [domain,] weight, es_key(rounded 6 dp), rk).
 
-    Scale shape: the rank-filter compiles to ``WindowGroupLimit``
-    (plan-pinned): each input partition keeps only its local top-k
-    BEFORE the shuffle, so the exchange moves O(partitions x k) rows
-    regardless of corpus size — the distributed-heap top-k, not a
-    per-domain sort. Weights must be > 0 (rows with w <= 0 or NULL
-    are dropped — they have zero inclusion probability).
+    Scale shape, both variants distributed-heap top-k, never a
+    monolithic sort: per-domain, the rank-filter compiles to
+    ``WindowGroupLimit`` Partial+Final (plan-pinned) — each input
+    partition keeps only its local top-k BEFORE the shuffle, so the
+    exchange moves O(partitions x k) rows regardless of corpus size.
+    Global, a window would be ONE partition (WindowGroupLimit does
+    not fire on an empty partition spec — measured), so the race is
+    ``orderBy().limit(k)`` instead: Spark executes TakeOrdered
+    (per-partition heap + driver merge of k-row heads, the
+    ``vocab_topk`` discipline) and the rank attaches over the k-row
+    result. Weights must be > 0 (rows with w <= 0 or NULL are
+    dropped — they have zero inclusion probability).
     """
     u = (
         F.conv(
@@ -466,17 +472,22 @@ def weighted_sample(
         + 1
     ) / F.lit(float(1 << 48))
     es = F.log(u) / F.col(weight_col)
-    parts = [domain_col] if domain_col else []
-    w = Window.partitionBy(*parts).orderBy(
-        F.col("es_key_raw").desc(), F.col(key_col).asc()
+    raced = df.filter(F.col(weight_col) > 0).withColumn(
+        "es_key_raw", es
     )
-    out = (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("es_key_raw", es)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-    )
-    cols = [key_col, *parts, weight_col]
+    order = [F.col("es_key_raw").desc(), F.col(key_col).asc()]
+    if domain_col:
+        w = Window.partitionBy(domain_col).orderBy(*order)
+        out = raced.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= k
+        )
+        cols = [key_col, domain_col, weight_col]
+    else:
+        top = raced.orderBy(*order).limit(k)
+        out = top.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order))
+        )
+        cols = [key_col, weight_col]
     return out.select(
         *cols, F.round("es_key_raw", 6).alias("es_key"), "rk"
     )

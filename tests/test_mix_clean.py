@@ -343,3 +343,20 @@ def test_doc_chunks_coverage_overlap_and_edges(spark):
 
     with pytest.raises(ValueError):
         doc_chunks(df, chunk_tokens=4, overlap=4)
+
+
+def test_weighted_sample_global_plans_take_ordered(spark):
+    """The global variant must NOT plan a single-partition window sort
+    (WindowGroupLimit does not fire on an empty partition spec): the
+    race is orderBy().limit(k) = TakeOrdered, with the rank window
+    running over only the k-row result."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.textops import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5 + 1.0).alias("w")
+    )
+    out = weighted_sample(df, 20, "w")
+    tree = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in tree
