@@ -360,3 +360,45 @@ def test_weighted_sample_global_plans_take_ordered(spark):
     out = weighted_sample(df, 20, "w")
     tree = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in tree
+
+
+def test_doc_chunks_randomized_vs_reference(spark):
+    """Batched randomized equivalence: one Spark job over 60 random
+    (n, chunk, overlap=fixed-per-config) docs vs a pure-python strided
+    reference — coverage, overlap width, and exact chunk contents."""
+    import random
+
+    rng = random.Random(20240817)
+    configs = [(16, 4), (7, 3), (64, 15)]
+    for chunk, overlap in configs:
+        stride = chunk - overlap
+        docs = []
+        for i in range(20):
+            n = rng.randrange(0, 3 * chunk + 1)
+            docs.append((i, " ".join(f"w{i}_{j}" for j in range(n))))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got: dict[int, list[str]] = {}
+        for r in doc_chunks_collect(spark, df, chunk, overlap):
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_text"])
+            )
+        for i, text in docs:
+            toks = text.split() if text else [""]
+            if len(toks) <= chunk:
+                exp = [(0, " ".join(toks))]
+            else:
+                n_chunks = 1 + -(-(len(toks) - chunk) // stride)
+                exp = [
+                    (
+                        ci,
+                        " ".join(toks[ci * stride: ci * stride + chunk]),
+                    )
+                    for ci in range(n_chunks)
+                ]
+            assert sorted(got[i]) == exp, (chunk, overlap, i)
+
+
+def doc_chunks_collect(spark, df, chunk, overlap):
+    from ocr_spark.operators.textops import doc_chunks
+
+    return doc_chunks(df, chunk_tokens=chunk, overlap=overlap).collect()
