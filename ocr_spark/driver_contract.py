@@ -1184,7 +1184,7 @@ def _upsample_ctes() -> str:
             SELECT doc_id, source,
                    CASE source {nf_cases} ELSE 1 END AS n_full,
                    CASE source {thr_cases} ELSE 0 END AS thr,
-                   md5(CAST(doc_id AS VARCHAR)) AS h
+                   md5(CAST(doc_id AS VARCHAR) || '#up') AS h
             FROM documents
         ),
         e AS (
@@ -1311,8 +1311,10 @@ def q_mix_pipeline(spark, sf_dir):
     unicode_clean -> within-domain top-50% quality selection (text
     carried through the narrow window projection) -> exact 400-token
     per-domain budget mix. The chain a curation job actually runs
-    before handing shards to a loader; both windows partition by
-    source so the exchange plans once."""
+    before handing shards to a loader. The plan inherits both pruned
+    shapes: tiny count/total aggs, broadcast prune joins, and
+    fine-grained (source, qv) / (source, bucket) corpus windows —
+    several exchanges by design, none of them a corpus-wide sort."""
     dirty = _dirty_docs(spark, sf_dir, keep=("source",))
     clean = X.unicode_clean(dirty).select(
         "doc_id", "source", F.col("text_clean").alias("text")
@@ -2343,7 +2345,7 @@ def _unicode_clean_ctes(extra: str = "") -> str:
                                translate(s, '{from_sql}', '{to_sql}'),
                                '{X._UC_STRIP}', '', 'g'),
                            '\u2026', '...', 'g'),
-                       '[ \\t]{{2,}}', ' ', 'g')) AS text_clean
+                       ' {{2,}}', ' ', 'g')) AS text_clean
             FROM d8
         )"""
 
@@ -3063,9 +3065,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, fingerprint,
                CAST(count(*) OVER (PARTITION BY fingerprint)
                     AS BIGINT) AS n_dups,
-               round(CAST(1.0 AS DOUBLE)
-                     / count(*) OVER (PARTITION BY fingerprint), 6)
-                   AS weight
+               CAST(CAST(1.0 AS DOUBLE)
+                    / count(*) OVER (PARTITION BY fingerprint)
+                    AS FLOAT) AS weight
         FROM f
     """,
     "doc_chunks": """
@@ -3117,7 +3119,7 @@ ORACLES: dict[str, str] = {
             FROM w
         )
         SELECT doc_id, source, quality,
-               round(es, 6) AS es_key, rk
+               CAST(es AS FLOAT) AS es_key, rk
         FROM r WHERE rk <= 10
     """,
     "corpus_stats": f"""

@@ -481,7 +481,11 @@ def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
     )
 
 
-def intra_doc_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+def intra_doc_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    whale_lines: int = 10_000,
+) -> DataFrame:
     """Intra-document repeated-line removal — the WITHIN-page half of
     RefinedWeb's line dedup (Penedo et al. '23 §4.2; C4 keeps only the
     first occurrence of a repeated line inside one page: nav menus and
@@ -495,21 +499,25 @@ def intra_doc_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     Returns (doc_id, text_clean, n_lines, n_dropped); rows are never
     dropped.
 
-    Scale shape: a PURE MAP — one higher-order-function expression per
-    row (``filter`` with the positional lambda: keep line i iff its
-    first occurrence index is i), zero shuffle, zero corpus state,
-    whole-stage codegen'd. The in-row first-occurrence probe is
-    O(lines^2) worst-case per document, but pages have tens-to-hundreds
-    of lines, so the constant is trivial next to the string scan — and
-    unlike an explode+window formulation there is nothing to exchange
-    at 100 TB.
+    Scale shape: a PURE MAP in both branches, zero shuffle, zero
+    corpus state. Documents at or under ``whale_lines`` dedup via one
+    higher-order-function expression per row (``filter`` with the
+    positional lambda: keep line i iff its first-occurrence index is
+    i) inside whole-stage codegen; that probe is O(lines^2) in the
+    worst case — fine for pages of tens-to-hundreds of lines, but a
+    single dumped log / minified blob with 10^6 lines would spin one
+    task on ~10^12 comparisons. Line-heavier documents therefore
+    route through an Arrow ``mapInPandas`` LINEAR set-probe fold
+    (the ``pack_conversations`` whale discipline) — still map-only,
+    still no exchange; path equality is pytest-pinned by forcing
+    ``whale_lines=0``.
     """
     lines = F.split(F.col(text_col), "\n")
-    staged = df.withColumn("_lines", lines)
+    staged = _ensure_parallelism(df).withColumn("_lines", lines)
     kept = (
         "filter(_lines, (x, i) -> array_position(_lines, x) = i + 1)"
     )
-    return staged.select(
+    small = staged.filter(F.size("_lines") <= whale_lines).select(
         "doc_id",
         F.expr(f"array_join({kept}, '\\n')").alias("text_clean"),
         F.size("_lines").cast("long").alias("n_lines"),
@@ -517,6 +525,44 @@ def intra_doc_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("n_dropped"),
     )
+    whales = staged.filter(F.size("_lines") > whale_lines).select(
+        "doc_id", F.col(text_col).alias("text")
+    )
+    big = whales.mapInPandas(
+        _dedup_lines_linear,
+        "doc_id long, text_clean string, n_lines long, n_dropped long",
+    )
+    return small.unionByName(big)
+
+
+def _dedup_lines_linear(batches):
+    """Linear first-occurrence line dedup for line-whale documents
+    (python set probe: O(lines), vs the in-row expression's
+    O(lines^2) array_position scan)."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_lines = text.split("\n")
+            seen: set = set()
+            kept = []
+            for ln in doc_lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            out.append(
+                (
+                    doc_id,
+                    "\n".join(kept),
+                    len(doc_lines),
+                    len(doc_lines) - len(kept),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "text_clean", "n_lines", "n_dropped"],
+        )
 
 
 def dedup_weights(df: DataFrame) -> DataFrame:
@@ -543,7 +589,10 @@ def dedup_weights(df: DataFrame) -> DataFrame:
         "doc_id",
         "fingerprint",
         n.cast("long").alias("n_dups"),
-        F.round(F.lit(1.0) / n, 6).alias("weight"),
+        # float32 cast, not round(6): both engines compute the same
+        # IEEE double, and the cast is bit-exact where decimal
+        # rounding can diverge on ties (CLAUDE.md float policy)
+        (F.lit(1.0) / n).cast("float").alias("weight"),
     )
 
 

@@ -386,9 +386,13 @@ def domain_upsample(
     treats each (key, epoch) as an independent training occurrence
     (shuffle them apart with :func:`shard_assign` keyed on both). A
     factor < 1 degenerates to deterministic rate sampling (0 or 1
-    occurrences). The fractional-epoch selector is the shared 16-bit
-    md5 selector, so the extra-epoch subset is reproducible and
-    group-coherent in ``key_col`` like every sampler here.
+    occurrences). The fractional-epoch selector is a 16-bit md5
+    selector SALTED with ``#up`` — reproducible and group-coherent in
+    ``key_col``, but statistically independent of the UNsalted
+    selector :func:`hash_split`/:func:`hash_sample` use on the same
+    key (unsalted, the extra-epoch subset would coincide exactly with
+    a val/test split or a sample cut of matching fraction — the same
+    reason :func:`shard_assign` salts its shuffle hash).
 
     Scale shape: pure map + in-row ``sequence`` explode — zero
     shuffle, no joins (the factor table compiles into literal CASE
@@ -418,7 +422,18 @@ def domain_upsample(
     frac_thr = (
         F.lit(0) if frac_thr is None else frac_thr.otherwise(F.lit(0))
     )
-    extra = (_hash_selector(key_col) < frac_thr).cast("int")
+    sel_up = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(key_col).cast("string"), F.lit("#up"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    extra = (sel_up < frac_thr).cast("int")
     out = df.select(
         key_col,
         domain_col,
@@ -488,8 +503,9 @@ def weighted_sample(
             "rk", F.row_number().over(Window.orderBy(*order))
         )
         cols = [key_col, weight_col]
+    # float32 cast, not round(6): bit-exact cross-engine contract
     return out.select(
-        *cols, F.round("es_key_raw", 6).alias("es_key"), "rk"
+        *cols, F.col("es_key_raw").cast("float").alias("es_key"), "rk"
     )
 
 
@@ -518,13 +534,18 @@ def doc_chunks(
     division inside ceil is exact for any document shorter than 2^52
     tokens.
     """
-    stride = int(chunk_tokens) - int(overlap)
-    if stride <= 0:
+    if not 0 <= int(overlap) < int(chunk_tokens):
+        # a negative overlap would stride PAST chunk ends and silently
+        # leave uncovered token gaps — reject both directions
         raise ValueError(
-            f"overlap {overlap} must be < chunk_tokens {chunk_tokens}"
+            f"overlap {overlap} must be in [0, chunk_tokens"
+            f" {chunk_tokens})"
         )
+    stride = int(chunk_tokens) - int(overlap)
     c, s = int(chunk_tokens), stride
-    arr = df.withColumn("_t", F.expr(TOKENS.replace("text", text_col)))
+    arr = _ensure_parallelism(df).withColumn(
+        "_t", F.expr(TOKENS.replace("text", text_col))
+    )
     n = F.size("_t")
     n_chunks = F.when(n <= c, F.lit(1)).otherwise(
         F.ceil((n - F.lit(c)).cast("double") / F.lit(float(s))).cast(
@@ -943,13 +964,15 @@ def ngram_topk(df: DataFrame, n: int = 3, k: int = 100) -> DataFrame:
 
 # unicode_clean's 1:1 character canonicalizations, one translate()
 # pass: curly quotes -> straight, en/em dash -> '-', six unicode
-# space variants (nbsp, thin, hair, en, em, ideographic) -> ' '.
+# space variants (nbsp, thin, hair, en, em, ideographic) AND the
+# horizontal tab -> ' ' (a lone edge tab would otherwise survive
+# trim and the space-run collapse).
 # Shared verbatim (as chr() codepoints) with the DuckDB oracle.
 _UC_FROM = (
     "\u2018\u2019\u201c\u201d\u2013\u2014"
-    "\u00a0\u2009\u200a\u2002\u2003\u3000"
+    "\u00a0\u2009\u200a\u2002\u2003\u3000\t"
 )
-_UC_TO = "''\"\"--      "
+_UC_TO = "''\"\"--       "
 # Width-changing removals, one regex class: zero-width space/joiners,
 # BOM, soft hyphen, and C0/C1-ish control chars except \t \n \r.
 _UC_STRIP = (
@@ -975,10 +998,11 @@ def unicode_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Adds text_clean + n_chars_clean; never drops rows.
     """
+    df = _ensure_parallelism(df)
     c = F.translate(F.col(text_col), _UC_FROM, _UC_TO)
     c = F.regexp_replace(c, _UC_STRIP, "")
     c = F.regexp_replace(c, "\u2026", "...")
-    c = F.trim(F.regexp_replace(c, "[ \\t]{2,}", " "))
+    c = F.trim(F.regexp_replace(c, " {2,}", " "))
     return df.withColumn("text_clean", c).withColumn(
         "n_chars_clean", F.length("text_clean").cast("long")
     )

@@ -134,8 +134,10 @@ def test_unicode_clean_canonicalizations(spark):
         ("\u201chi\u201d \u2013 there \u2014 ok", '"hi" - there - ok'),
         # zero-width / BOM / soft hyphen strip
         ("\ufeffa\u200bb\u00adc\u200dd", "abcd"),
-        # control chars stripped, \n and \t-as-separator survive
+        # control chars stripped, \n survives; tabs -> spaces
         ("a\x07b\x00c\nnext", "abc\nnext"),
+        ("a\tb", "a b"),
+        ("\tx", "x"),
         # unicode spaces -> ascii space, runs collapse, edges trim
         ("x\u00a0\u2009y\u3000 z ", "x y z"),
         # ellipsis expands so sentence rules see punctuation
@@ -198,7 +200,7 @@ def test_domain_upsample_epochs_and_fractional_selection(spark):
     thr_half = int(0.5 * 65536)
     thr_quarter = int(0.25 * 65536)
     for i, dom in rows:
-        sel = int(_md5(i)[:4], 16)
+        sel = int(_md5(f"{i}#up")[:4], 16)
         if dom == "wiki":
             want = 2 + (1 if sel < thr_half else 0)
         elif dom == "cc":
@@ -343,6 +345,9 @@ def test_doc_chunks_coverage_overlap_and_edges(spark):
 
     with pytest.raises(ValueError):
         doc_chunks(df, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        # negative overlap would stride past chunk ends: token gaps
+        doc_chunks(df, chunk_tokens=4, overlap=-1)
 
 
 def test_weighted_sample_global_plans_take_ordered(spark):
@@ -402,3 +407,31 @@ def doc_chunks_collect(spark, df, chunk, overlap):
     from ocr_spark.operators.textops import doc_chunks
 
     return doc_chunks(df, chunk_tokens=chunk, overlap=overlap).collect()
+
+
+def test_intra_doc_dedup_whale_path_equality(spark):
+    """whale_lines=0 forces every doc through the mapInPandas linear
+    fold; output must equal the in-row expression path exactly."""
+    docs = [
+        (1, "a\nb\na\nc\nb"),
+        (2, "x\ny\nz"),
+        (3, "\n".join(f"l{i % 37}" for i in range(300))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    inrow = {
+        r["doc_id"]: tuple(r)
+        for r in intra_doc_dedup(df, whale_lines=10**6).collect()
+    }
+    linear = {
+        r["doc_id"]: tuple(r)
+        for r in intra_doc_dedup(df, whale_lines=0).collect()
+    }
+    assert inrow == linear
+    # a 50k-line whale routes through the linear path and is cheap
+    whale = spark.createDataFrame(
+        [(9, "\n".join(f"w{i % 101}" for i in range(50_000)))],
+        "doc_id long, text string",
+    )
+    out = intra_doc_dedup(whale).collect()[0]
+    assert out["n_lines"] == 50_000
+    assert out["n_dropped"] == 50_000 - 101
