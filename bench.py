@@ -230,6 +230,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "weighted_sample",
         "doc_chunks",
         "dedup_weights",
+        "soft_sample",
         "char_entropy",
         "hash_split",
         "shard_assign",

@@ -1285,6 +1285,26 @@ def q_dedup_weights(spark, sf_dir):
     return D.dedup_weights(docs.unionByName(mangled))
 
 
+def q_soft_sample(spark, sf_dir):
+    """SoftDeDup end-to-end, ONE plan: duplicate clusters down-weight
+    (1/|cluster|) and the Efraimidis-Spirakis race then samples
+    proportional to those weights — a duplicated page's members share
+    one document's worth of inclusion mass instead of multiplying it.
+    Same planted-twin fixture as dedup_weights; global top-100 via the
+    TakeOrdered path."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.upper("text"), " ", "  "), F.lit("  ")
+        ).alias("text"),
+    )
+    wts = D.dedup_weights(docs.unionByName(mangled))
+    return X.weighted_sample(wts, k=100, weight_col="weight").select(
+        "doc_id", "weight", "es_key", "rk"
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking (32-token windows, 8-token overlap):
     strided in-row slices, one chunk for at-or-under-window docs, the
@@ -2013,6 +2033,7 @@ QUERIES: dict[str, Callable] = {
     "weighted_sample": q_weighted_sample,
     "doc_chunks": q_doc_chunks,
     "dedup_weights": q_dedup_weights,
+    "soft_sample": q_soft_sample,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
@@ -2025,7 +2046,6 @@ QUERIES: dict[str, Callable] = {
     "web_curation": q_web_curation,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "contamination_report": q_contamination_report,
     "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
     "dsir_select": q_dsir_select,
@@ -2049,6 +2069,7 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
+    "contamination_report": q_contamination_report,
     "substring_keep_first": q_substring_keep_first,
     "conv_dedup": q_conv_dedup,
     "bm25_topk": q_bm25_topk,
@@ -3045,6 +3066,47 @@ ORACLES: dict[str, str] = {
     "mix_pipeline": _mix_pipeline_sql(),
     "domain_upsample": _upsample_sql(),
     "epoch_shards": _epoch_shards_sql(),
+    # soft_sample: dedup_weights' float32 weight feeds the E-S race;
+    # FLOAT -> DOUBLE widening is exact on both engines, so ln(u)/w is
+    # the same double either side.
+    "soft_sample": """
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000000,
+                   regexp_replace(upper(text), ' ', '  ', 'g') || '  '
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        f AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g')) AS fingerprint
+            FROM u
+        ),
+        wt AS (
+            SELECT doc_id,
+                   CAST(CAST(1.0 AS DOUBLE)
+                        / count(*) OVER (PARTITION BY fingerprint)
+                        AS FLOAT) AS weight
+            FROM f
+        ),
+        race AS (
+            SELECT doc_id, weight,
+                   ln((CAST('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) + 1) / 281474976710656.0)
+                       / weight AS es
+            FROM wt WHERE weight > 0
+        ),
+        r AS (
+            SELECT doc_id, weight, es,
+                   CAST(row_number() OVER (
+                       ORDER BY es DESC, doc_id ASC) AS INT) AS rk
+            FROM race
+        )
+        SELECT doc_id, weight, CAST(es AS FLOAT) AS es_key, rk
+        FROM r WHERE rk <= 100
+    """,
     # dedup_weights: CAST(1.0 AS DOUBLE) is load-bearing — DuckDB's
     # bare 1.0 is DECIMAL and DECIMAL/BIGINT division rounds
     # differently from IEEE before the 6 dp round.

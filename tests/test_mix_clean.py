@@ -435,3 +435,23 @@ def test_intra_doc_dedup_whale_path_equality(spark):
     out = intra_doc_dedup(whale).collect()[0]
     assert out["n_lines"] == 50_000
     assert out["n_dropped"] == 50_000 - 101
+
+
+def test_soft_sample_cluster_mass_in_race(spark):
+    """dedup_weights -> weighted_sample composition: a cluster's total
+    inclusion mass equals one unique doc's, so the sampled set is not
+    dominated by duplicated content. Statistical check: with 50
+    unique docs and one 50-member cluster (each weight 1/50), the
+    top-25 race should draw overwhelmingly from the unique docs."""
+    from ocr_spark.operators.dedup import dedup_weights
+    from ocr_spark.operators.textops import weighted_sample
+
+    rows = [(i, f"unique text {i}") for i in range(50)]
+    rows += [(100 + i, "dup text") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wts = dedup_weights(df)
+    out = weighted_sample(wts, k=25, weight_col="weight").collect()
+    n_dup = sum(1 for r in out if r["doc_id"] >= 100)
+    # expected ~25 * (1/51 cluster mass share per slot) ~ 0.5; allow
+    # generous slack — the point is the cluster doesn't take ~half
+    assert n_dup <= 5, n_dup
