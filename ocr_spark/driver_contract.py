@@ -2034,6 +2034,7 @@ QUERIES: dict[str, Callable] = {
     "doc_chunks": q_doc_chunks,
     "dedup_weights": q_dedup_weights,
     "soft_sample": q_soft_sample,
+    "contamination_report": q_contamination_report,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
@@ -2044,7 +2045,6 @@ QUERIES: dict[str, Callable] = {
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
     "web_curation": q_web_curation,
-    "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
@@ -2069,7 +2069,7 @@ QUERIES: dict[str, Callable] = {
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "semantic_dedup": q_semantic_dedup,
-    "contamination_report": q_contamination_report,
+    "decontaminate": q_decontaminate,
     "substring_keep_first": q_substring_keep_first,
     "conv_dedup": q_conv_dedup,
     "bm25_topk": q_bm25_topk,
