@@ -25,9 +25,19 @@ zero-width-space after every 'e', and doubled-nbsp space replacement:
   \u2014 the dirt is constructed entirely from strip/normalize classes.
 - idempotence: clean(clean(dirty)) == clean(dirty) for all docs.
 
-All three ops are map-or-one-window shapes; the soak pins EXACTNESS at
-a scale where selector-width / tiebreak / regex-class bugs cannot
-hide.
+domain_upsample over 2M docs x 4 domains (factors 2.25 / 0.5 / 3.0 /
+default 1.0): occurrence counts within 6 sigma of the analytic
+binomial per domain, per-doc epoch contiguity 0..n-1 for ALL docs,
+and a ~10k-doc sample EXACT vs the python '#up'-salted selector.
+
+weighted_sample over 2M rows (weights 1..10, k=10k global): the
+sampled ids AND their rank order EXACTLY equal a python
+heapq-over-md5 reference of the same race; mean sampled weight >> the
+population mean (inclusion-proportional-to-weight sanity).
+
+All ops are map/one-window/TakeOrdered shapes; the soak pins
+EXACTNESS at a scale where selector-width / tiebreak / regex-class
+bugs cannot hide.
 """
 
 from __future__ import annotations
@@ -229,6 +239,94 @@ def main() -> int:
     print(
         f"[soak-mix] unicode_clean: {t_uc:.1f}s, clean(dirty) == "
         f"original for all {n_docs} docs; idempotent on all docs"
+    )
+
+    # ---- domain_upsample ----
+    from ocr_spark.operators.textops import domain_upsample
+
+    factors = {"dom0": 2.25, "dom1": 0.5, "dom2": 3.0}
+    up_docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("dom"), (F.col("id") % 4)).alias("source"),
+    ).repartition(64)
+    t0 = time.time()
+    ups = domain_upsample(up_docs, factors)
+    per = (
+        ups.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # per-doc epoch contiguity 0..n-1
+    bad = (
+        ups.groupBy("doc_id")
+        .agg(F.max("epoch").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("mx") + 1 != F.col("n"))
+        .count()
+    )
+    t_up = time.time() - t0
+    assert bad == 0, bad
+    got_n = {r["source"]: r["n"] for r in per}
+    n_dom = n_docs // 4
+    exp_frac = {"dom0": 2 + 0.25, "dom1": 0.5, "dom2": 3.0, "dom3": 1.0}
+    for dom, f in exp_frac.items():
+        frac = f - int(f)
+        mean = int(f) * n_dom + frac * n_dom
+        sd = (n_dom * frac * (1 - frac)) ** 0.5 if 0 < frac < 1 else 0.0
+        lo, hi = mean - 6 * sd - 1, mean + 6 * sd + 1
+        assert lo <= got_n.get(dom, 0) <= hi, (dom, got_n.get(dom), mean)
+    # exact python-reference on a doc sample
+    sample = ups.filter(F.col("doc_id") % 199 == 0).groupBy(
+        "doc_id", "source"
+    ).agg(F.count(F.lit(1)).alias("n")).collect()
+    for r in sample:
+        i, dom = r["doc_id"], r["source"]
+        f = factors.get(dom, 1.0)
+        thr = int((f - int(f)) * 65536)
+        sel = int(
+            hashlib.md5(f"{i}#up".encode()).hexdigest()[:4], 16
+        )
+        want = int(f) + (1 if sel < thr else 0)
+        assert r["n"] == want, (i, dom, r["n"], want)
+    print(
+        f"[soak-mix] domain_upsample: {t_up:.1f}s, occurrence counts "
+        f"within 6 sigma for all 4 domains; epochs contiguous for all "
+        f"docs; {len(sample)} sampled docs EXACT vs python selector"
+    )
+
+    # ---- weighted_sample ----
+    from ocr_spark.operators.textops import weighted_sample
+
+    k = 10_000
+    wdf = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (1.0 + (F.col("id") % 10)).alias("w"),
+    ).repartition(64)
+    t0 = time.time()
+    got = weighted_sample(wdf, k=k, weight_col="w").collect()
+    t_ws = time.time() - t0
+    import math
+
+    t1 = time.time()
+    keys = []
+    for i in range(n_docs):
+        u = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) + 1
+        ) / float(1 << 48)
+        keys.append((math.log(u) / (1.0 + i % 10), -i))
+    import heapq
+
+    exp_top = heapq.nlargest(k, range(n_docs), key=lambda i: keys[i])
+    t_ref = time.time() - t1
+    got_sorted = [r["doc_id"] for r in sorted(got, key=lambda r: r["rk"])]
+    assert got_sorted == exp_top, (
+        len(set(got_sorted) ^ set(exp_top)),
+        got_sorted[:3],
+        exp_top[:3],
+    )
+    mean_w = sum(r["w"] for r in got) / k
+    assert mean_w > 6.5, mean_w  # population mean is 5.5; race biases up
+    print(
+        f"[soak-mix] weighted_sample: {t_ws:.1f}s spark / {t_ref:.1f}s "
+        f"python ref, top-{k} of {n_docs} EXACT (rank order equal); "
+        f"sampled mean weight {mean_w:.2f} vs population 5.5"
     )
     spark.stop()
     return 0
