@@ -69,7 +69,7 @@ def test_streaming_restart_resume_exactly_once(spark, tmp_path):
     """Stop the stream mid-input (after >=1 committed micro-batch, with
     later files still unprocessed), restart from the same checkpoint,
     and require exactly-once totals + per-turn equality vs the batch
-    golden — the streaming twin of the batch crash/resume test."""
+    golden \u2014 the streaming twin of the batch crash/resume test."""
     import time
 
     in_dir = str(tmp_path / "in")
@@ -135,7 +135,7 @@ def test_streaming_restart_resume_exactly_once(spark, tmp_path):
 def test_streaming_watermarked_dedup_across_restart(spark, tmp_path):
     """At-least-once source: the same rows redelivered in a second file
     (and again after a restart) must be dropped by the watermarked
-    (conv_id, turn_idx) state — exactly-once OUTPUT from at-least-once
+    (conv_id, turn_idx) state \u2014 exactly-once OUTPUT from at-least-once
     INPUT, with the dedup state surviving the checkpoint restart."""
     from ocr_spark.streaming import extract_stream_dedup
 
@@ -184,7 +184,7 @@ def test_streaming_watermarked_dedup_across_restart(spark, tmp_path):
 
 def test_streaming_session_windows(spark, tmp_path):
     """Stateful windowed aggregation: session_window + watermark emits a
-    session only once the watermark passes its close — verified by
+    session only once the watermark passes its close \u2014 verified by
     draining real files and advancing the watermark with a sentinel."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -259,7 +259,7 @@ def test_streaming_lineage_parity(spark, tmp_path):
     lineage totals must equal output rows, and an incremental drain
     adds lineage only for NEW batches; the extraction kernel runs
     EXACTLY ONCE per batch (the lineage agg reuses the persisted batch
-    rather than re-executing the pandas-UDF plan — accumulator counts
+    rather than re-executing the pandas-UDF plan \u2014 accumulator counts
     total rows once, not twice)."""
     from ocr_spark.extract import ExtractCounters
     from ocr_spark.streaming import extract_stream_with_lineage
@@ -391,7 +391,7 @@ def test_conv_progress_stateful_accumulates_and_evicts(spark, tmp_path):
 def test_streaming_url_dedup_variants_and_redelivery(spark, tmp_path):
     """Curation composes with the streaming path: raw URL VARIANTS of
     one canonical key (scheme case, www, :443, param order, utm,
-    fragment) arriving across files and restarts emit exactly once —
+    fragment) arriving across files and restarts emit exactly once \u2014
     the batch url_dedup policy enforced by watermarked canonical-key
     state that survives the checkpoint."""
     import pyarrow as pa
@@ -447,7 +447,7 @@ def test_streaming_url_dedup_variants_and_redelivery(spark, tmp_path):
                                          "other.org/p"]
 
     # restart: one genuinely new url + two MORE raw variants of the
-    # already-emitted canonical key (a redelivery/recrawl) — state
+    # already-emitted canonical key (a redelivery/recrawl) \u2014 state
     # must persist through the checkpoint, so only the new url emits
     write_docs(
         f"{in_dir}/b.parquet",
@@ -520,7 +520,7 @@ def test_streaming_hash_split_is_stateless_and_stable(spark, tmp_path):
     """hash_split composes with the streaming ingest path unchanged:
     a pure keyed projection needs no state store, and a conversation
     whose turns arrive across DIFFERENT micro-batches still lands in
-    one split — the leakage-safety property survives incremental
+    one split \u2014 the leakage-safety property survives incremental
     ingest by construction (the selector is keyed, not batch-scoped)."""
     from pyspark.sql import functions as F
 
@@ -549,7 +549,7 @@ def test_streaming_hash_split_is_stateless_and_stable(spark, tmp_path):
         q.awaitTermination(120)
 
     drain()
-    # second half arrives later — same conversations, new turns
+    # second half arrives later \u2014 same conversations, new turns
     write_transcripts_parquet(a.iloc[half:], f"{in_dir}/batch-b.parquet")
     drain()
 
@@ -568,3 +568,70 @@ def test_streaming_hash_split_is_stateless_and_stable(spark, tmp_path):
     ).fetchdf()
     m = batch.merge(streamed, on="conv_id")
     assert (m["split_x"] == m["split_y"]).all()
+
+
+def test_streaming_pure_map_curation_parity(spark, tmp_path):
+    """The pure-map curation family (unicode_clean -> intra_doc_dedup)
+    composes with readStream unchanged \u2014 stateless maps need no state
+    store \u2014 and an availableNow drain over two file batches produces
+    exactly the batch result on the same rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import intra_doc_dedup
+    from ocr_spark.operators.textops import unicode_clean
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    rows = [
+        (i, "line a\u200b\nline b\nline a\u200b\nend\u2026")
+        for i in range(40)
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).iloc[:20].to_parquet(
+        f"{in_dir}/b0.parquet", index=False
+    )
+
+    def pipeline(df):
+        cleaned = unicode_clean(df).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+        return intra_doc_dedup(cleaned)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(in_dir)
+        )
+        q = (
+            pipeline(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).iloc[20:].to_parquet(
+        f"{in_dir}/b1.parquet", index=False
+    )
+    drain()
+
+    streamed = duckdb.sql(
+        f"select doc_id, text_clean, n_lines, n_dropped "
+        f"from '{out_dir}/*.parquet' order by doc_id"
+    ).fetchdf()
+    batch = (
+        pipeline(spark.createDataFrame(rows, "doc_id long, text string"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert len(streamed) == 40
+    for col in ["doc_id", "text_clean", "n_lines", "n_dropped"]:
+        assert (streamed[col].values == batch[col].values).all(), col
+    # the dirt actually exercised both ops
+    assert streamed["text_clean"].iloc[0] == "line a\nline b\nend..."
+    assert (streamed["n_dropped"] == 1).all()
