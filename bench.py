@@ -256,6 +256,8 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "cosine_topk",
         "ann_lsh",
         "ann_ivf",
+        "pq_encode",
+        "ann_pq",
         "cosine_near_dup",
         "semantic_dedup",
         "kmeans_clusters",

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ocr_spark.operators import clustering as CL
 from ocr_spark.operators import dedup as D
+from ocr_spark.operators import pq as PQ
 from ocr_spark.operators import relational as R
 from ocr_spark.operators import search as SR
 from ocr_spark.operators import similarity as S
@@ -1775,6 +1776,31 @@ def q_d4_select(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product quantization (Jegou '11): m=4 subspaces x 16-entry
+    codebooks, one rounded Lloyd refinement pass per subspace, codes in
+    (vec_id, sub, code) long form. The encode is a pure map (codebooks
+    are driver literals); the oracle unrolls the same training passes
+    as SQL CTEs (``_pq_ctes``), mirroring the kmeans discipline."""
+    return PQ.pq_encode(
+        load(spark, sf_dir, "embeddings"), m=4, ksub=16, iters=1,
+        vec_dims=64,
+    )
+
+
+def q_ann_pq(spark, sf_dir):
+    """PQ/ADC ANN: the LUT-summed inner product over each vector's m=4
+    codes approximates cosine against its reconstruction; top-5 per
+    query with the cosine_topk tie-break (score desc, vec_id asc)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return PQ.pq_ann_topk(
+        emb, qs, k=5, m=4, ksub=16, iters=1, vec_dims=64
+    )
+
+
 def q_group_topk(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -2020,7 +2046,8 @@ QUERIES: dict[str, Callable] = {
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     # -- training-data operators --
-    "dedup_exact": q_dedup_exact,
+    "pq_encode": q_pq_encode,
+    "ann_pq": q_ann_pq,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2046,7 +2073,6 @@ QUERIES: dict[str, Callable] = {
     "substring_dedup": q_substring_dedup,
     "web_curation": q_web_curation,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "bigram_logprob": q_bigram_logprob,
     "url_curation": q_url_curation,
     "dsir_select": q_dsir_select,
     "nb_quality": q_nb_quality,
@@ -2065,9 +2091,13 @@ QUERIES: dict[str, Callable] = {
     # -- tail: keys with existing driver hash-evidence (as_of_join /
     #    sessionize driver-gated r4; domain_mix / pmi_bigrams /
     #    kmv_distinct / semantic_dedup r4-hash-green, demoted to make
-    #    gate room for the r5 clustering + fuzzy-decontamination keys)
+    #    gate room for the r5 clustering + fuzzy-decontamination keys;
+    #    dedup_exact / bigram_logprob r4-hash-green and BIT-UNCHANGED
+    #    since the r4 artifact commit, demoted for the r5 PQ keys)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "dedup_exact": q_dedup_exact,
+    "bigram_logprob": q_bigram_logprob,
     "semantic_dedup": q_semantic_dedup,
     "decontaminate": q_decontaminate,
     "substring_keep_first": q_substring_keep_first,
@@ -2223,6 +2253,63 @@ c0 AS (SELECT vec_id AS cid, emb AS cent FROM e ORDER BY vec_id
 
 
 _KMEANS_CTES = _kmeans_ctes(8, 64)
+
+
+def _pq_ctes(m: int = 4, ksub: int = 16, dsub: int = 16,
+             iters: int = 1) -> str:
+    """Product-quantization training unrolled as SQL CTEs, mirroring
+    ``pq.pq_codebooks`` pass by pass: per-subspace slices, lowest-
+    vec_id seed codebooks (code = seed rank), assignment by round-4
+    within-subspace cosine (ties to the smaller code), updated
+    coordinates re-rounded to 6 dp. Ends with ``a{iters}`` = the final
+    (vec_id, s, code) encoding and ``c{iters}`` = the final codebook
+    (s, code, cent)."""
+
+    def assign(src: str, tag: str) -> str:
+        return f"""a{tag} AS (
+    SELECT vec_id, s, code FROM (
+        SELECT sub.vec_id, sub.s, c.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY round(list_cosine_similarity(sub.v, c.cent),
+                                  4) DESC, c.code) AS rk
+        FROM sub JOIN {src} c ON sub.s = c.s) WHERE rk = 1
+)"""
+
+    def update(asg: str, tag: str) -> str:
+        return f"""c{tag} AS (
+    SELECT s, code, list(cv ORDER BY pos) AS cent FROM (
+        SELECT a.s, a.code, r.pos, round(avg(sub.v[r.pos]), 6) AS cv
+        FROM {asg} a JOIN sub
+            ON a.vec_id = sub.vec_id AND a.s = sub.s
+        CROSS JOIN unnest(range(1, {dsub + 1})) AS r(pos)
+        GROUP BY a.s, a.code, r.pos) GROUP BY s, code
+)"""
+
+    parts = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       FROM embeddings),
+sub AS (SELECT vec_id, r.s,
+               list_slice(emb, r.s * {dsub} + 1, (r.s + 1) * {dsub}) AS v
+        FROM e CROSS JOIN unnest(range(0, {m})) AS r(s)),
+seeds AS (SELECT vec_id, emb,
+                 CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                     AS code
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {ksub})),
+c0 AS (SELECT r.s, code,
+              list_slice(emb, r.s * {dsub} + 1, (r.s + 1) * {dsub})
+                  AS cent
+       FROM seeds CROSS JOIN unnest(range(0, {m})) AS r(s))"""
+    ]
+    cur = "c0"
+    for i in range(iters):
+        parts.append(assign(cur, str(i)))
+        parts.append(update(f"a{i}", str(i + 1)))
+        cur = f"c{i + 1}"
+    parts.append(assign(cur, str(iters)))
+    return ",\n".join(parts)
+
+
+_PQ_CTES = _pq_ctes(4, 16, 16, 1)
 
 
 def _entropy_ctes() -> str:
@@ -4301,6 +4388,45 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, source, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    "pq_encode": f"""
+        WITH {_PQ_CTES}
+        SELECT vec_id, s AS sub, code FROM a1
+    """,
+    # ADC scan: per-(query, vector, subspace) LUT terms, summed in
+    # ascending-s order (list_sum over list(.. ORDER BY s) = the same
+    # left-to-right 4-term fold as the Spark column sum), then the
+    # cosine_topk rank. n1/t/t2 inner products differ from Spark's
+    # unrolled folds by at most summation-order ulps — absorbed by the
+    # round-4 (the module-wide cosine policy).
+    "ann_pq": f"""
+        WITH {_PQ_CTES},
+        q AS (SELECT vec_id AS q_id, emb AS q_emb,
+                     sqrt(list_inner_product(emb, emb)) AS n1
+              FROM e WHERE vec_id < 10),
+        qsub AS (SELECT q_id, r.s,
+                        list_slice(q_emb, r.s * 16 + 1, (r.s + 1) * 16)
+                            AS qv,
+                        n1
+                 FROM q CROSS JOIN unnest(range(0, 4)) AS r(s)),
+        terms AS (SELECT qs.q_id, a.vec_id, qs.s, qs.n1,
+                         list_inner_product(qs.qv, c.cent) AS t,
+                         list_inner_product(c.cent, c.cent) AS t2
+                  FROM qsub qs
+                  JOIN a1 a ON qs.s = a.s
+                  JOIN c1 c ON c.s = a.s AND c.code = a.code
+                  WHERE qs.q_id <> a.vec_id),
+        sc AS (SELECT q_id, vec_id,
+                      round(list_sum(list(t ORDER BY s))
+                            / (any_value(n1)
+                               * sqrt(list_sum(list(t2 ORDER BY s)))),
+                            4) AS score
+               FROM terms GROUP BY q_id, vec_id)
+        SELECT q_id, vec_id, score, rank FROM (
+            SELECT q_id, vec_id, score,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, vec_id) AS rank
+            FROM sc) WHERE rank <= 5
     """,
     "kmeans_clusters": f"""
         WITH {_KMEANS_CTES}

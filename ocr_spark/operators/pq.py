@@ -1,0 +1,316 @@
+"""Product quantization (PQ) for embedding-column ANN: train per-
+subspace codebooks, encode every vector as ``m`` small codes, and
+answer top-k queries with an asymmetric-distance (ADC) scan that reads
+ONLY the ``m`` codes per corpus vector.
+
+This is the third ANN scale path in the repo, and the one that matters
+at 100 TB: ``lsh_cosine_topk`` and ``ivf_topk`` prune WHICH vectors a
+query touches, but both still re-score candidates against full-width
+embeddings — the corpus stays 64 float32s per row. PQ compresses the
+scanned representation itself: with m=4 / ksub=16 each vector is 4
+codes (4 bytes vs 256, 64x), the codebooks are driver-known literals,
+encoding is a PURE MAP (plan-pinned, zero shuffle), and the ADC scan
+costs m ``element_at`` lookups per (query, vector) pair against a
+per-query lookup table computed ONCE per query row. After encoding,
+the corpus is never re-read at full width. (Jegou, Douze, Schmid '11,
+"Product Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1);
+the inner-product LUT scoring follows the MIPS-quantization line of
+Guo et al. '16, arXiv:1509.01469.)
+
+Determinism: the same rounded-fixed-point discipline as
+``clustering.kmeans_assign`` — codebooks seed from the ``ksub``
+lowest-vec_id vectors' subvectors, assignment is by round-4
+within-subspace cosine with ties to the smaller code, and every
+updated centroid coordinate re-rounds to 6 dp before the next pass —
+so the inherently iterative training matches an exact DuckDB oracle
+(``_pq_ctes`` in driver_contract mirrors the passes as SQL CTEs). A
+code that loses all members simply disappears from later passes
+(deterministic in both engines; mirrors the kmeans convention).
+
+Scale shape per training iteration: assignment is a pure map (the
+codebooks are literals — each row argmaxes a ksub-element (cos,
+-code) struct array per subspace); the update explodes to N*d rows
+but partial aggregation compresses map-side to m*ksub*dsub per task,
+so the one shuffle moves O(tasks * m * ksub * dsub) rows. Codebooks
+collect to the driver between passes (m*ksub*dsub doubles — tiny, and
+the collect CUTS LINEAGE exactly as in ``kmeans_assign``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import _norm_expr, _probe_dims
+
+# codebook[s] = list of (code, centroid) pairs for subspace s; codes
+# are 0..ksub-1 in ascending seed-vec_id order (dead codes absent)
+Codebooks = list[list[tuple[int, list[float]]]]
+
+
+def _dlit(v: float) -> str:
+    """repr round-trips through the SQL parser to the identical IEEE
+    double (see clustering._assign — one parsed expr string beats k*d
+    py4j literal round-trips)."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _with_subs(emb: DataFrame, m: int, dsub: int) -> DataFrame:
+    """Project (vec_id, sub_0..sub_{m-1}, nrm_0..nrm_{m-1}): the m
+    subvector slices and their norms, each computed once per row."""
+    out = emb.select(
+        "vec_id",
+        *[
+            F.slice(F.col("embedding"), s * dsub + 1, dsub).alias(f"sub_{s}")
+            for s in range(m)
+        ],
+    )
+    for s in range(m):
+        out = out.withColumn(f"nrm_{s}", _norm_expr(f"sub_{s}", dsub))
+    return out
+
+
+def _code_expr(sub_col: str, nrm_col: str, book, dsub: int):
+    """Nearest-code struct for one subspace: argmax over the codebook
+    of round-4 cosine, ties to the SMALLER code (struct ordering on
+    (cos, -code), cf. clustering._assign)."""
+    entries = []
+    for code, cent in book:
+        carr = "array(" + ",".join(_dlit(float(v)) for v in cent) + ")"
+        cn = math.sqrt(sum(v * v for v in cent))
+        dot = (
+            f"aggregate(zip_with({sub_col}, {carr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        entries.append(
+            f"struct(round({dot} / ({nrm_col} * {_dlit(cn)}), 4) AS cos, "
+            f"CAST({-code} AS BIGINT) AS ncode)"
+        )
+    return F.expr("array_max(array(" + ",".join(entries) + "))")
+
+
+def _wide_codes(subs: DataFrame, books: Codebooks, m: int, dsub: int):
+    """(vec_id, code_0..code_{m-1}) — pure map over the subvector
+    projection (codebooks are literals: no join, no shuffle)."""
+    return subs.select(
+        "vec_id",
+        *[
+            (-_code_expr(f"sub_{s}", f"nrm_{s}", books[s], dsub)["ncode"])
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(m)
+        ],
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    vec_dims: int | None = None,
+) -> Codebooks:
+    """Train the per-subspace codebooks: seeds = the ``ksub``
+    lowest-vec_id vectors' subvectors (code j = rank-j seed), then
+    ``iters`` rounded Lloyd refinement passes per subspace (spherical:
+    assignment by round-4 cosine, update = per-coordinate mean rounded
+    to 6 dp). Returns driver-side literals — m*ksub*dsub doubles."""
+    d = vec_dims if vec_dims is not None else _probe_dims(
+        embeddings, "embedding"
+    )
+    if d is None or d % m:
+        raise ValueError(f"vector width {d} not divisible by m={m}")
+    dsub = d // m
+    seeds = sorted(
+        embeddings.orderBy("vec_id").limit(ksub).collect(),
+        key=lambda r: r.vec_id,
+    )
+    books: Codebooks = [
+        [
+            (j, [float(v) for v in r.embedding[s * dsub : (s + 1) * dsub]])
+            for j, r in enumerate(seeds)
+        ]
+        for s in range(m)
+    ]
+    if not iters:
+        return books
+    subs = _with_subs(embeddings.select("vec_id", "embedding"), m, dsub)
+    for _ in range(iters):
+        coded = subs.select(
+            *[F.col(f"sub_{s}") for s in range(m)],
+            *[
+                (-_code_expr(f"sub_{s}", f"nrm_{s}", books[s], dsub)["ncode"])
+                .cast("int")
+                .alias(f"code_{s}")
+                for s in range(m)
+            ],
+        )
+        stacked = coded.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col(f"code_{s}").alias("code"),
+                            F.col(f"sub_{s}").alias("sub"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e")
+        )
+        upd = (
+            stacked.select(
+                F.col("e.s").alias("s"),
+                F.col("e.code").alias("code"),
+                F.posexplode("e.sub").alias("pos", "v"),
+            )
+            .groupBy("s", "code", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+            .collect()
+        )
+        by: dict[tuple[int, int], list[tuple[int, float]]] = {}
+        for r in upd:
+            by.setdefault((int(r.s), int(r.code)), []).append(
+                (int(r.pos), float(r.cv))
+            )
+        books = [
+            [
+                (code, [v for _, v in sorted(pv)])
+                for (s2, code), pv in sorted(by.items())
+                if s2 == s
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    vec_dims: int | None = None,
+    codebooks: Codebooks | None = None,
+) -> DataFrame:
+    """PQ-encode the corpus: (vec_id, sub, code) long form — ``m`` rows
+    per vector, ``code`` the nearest final-codebook entry for that
+    subspace. The encode itself is a PURE MAP (training collects happen
+    before; the returned plan is scan -> project -> explode, zero
+    Exchange — plan-pinned by test_pq_encode_is_pure_map)."""
+    d = vec_dims if vec_dims is not None else _probe_dims(
+        embeddings, "embedding"
+    )
+    if d is None or d % m:
+        raise ValueError(f"vector width {d} not divisible by m={m}")
+    dsub = d // m
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, m, ksub, iters, vec_dims=d)
+    )
+    subs = _with_subs(embeddings.select("vec_id", "embedding"), m, dsub)
+    wide = _wide_codes(subs, books, m, dsub)
+    return wide.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.col(f"code_{s}").alias("code"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.sub", "e.code")
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    vec_dims: int | None = None,
+) -> DataFrame:
+    """ADC top-k: approximate cosine = LUT-summed inner product against
+    each vector's reconstruction, over the PQ codes only.
+
+    score(q, x) = round( sum_s LUT_q[s][code_s(x)]
+                         / (||q|| * sqrt(sum_s ||c_{s,code_s(x)}||^2)), 4)
+
+    where LUT_q[s][j] = <q_s, c_{s,j}>. The per-query LUT (m arrays of
+    ksub doubles) is computed once per QUERY row; the broadcast
+    cross-join then does m ``element_at`` lookups + one sqrt per pair —
+    the corpus side carries only (vec_id, m codes). Ranking mirrors
+    ``cosine_topk``: score desc, vec_id asc, self-matches excluded.
+    Returns (q_id, vec_id, score, rank). Recall vs the exact scan is a
+    soak question (BENCH/soak_ann.py), exactness of THIS algorithm is
+    the oracle's."""
+    d = vec_dims if vec_dims is not None else _probe_dims(
+        embeddings, "embedding"
+    )
+    if d is None or d % m:
+        raise ValueError(f"vector width {d} not divisible by m={m}")
+    dsub = d // m
+    books = pq_codebooks(embeddings, m, ksub, iters, vec_dims=d)
+    subs = _with_subs(embeddings.select("vec_id", "embedding"), m, dsub)
+    enc = _wide_codes(subs, books, m, dsub)
+
+    # norm^2 LUTs: full ksub-length literal arrays; dead-code slots
+    # hold 0.0 and are unreachable (a dead code is never assigned)
+    nsq = [[0.0] * ksub for _ in range(m)]
+    for s in range(m):
+        for code, cent in books[s]:
+            nsq[s][code] = sum(v * v for v in cent)
+
+    q = queries.select(
+        "q_id", F.col("q_emb").alias("q_emb")
+    ).withColumn("n1", _norm_expr("q_emb", d))
+    for s in range(m):
+        qsub = f"slice(q_emb, {s * dsub + 1}, {dsub})"
+        cells = []
+        alive = dict(books[s])
+        for j in range(ksub):
+            if j in alive:
+                carr = "array(" + ",".join(
+                    _dlit(float(v)) for v in alive[j]
+                ) + ")"
+                cells.append(
+                    f"aggregate(zip_with({qsub}, {carr}, "
+                    "(x, y) -> CAST(x AS DOUBLE) * y), "
+                    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
+            else:
+                cells.append("CAST(0.0 AS DOUBLE)")
+        q = q.withColumn(
+            f"lut_{s}", F.expr("array(" + ",".join(cells) + ")")
+        )
+
+    pair = F.broadcast(q).crossJoin(enc).filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    dot = None
+    rn2 = None
+    for s in range(m):
+        t = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        narr = "array(" + ",".join(_dlit(v) for v in nsq[s]) + ")"
+        n = F.element_at(F.expr(narr), F.col(f"code_{s}") + 1)
+        dot = t if dot is None else dot + t
+        rn2 = n if rn2 is None else rn2 + n
+    scored = pair.withColumn(
+        "score", F.round(dot / (F.col("n1") * F.sqrt(rn2)), 4)
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "score", "rank")
+    )

@@ -1670,3 +1670,96 @@ def test_dedup_weights_cluster_mass(spark):
     assert out[4]["n_dups"] == 1 and out[4]["weight"] == 1.0
     # expected training mass of each cluster is one document
     assert abs(sum(r["weight"] for r in out.values()) - 2.0) < 1e-5
+
+
+# --------------------------------------------------------------------------
+# product quantization (operators/pq.py)
+# --------------------------------------------------------------------------
+
+
+def _pq_fixture(spark):
+    """8-d vectors, m=2 subspaces: each half points along e0 or e1 of
+    its subspace (with small deterministic jitter on a spare axis), so
+    with ksub=2 and seeds [e0|e0], [e1|e1] the planted code pair of
+    every vector is (first-half dir, second-half dir)."""
+    rows = []
+    for i in range(40):
+        a, b = (i >> 0) & 1, (i >> 1) & 1  # planted combo (4 groups)
+        v = [0.0] * 8
+        v[a] = 1.0
+        v[4 + b] = 1.0
+        if i >= 2:  # rows 0/1 are the exact seeds
+            v[2] = 0.05 + 0.001 * i
+            v[6] = 0.05 + 0.001 * i
+        rows.append((i, [float(x) for x in v]))
+    # seeds must be [e0|e0] (vec 0: a=0,b=0) and [e1|e1] (vec 1 has
+    # a=1,b=0 — fix it up to b=1 so seed 1 is the other corner)
+    rows[1] = (1, [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_recovers_planted_subspace_directions(spark):
+    """Every vector's code in each subspace equals its planted half
+    direction — seeds are the two corners, one refinement pass keeps
+    each centroid nearest its own group."""
+    from ocr_spark.operators.pq import pq_encode
+
+    emb = _pq_fixture(spark)
+    out = pq_encode(emb, m=2, ksub=2, iters=1, vec_dims=8).collect()
+    assert len(out) == 80  # 40 vectors x 2 subspaces
+    codes = {(r.vec_id, r.sub): r.code for r in out}
+    for i in range(40):
+        a, b = (i >> 0) & 1, (i >> 1) & 1
+        if i == 1:
+            a, b = 1, 1  # the fixed-up seed row
+        assert codes[(i, 0)] == a, (i, codes[(i, 0)])
+        assert codes[(i, 1)] == b, (i, codes[(i, 1)])
+
+
+def test_pq_ann_groups_share_scores_and_rank_by_id(spark):
+    """Vectors with identical codes reconstruct identically, so they
+    share one ADC score per query and rank by vec_id — the top-k for a
+    query are the lowest-id members of its own planted combo group."""
+    from ocr_spark.operators.pq import pq_ann_topk
+
+    emb = _pq_fixture(spark)
+    qs = emb.filter(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = pq_ann_topk(
+        emb, qs, k=5, m=2, ksub=2, iters=1, vec_dims=8
+    ).collect()
+    assert len(out) == 5
+    # vec 4: a=4&1=0, b=(4>>1)&1=0 -> same-combo members are i = 0 mod
+    # 4 (vec 1 was fixed up to combo (1,1), excluded anyway)
+    combo = [
+        i for i in range(40)
+        if i != 4 and i != 1 and (i & 1) == 0 and ((i >> 1) & 1) == 0
+    ]
+    got = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == combo[:5], got
+    scores = {r.score for r in out}
+    assert len(scores) == 1  # identical codes -> identical score
+
+
+def test_pq_dead_code_disappears(spark):
+    """Two identical seed vectors: code 1 empties at the first
+    assignment (ties break to the smaller code) and must vanish from
+    the final codebook; every vector encodes to code 0 and ann still
+    answers."""
+    from ocr_spark.operators.pq import pq_ann_topk, pq_codebooks, pq_encode
+
+    rows = [(i, [1.0, 1.0, 0.5, 0.5]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_codebooks(emb, m=2, ksub=2, iters=1, vec_dims=4)
+    for s in range(2):
+        assert [c for c, _ in books[s]] == [0]
+    out = pq_encode(
+        emb, m=2, ksub=2, iters=1, vec_dims=4, codebooks=books
+    ).collect()
+    assert all(r.code == 0 for r in out)
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ann = pq_ann_topk(emb, qs, k=3, m=2, ksub=2, iters=1, vec_dims=4)
+    assert [r.vec_id for r in ann.collect()] == [1, 2, 3]

@@ -514,3 +514,35 @@ def test_mix_pipeline_composes_pruned_shapes(spark):
         assert "bucket" in s or "qv" in s, s
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert tree.count("BroadcastHashJoin") >= 2
+
+
+def test_pq_encode_is_pure_map(spark, sf001_dir):
+    # with driver-known codebooks the encode is scan -> project ->
+    # generate: no join, no window, no aggregation, ZERO exchanges —
+    # the shape that makes PQ encoding a free pass over 100 TB
+    from ocr_spark.operators.pq import pq_encode
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    books = [
+        [(0, [0.1] * 16), (1, [0.2] * 16)]
+        for _ in range(4)
+    ]
+    tree = _tree(_formatted(pq_encode(
+        emb, m=4, ksub=2, iters=1, vec_dims=64, codebooks=books
+    )))
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "HashAggregate" not in tree
+    assert "Sort" not in tree
+
+
+def test_pq_ann_broadcasts_queries_no_cartesian(spark, sf001_dir):
+    # the ADC scan is a BROADCAST nested-loop of the tiny LUT-carrying
+    # query side against the encoded corpus — never a shuffled
+    # cartesian; the only exchange is the per-query top-k window
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["ann_pq"](spark, sf001_dir))
+    tree = _tree(plan)
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "CartesianProduct" not in tree
