@@ -119,6 +119,26 @@ def main() -> int:
         results[f"ivf_c{n_cent}_p{n_probe}_recall_at_5"] = round(
             len(exact & approx) / len(exact), 4
         )
+    # PQ/ADC: compressed-domain brute scan (no pruning — fidelity comes
+    # from codebook capacity). Wall includes codebook training + encode;
+    # m=4/ksub=16 are the gate params, m=8/ksub=32 the recall config.
+    from ocr_spark.operators.pq import pq_ann_topk
+
+    for m, ksub, refine in ((4, 16, None), (4, 16, 100), (4, 16, 500)):
+        t0 = time.time()
+        approx = {
+            (r.q_id, r.vec_id)
+            for r in pq_ann_topk(
+                emb, queries, k=K, m=m, ksub=ksub, iters=1, vec_dims=64,
+                refine=refine,
+            ).collect()
+        }
+        t_approx = time.time() - t0
+        tag = f"pq_m{m}_k{ksub}_r{refine or 0}"
+        results[f"{tag}_s"] = round(t_approx, 1)
+        results[f"{tag}_recall_at_5"] = round(
+            len(exact & approx) / len(exact), 4
+        )
     print(json.dumps(results))
     spark.stop()
     return 0

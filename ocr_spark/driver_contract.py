@@ -1789,15 +1789,17 @@ def q_pq_encode(spark, sf_dir):
 
 
 def q_ann_pq(spark, sf_dir):
-    """PQ/ADC ANN: the LUT-summed inner product over each vector's m=4
-    codes approximates cosine against its reconstruction; top-5 per
-    query with the cosine_topk tie-break (score desc, vec_id asc)."""
+    """PQ/ADC ANN with the production refine chain: LUT-summed inner
+    product over each vector's m=4 codes shortlists the ADC top-100
+    per query, the shortlist (broadcast — the corpus never shuffles)
+    is re-scored at full width by exact cosine, top-5 returned with
+    the cosine_topk tie-break (score desc, vec_id asc)."""
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return PQ.pq_ann_topk(
-        emb, qs, k=5, m=4, ksub=16, iters=1, vec_dims=64
+        emb, qs, k=5, m=4, ksub=16, iters=1, vec_dims=64, refine=100
     )
 
 
@@ -4421,12 +4423,26 @@ ORACLES: dict[str, str] = {
                             / (any_value(n1)
                                * sqrt(list_sum(list(t2 ORDER BY s)))),
                             4) AS score
-               FROM terms GROUP BY q_id, vec_id)
+               FROM terms GROUP BY q_id, vec_id),
+        short AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, vec_id) AS srank
+            FROM sc) WHERE srank <= 100),
+        re AS (SELECT s.q_id, s.vec_id,
+                      round(list_inner_product(q.q_emb, e2.emb)
+                            / (q.n1
+                               * sqrt(list_inner_product(e2.emb,
+                                                         e2.emb))),
+                            4) AS score
+               FROM short s
+               JOIN q ON q.q_id = s.q_id
+               JOIN e e2 ON e2.vec_id = s.vec_id)
         SELECT q_id, vec_id, score, rank FROM (
             SELECT q_id, vec_id, score,
                    row_number() OVER (PARTITION BY q_id
                        ORDER BY score DESC, vec_id) AS rank
-            FROM sc) WHERE rank <= 5
+            FROM re) WHERE rank <= 5
     """,
     "kmeans_clusters": f"""
         WITH {_KMEANS_CTES}

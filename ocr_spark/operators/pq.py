@@ -42,7 +42,7 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import _norm_expr, _probe_dims
+from .similarity import _dot_expr, _norm_expr, _probe_dims
 
 # codebook[s] = list of (code, centroid) pairs for subspace s; codes
 # are 0..ksub-1 in ascending seed-vec_id order (dead codes absent)
@@ -237,6 +237,7 @@ def pq_ann_topk(
     ksub: int = 16,
     iters: int = 1,
     vec_dims: int | None = None,
+    refine: int | None = None,
 ) -> DataFrame:
     """ADC top-k: approximate cosine = LUT-summed inner product against
     each vector's reconstruction, over the PQ codes only.
@@ -249,9 +250,19 @@ def pq_ann_topk(
     cross-join then does m ``element_at`` lookups + one sqrt per pair —
     the corpus side carries only (vec_id, m codes). Ranking mirrors
     ``cosine_topk``: score desc, vec_id asc, self-matches excluded.
-    Returns (q_id, vec_id, score, rank). Recall vs the exact scan is a
-    soak question (BENCH/soak_ann.py), exactness of THIS algorithm is
-    the oracle's."""
+    Returns (q_id, vec_id, score, rank).
+
+    ``refine`` is the production recall lever (the FAISS-style
+    shortlist + re-rank): take the ADC top-``refine`` per query, fetch
+    ONLY those vectors at full width (the shortlist — Q*refine rows —
+    is broadcast into the embeddings join, so the corpus never
+    shuffles), exact-cosine re-score and return the final top-k.
+    Quantization error then only has to keep the true neighbours
+    inside the shortlist, not rank them: measured on the 20k planted-
+    cluster soak corpus, plain ADC recall@5 is 0.07 at m=4/ksub=16
+    while refine=100 reads 0.97+ (BENCH/soak_ann.py). With refine
+    None the plain ADC ranking is returned — the compressed-domain
+    scan the oracle checks end to end."""
     d = vec_dims if vec_dims is not None else _probe_dims(
         embeddings, "embedding"
     )
@@ -309,8 +320,33 @@ def pq_ann_topk(
     w = Window.partitionBy("q_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
+    if refine is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", "score", "rank")
+        )
+    if refine < k:
+        raise ValueError(f"refine={refine} must be >= k={k}")
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= refine)
+        .select("q_id", "vec_id", "q_emb", "n1")
+    )
+    e2 = embeddings.select(
+        "vec_id", F.col("embedding").alias("emb")
+    ).withColumn("n2", _norm_expr("emb", d))
+    rescored = e2.join(F.broadcast(shortlist), "vec_id").withColumn(
+        "score",
+        F.round(
+            _dot_expr("q_emb", "emb", d) / (F.col("n1") * F.col("n2")), 4
+        ),
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "score", "rank")
     )

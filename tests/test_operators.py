@@ -1763,3 +1763,27 @@ def test_pq_dead_code_disappears(spark):
     )
     ann = pq_ann_topk(emb, qs, k=3, m=2, ksub=2, iters=1, vec_dims=4)
     assert [r.vec_id for r in ann.collect()] == [1, 2, 3]
+
+
+def test_pq_refine_full_shortlist_equals_exact_topk(spark, sf001_dir):
+    """With refine covering the whole corpus the shortlist hides
+    nothing, so the re-ranked PQ result must equal brute-force
+    cosine_topk row for row (same rounding, same tie-break)."""
+    from ocr_spark.operators.pq import pq_ann_topk
+    from ocr_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = {
+        (r.q_id, r.rank): (r.vec_id, r.cos)
+        for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    refined = {
+        (r.q_id, r.rank): (r.vec_id, r.score)
+        for r in pq_ann_topk(
+            emb, qs, k=5, m=4, ksub=16, iters=1, vec_dims=64, refine=499
+        ).collect()
+    }
+    assert refined == exact
