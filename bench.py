@@ -251,6 +251,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "winnow_verified",
         "bpe_tokenize",
         "minhash_lsh",
+        "near_dup_keep_best",
         "simhash",
         "simhash_pairs",
         "cosine_topk",

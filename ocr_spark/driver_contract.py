@@ -1029,6 +1029,18 @@ def q_near_dup_groups(spark, sf_dir):
     return D.near_dup_groups(load(spark, sf_dir, "documents"))
 
 
+def q_near_dup_keep_best(spark, sf_dir):
+    """Near-dup clusters (verified MinHash+LSH pairs + connected
+    components) resolved by keep-BEST quality (ties -> min id) instead
+    of keep-min-id — the Dolma-style production rule. Oracle: the
+    recursive-CTE component labelling + the quality expression + a
+    rank-1 cut per cluster."""
+    docs = X.with_quality(load(spark, sf_dir, "documents"))
+    return D.near_dup_keep_best(docs, "quality").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_char_entropy(spark, sf_dir):
     """Letter-distribution Shannon entropy + letter fraction per doc
     (gibberish/encoded-blob signal); float32-cast both engines."""
@@ -2080,7 +2092,7 @@ QUERIES: dict[str, Callable] = {
     "nb_quality": q_nb_quality,
     "ccnet_buckets": q_ccnet_buckets,
     "pack_conversations": q_pack_conversations,
-    "winnow_verified": q_winnow_verified,
+    "near_dup_keep_best": q_near_dup_keep_best,
     "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
     "char_entropy": q_char_entropy,
@@ -2094,12 +2106,14 @@ QUERIES: dict[str, Callable] = {
     #    sessionize driver-gated r4; domain_mix / pmi_bigrams /
     #    kmv_distinct / semantic_dedup r4-hash-green, demoted to make
     #    gate room for the r5 clustering + fuzzy-decontamination keys;
-    #    dedup_exact / bigram_logprob r4-hash-green and BIT-UNCHANGED
-    #    since the r4 artifact commit, demoted for the r5 PQ keys)
+    #    dedup_exact / bigram_logprob / winnow_verified r4-hash-green
+    #    and BIT-UNCHANGED since the r4 artifact commit, demoted for
+    #    the r5 PQ + near_dup_keep_best keys)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
     "dedup_exact": q_dedup_exact,
     "bigram_logprob": q_bigram_logprob,
+    "winnow_verified": q_winnow_verified,
     "semantic_dedup": q_semantic_dedup,
     "decontaminate": q_decontaminate,
     "substring_keep_first": q_substring_keep_first,
@@ -3031,6 +3045,58 @@ ORACLES: dict[str, str] = {
             FROM r JOIN edges e ON e.doc_a = r.doc_id
         )
         SELECT doc_id, min(lab) AS group_id FROM r GROUP BY doc_id
+    """,
+    # near_dup_keep_best: the same recursive component labelling, then
+    # the quality expression (identical to the quality_score oracle)
+    # and a rank-1 keep per cluster (quality DESC, doc_id — mirroring
+    # the operator's max_by (quality, -id) struct tie-break).
+    "near_dup_keep_best": f"""
+        WITH RECURSIVE
+        pairs AS ({_MINHASH_SQL}),
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+        r AS (
+            SELECT doc_id, doc_id AS lab FROM nodes
+            UNION
+            SELECT e.doc_b AS doc_id, r.lab
+            FROM r JOIN edges e ON e.doc_a = r.doc_id
+        ),
+        g AS (SELECT doc_id, min(lab) AS group_id FROM r
+              GROUP BY doc_id),
+        qual AS (
+            SELECT doc_id,
+                   round(
+                     0.4 * least(1.0,
+                         len(regexp_split_to_array(trim(text), '\\s+'))
+                             / 50.0)
+                   + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]',
+                                                  '', 'g'))
+                            / length(text))
+                   + 0.3 * least(1.0,
+                         5.0 * len(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             t -> lower(t) IN ({_STOP_SQL})))
+                         / len(regexp_split_to_array(trim(text),
+                                                     '\\s+'))),
+                   4) AS quality
+            FROM documents
+        ),
+        mem AS (SELECT g.doc_id, g.group_id, qual.quality
+                FROM g JOIN qual USING (doc_id)),
+        keep AS (SELECT group_id, doc_id AS keep_id FROM (
+                     SELECT group_id, doc_id,
+                            row_number() OVER (PARTITION BY group_id
+                                ORDER BY quality DESC, doc_id) AS rk
+                     FROM mem) WHERE rk = 1),
+        losers AS (SELECT m.doc_id FROM mem m
+                   JOIN keep k ON m.group_id = k.group_id
+                   WHERE m.doc_id <> k.keep_id)
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
     """,
     "char_entropy": _entropy_sql(),
     "train_shards": _train_shards_sql(),

@@ -1478,3 +1478,60 @@ def incremental_minhash_verified(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_keep_best(
+    docs: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.05,
+    max_df: int = 1000,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate resolution with a keep-BEST policy — the
+    production curation rule (cf. Dolma, Soldaini et al. '24
+    arXiv:2402.00159; RefinedWeb keeps one member per fuzzy-dup
+    cluster): connected components over the verified MinHash+LSH pair
+    graph define the duplicate clusters, and within each cluster the
+    survivor is the highest-``quality_col`` member (ties -> smaller
+    ``id_col``), not the min-id member :func:`near_dup_groups` would
+    canonicalize. Documents in no cluster are kept untouched.
+
+    This closes the quality×near-dup matrix: ``dedup_keep_best`` is
+    keep-best over EXACT fingerprint groups, ``semantic_dedup`` /
+    ``minhash``-based drops are near-dup with keep-min-id — this is
+    keep-best over near-dup clusters.
+
+    Scale shape: the cluster relation is LSH-premise-small (only docs
+    in a verified pair appear), so every join here is broadcast-sized
+    (AQE) and the corpus itself is touched exactly twice — once by the
+    shingle pass inside the pair generation, once by the final
+    ``left_anti`` — with no corpus shuffle in either.
+    """
+    groups = near_dup_groups(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, max_df=max_df, max_iters=max_iters,
+    )
+    members = groups.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q")
+        ),
+        "doc_id",
+    )
+    keep = members.groupBy("group_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col("_q").alias("q"), (-F.col("doc_id")).alias("nid")
+            ),
+        ).alias("keep_id")
+    )
+    losers = (
+        members.join(keep, "group_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")

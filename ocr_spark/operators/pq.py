@@ -258,11 +258,17 @@ def pq_ann_topk(
     is broadcast into the embeddings join, so the corpus never
     shuffles), exact-cosine re-score and return the final top-k.
     Quantization error then only has to keep the true neighbours
-    inside the shortlist, not rank them: measured on the 20k planted-
-    cluster soak corpus, plain ADC recall@5 is 0.07 at m=4/ksub=16
-    while refine=100 reads 0.97+ (BENCH/soak_ann.py). With refine
-    None the plain ADC ranking is returned — the compressed-domain
-    scan the oracle checks end to end."""
+    inside the shortlist, not rank them — so size ``refine`` as a
+    FRACTION of the corpus, not a constant: on the planted-cluster
+    soak corpus (BENCH/soak_ann.py), plain ADC recall@5 is 0.07 at
+    20k vectors and 0.004 at 100k, refine=100 reads 0.972 at 20k
+    (0.5% of corpus) but only 0.252 at 100k (0.1%), while refine=500
+    (back to 0.5%) restores 0.984 at 100k. At corpus scales where a
+    0.5% shortlist is itself too large, compose with a coarse
+    partitioner first (the FAISS IVF+PQ shape — ``ivf_topk``'s list
+    assignment bounding the ADC scan). With refine None the plain ADC
+    ranking is returned — the compressed-domain scan the oracle checks
+    end to end."""
     d = vec_dims if vec_dims is not None else _probe_dims(
         embeddings, "embedding"
     )

@@ -1787,3 +1787,35 @@ def test_pq_refine_full_shortlist_equals_exact_topk(spark, sf001_dir):
         ).collect()
     }
     assert refined == exact
+
+
+def test_near_dup_keep_best_keeps_highest_quality_member(spark):
+    """A 3-member near-dup cluster whose best-quality member is NOT
+    the min id: keep-best must keep it (where near_dup_groups'
+    canonical label would be the min id); an equal-quality pair ties
+    to the smaller id; the unique doc survives untouched."""
+    from ocr_spark.operators.dedup import near_dup_keep_best
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while the sun sets slowly behind the tall green hills"
+    )
+    rows = [
+        (0, base + " alpha", 0.5),
+        (1, base + " bravo", 0.9),   # best of the 0-1-2 cluster
+        (2, base + " charlie", 0.7),
+        (3, "completely different text about machine learning models "
+            "training on large datasets with many many parameters ok", 0.4),
+        (4, "completely different text about machine learning models "
+            "training on large datasets with many many parameters ok", 0.4),
+        (5, "a unique little document that resembles nothing else in "
+            "this corpus and therefore must always simply survive", 0.1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, quality double"
+    )
+    kept = {
+        r.doc_id
+        for r in near_dup_keep_best(docs, "quality").select("doc_id").collect()
+    }
+    assert kept == {1, 3, 5}, kept
