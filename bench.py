@@ -259,6 +259,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "ann_ivf",
         "pq_encode",
         "ann_pq",
+        "ann_ivf_pq",
         "cosine_near_dup",
         "semantic_dedup",
         "kmeans_clusters",

@@ -1815,6 +1815,24 @@ def q_ann_pq(spark, sf_dir):
     )
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF+PQ composed ANN (the FAISS IVFADC shape): 32 coarse lists
+    bound WHICH vectors each query scans (probe 4), globally-trained
+    m=4/ksub=16 PQ codes compress WHAT the scan reads (ADC LUT
+    scoring), and the ADC top-50 shortlist re-ranks at full width by
+    exact cosine for the final top-5. The oracle composes the
+    ``ann_ivf`` assignment/probe CTEs with the ``ann_pq`` training +
+    ADC-term CTEs over the candidate-restricted pair set."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return PQ.ivf_pq_topk(
+        emb, qs, k=5, n_centroids=32, n_probe=4, m=4, ksub=16,
+        iters=1, refine=50,
+    )
+
+
 def q_group_topk(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -2057,11 +2075,11 @@ QUERIES: dict[str, Callable] = {
     "extract_html_route": q_extract_html_route,
     "extract_pdf_route": q_extract_pdf_route,
     "media_decode": q_media_decode,
-    "media_frames": q_media_frames,
     "media_features": q_media_features,
     # -- training-data operators --
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2108,9 +2126,12 @@ QUERIES: dict[str, Callable] = {
     #    gate room for the r5 clustering + fuzzy-decontamination keys;
     #    dedup_exact / bigram_logprob / winnow_verified r4-hash-green
     #    and BIT-UNCHANGED since the r4 artifact commit, demoted for
-    #    the r5 PQ + near_dup_keep_best keys)
+    #    the r5 PQ + near_dup_keep_best keys; media_frames
+    #    r4-hash-green, media ops untouched in r5, demoted for the
+    #    r5 ann_ivf_pq key)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "media_frames": q_media_frames,
     "dedup_exact": q_dedup_exact,
     "bigram_logprob": q_bigram_logprob,
     "winnow_verified": q_winnow_verified,
@@ -4495,6 +4516,74 @@ ORACLES: dict[str, str] = {
                    row_number() OVER (PARTITION BY q_id
                        ORDER BY score DESC, vec_id) AS srank
             FROM sc) WHERE srank <= 100),
+        re AS (SELECT s.q_id, s.vec_id,
+                      round(list_inner_product(q.q_emb, e2.emb)
+                            / (q.n1
+                               * sqrt(list_inner_product(e2.emb,
+                                                         e2.emb))),
+                            4) AS score
+               FROM short s
+               JOIN q ON q.q_id = s.q_id
+               JOIN e e2 ON e2.vec_id = s.vec_id)
+        SELECT q_id, vec_id, score, rank FROM (
+            SELECT q_id, vec_id, score,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, vec_id) AS rank
+            FROM re) WHERE rank <= 5
+    """,
+    # IVF+PQ composition: the ann_ivf assignment/probe CTEs bound the
+    # pair set (cand), the ann_pq training CTEs + ADC terms score it,
+    # the top-50 shortlist re-ranks by exact cosine. Same round-4
+    # ulp-absorption policy as both parents.
+    "ann_ivf_pq": f"""
+        WITH {_PQ_CTES},
+        cc AS (SELECT vec_id AS cid, emb AS cent
+               FROM e ORDER BY vec_id LIMIT 32),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT a.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               a.emb, c.cent), 4) DESC, c.cid) AS rn
+                FROM e a CROSS JOIN cc c) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS q_id, emb AS q_emb,
+                     sqrt(list_inner_product(emb, emb)) AS n1
+              FROM e WHERE vec_id < 10),
+        probes AS (
+            SELECT q_id, cid FROM (
+                SELECT q.q_id, c.cid,
+                       row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY round(list_cosine_similarity(
+                               q.q_emb, c.cent), 4) DESC, c.cid) AS rn
+                FROM q CROSS JOIN cc c) WHERE rn <= 4
+        ),
+        cand AS (SELECT p.q_id, s.vec_id
+                 FROM probes p JOIN assign s USING (cid)
+                 WHERE p.q_id <> s.vec_id),
+        qsub AS (SELECT q_id, r.s,
+                        list_slice(q_emb, r.s * 16 + 1, (r.s + 1) * 16)
+                            AS qv,
+                        n1
+                 FROM q CROSS JOIN unnest(range(0, 4)) AS r(s)),
+        terms AS (SELECT cd.q_id, cd.vec_id, qs.s, qs.n1,
+                         list_inner_product(qs.qv, c.cent) AS t,
+                         list_inner_product(c.cent, c.cent) AS t2
+                  FROM cand cd
+                  JOIN qsub qs ON qs.q_id = cd.q_id
+                  JOIN a1 a ON a.vec_id = cd.vec_id AND qs.s = a.s
+                  JOIN c1 c ON c.s = a.s AND c.code = a.code),
+        sc AS (SELECT q_id, vec_id,
+                      round(list_sum(list(t ORDER BY s))
+                            / (any_value(n1)
+                               * sqrt(list_sum(list(t2 ORDER BY s)))),
+                            4) AS score
+               FROM terms GROUP BY q_id, vec_id),
+        short AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, vec_id) AS srank
+            FROM sc) WHERE srank <= 50),
         re AS (SELECT s.q_id, s.vec_id,
                       round(list_inner_product(q.q_emb, e2.emb)
                             / (q.n1

@@ -56,13 +56,21 @@ def _dlit(v: float) -> str:
     return f"CAST('{v!r}' AS DOUBLE)"
 
 
-def _with_subs(emb: DataFrame, m: int, dsub: int) -> DataFrame:
-    """Project (vec_id, sub_0..sub_{m-1}, nrm_0..nrm_{m-1}): the m
-    subvector slices and their norms, each computed once per row."""
+def _with_subs(
+    emb: DataFrame,
+    m: int,
+    dsub: int,
+    col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Project (vec_id, *keep, sub_0..sub_{m-1}, nrm_0..nrm_{m-1}):
+    the m subvector slices and their norms, each computed once per
+    row."""
     out = emb.select(
         "vec_id",
+        *keep,
         *[
-            F.slice(F.col("embedding"), s * dsub + 1, dsub).alias(f"sub_{s}")
+            F.slice(F.col(col), s * dsub + 1, dsub).alias(f"sub_{s}")
             for s in range(m)
         ],
     )
@@ -91,17 +99,105 @@ def _code_expr(sub_col: str, nrm_col: str, book, dsub: int):
     return F.expr("array_max(array(" + ",".join(entries) + "))")
 
 
-def _wide_codes(subs: DataFrame, books: Codebooks, m: int, dsub: int):
-    """(vec_id, code_0..code_{m-1}) — pure map over the subvector
-    projection (codebooks are literals: no join, no shuffle)."""
+def _wide_codes(
+    subs: DataFrame,
+    books: Codebooks,
+    m: int,
+    dsub: int,
+    keep: tuple[str, ...] = (),
+):
+    """(vec_id, *keep, code_0..code_{m-1}) — pure map over the
+    subvector projection (codebooks are literals: no join, no
+    shuffle)."""
     return subs.select(
         "vec_id",
+        *keep,
         *[
             (-_code_expr(f"sub_{s}", f"nrm_{s}", books[s], dsub)["ncode"])
             .cast("int")
             .alias(f"code_{s}")
             for s in range(m)
         ],
+    )
+
+
+def _nsq(books: Codebooks, m: int, ksub: int) -> list[list[float]]:
+    """Norm^2 LUTs: full ksub-length tables per subspace; dead-code
+    slots hold 0.0 and are unreachable (a dead code is never
+    assigned)."""
+    out = [[0.0] * ksub for _ in range(m)]
+    for s in range(m):
+        for code, cent in books[s]:
+            out[s][code] = sum(v * v for v in cent)
+    return out
+
+
+def _with_luts(
+    q: DataFrame, books: Codebooks, m: int, ksub: int, dsub: int
+) -> DataFrame:
+    """Per-query ADC lookup tables: lut_s[j] = <q_s, c_{s,j}>, one
+    ksub-length array column per subspace, computed ONCE per query
+    row. Dead-code slots are 0.0 literals (unreachable)."""
+    for s in range(m):
+        qsub = f"slice(q_emb, {s * dsub + 1}, {dsub})"
+        cells = []
+        alive = dict(books[s])
+        for j in range(ksub):
+            if j in alive:
+                carr = "array(" + ",".join(
+                    _dlit(float(v)) for v in alive[j]
+                ) + ")"
+                cells.append(
+                    f"aggregate(zip_with({qsub}, {carr}, "
+                    "(x, y) -> CAST(x AS DOUBLE) * y), "
+                    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
+            else:
+                cells.append("CAST(0.0 AS DOUBLE)")
+        q = q.withColumn(
+            f"lut_{s}", F.expr("array(" + ",".join(cells) + ")")
+        )
+    return q
+
+
+def _adc_score(pair: DataFrame, nsq: list[list[float]], m: int):
+    """round-4 approximate cosine from m LUT lookups + one sqrt; the
+    m-term sums fold left-to-right (s ascending) in both engines."""
+    dot = None
+    rn2 = None
+    for s in range(m):
+        t = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        narr = "array(" + ",".join(_dlit(v) for v in nsq[s]) + ")"
+        n = F.element_at(F.expr(narr), F.col(f"code_{s}") + 1)
+        dot = t if dot is None else dot + t
+        rn2 = n if rn2 is None else rn2 + n
+    return pair.withColumn(
+        "score", F.round(dot / (F.col("n1") * F.sqrt(rn2)), 4)
+    )
+
+
+def _rerank(
+    shortlist: DataFrame, embeddings: DataFrame, d: int, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of an ADC shortlist: the (q_id, vec_id,
+    q_emb, n1) shortlist is broadcast into the embeddings join — the
+    corpus never shuffles — re-scored at full width, top-k."""
+    e2 = embeddings.select(
+        "vec_id", F.col("embedding").alias("emb")
+    ).withColumn("n2", _norm_expr("emb", d))
+    rescored = e2.join(F.broadcast(shortlist), "vec_id").withColumn(
+        "score",
+        F.round(
+            _dot_expr("q_emb", "emb", d) / (F.col("n1") * F.col("n2")), 4
+        ),
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "score", "rank")
     )
 
 
@@ -278,51 +374,17 @@ def pq_ann_topk(
     books = pq_codebooks(embeddings, m, ksub, iters, vec_dims=d)
     subs = _with_subs(embeddings.select("vec_id", "embedding"), m, dsub)
     enc = _wide_codes(subs, books, m, dsub)
-
-    # norm^2 LUTs: full ksub-length literal arrays; dead-code slots
-    # hold 0.0 and are unreachable (a dead code is never assigned)
-    nsq = [[0.0] * ksub for _ in range(m)]
-    for s in range(m):
-        for code, cent in books[s]:
-            nsq[s][code] = sum(v * v for v in cent)
+    nsq = _nsq(books, m, ksub)
 
     q = queries.select(
         "q_id", F.col("q_emb").alias("q_emb")
     ).withColumn("n1", _norm_expr("q_emb", d))
-    for s in range(m):
-        qsub = f"slice(q_emb, {s * dsub + 1}, {dsub})"
-        cells = []
-        alive = dict(books[s])
-        for j in range(ksub):
-            if j in alive:
-                carr = "array(" + ",".join(
-                    _dlit(float(v)) for v in alive[j]
-                ) + ")"
-                cells.append(
-                    f"aggregate(zip_with({qsub}, {carr}, "
-                    "(x, y) -> CAST(x AS DOUBLE) * y), "
-                    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-                )
-            else:
-                cells.append("CAST(0.0 AS DOUBLE)")
-        q = q.withColumn(
-            f"lut_{s}", F.expr("array(" + ",".join(cells) + ")")
-        )
+    q = _with_luts(q, books, m, ksub, dsub)
 
     pair = F.broadcast(q).crossJoin(enc).filter(
         F.col("q_id") != F.col("vec_id")
     )
-    dot = None
-    rn2 = None
-    for s in range(m):
-        t = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
-        narr = "array(" + ",".join(_dlit(v) for v in nsq[s]) + ")"
-        n = F.element_at(F.expr(narr), F.col(f"code_{s}") + 1)
-        dot = t if dot is None else dot + t
-        rn2 = n if rn2 is None else rn2 + n
-    scored = pair.withColumn(
-        "score", F.round(dot / (F.col("n1") * F.sqrt(rn2)), 4)
-    )
+    scored = _adc_score(pair, nsq, m)
     w = Window.partitionBy("q_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -339,20 +401,78 @@ def pq_ann_topk(
         .filter(F.col("srank") <= refine)
         .select("q_id", "vec_id", "q_emb", "n1")
     )
-    e2 = embeddings.select(
-        "vec_id", F.col("embedding").alias("emb")
-    ).withColumn("n2", _norm_expr("emb", d))
-    rescored = e2.join(F.broadcast(shortlist), "vec_id").withColumn(
-        "score",
-        F.round(
-            _dot_expr("q_emb", "emb", d) / (F.col("n1") * F.col("n2")), 4
-        ),
+    return _rerank(shortlist, embeddings, d, k)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    refine: int | None = None,
+) -> DataFrame:
+    """IVF+PQ composed ANN — the FAISS IVFADC shape (Jegou '11 §V):
+    the coarse quantizer bounds WHICH vectors each query scans
+    (``similarity._coarse_lists`` / ``_query_probes``, shared with
+    ``ivf_topk``), PQ compresses WHAT the scan reads (m codes per
+    vector, ADC LUT scoring) — so a query touches ~n_probe/n_centroids
+    of the corpus at ~m bytes per vector instead of full width.
+
+    Plan shape: coarse assignment is a vectorized ``mapInPandas`` map
+    (no shuffle), PQ encode chains on it as pure projections (codebooks
+    are driver literals), the probe side (tiny: Q x n_probe rows,
+    LUTs computed per probe row) BROADCASTS into the list join — the
+    corpus never hash-shuffles; the only corpus-width exchanges are
+    the two per-query rank windows. ``refine`` re-ranks the ADC
+    shortlist at full width exactly as in ``pq_ann_topk`` (the
+    shortlist broadcasts; the corpus side of the re-rank join streams).
+
+    Codes are trained GLOBALLY (not per-list residuals as in FAISS's
+    default IVFADC): residual encoding would couple every codebook to
+    the coarse assignment and make the oracle's CTE unroll quadratic;
+    global codes keep train/encode/scan each independently checkable.
+    Ranking mirrors ``cosine_topk``: round-4 score desc, vec_id asc,
+    self-matches excluded. Returns (q_id, vec_id, score, rank).
+    """
+    from .similarity import _coarse_lists, _query_probes
+
+    lists, d = _coarse_lists(embeddings, n_centroids)
+    if d % m:
+        raise ValueError(f"vector width {d} not divisible by m={m}")
+    dsub = d // m
+    books = pq_codebooks(embeddings, m, ksub, iters, vec_dims=d)
+    subs = _with_subs(lists, m, dsub, col="emb", keep=("cid",))
+    enc = _wide_codes(subs, books, m, dsub, keep=("cid",))
+    nsq = _nsq(books, m, ksub)
+
+    probes = _query_probes(embeddings, queries, n_centroids, n_probe, d)
+    qp = _with_luts(probes, books, m, ksub, dsub)
+
+    # each corpus vector lives in exactly ONE list and each query
+    # probes n_probe DISTINCT lists, so the cid join yields every
+    # (query, candidate) pair at most once — no dedup needed
+    pair = F.broadcast(qp).join(enc, "cid").filter(
+        F.col("q_id") != F.col("vec_id")
     )
-    wf = Window.partitionBy("q_id").orderBy(
+    scored = _adc_score(pair, nsq, m)
+    w = Window.partitionBy("q_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
-    return (
-        rescored.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "score", "rank")
+    if refine is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", "score", "rank")
+        )
+    if refine < k:
+        raise ValueError(f"refine={refine} must be >= k={k}")
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= refine)
+        .select("q_id", "vec_id", "q_emb", "n1")
     )
+    return _rerank(shortlist, embeddings, d, k)

@@ -313,30 +313,20 @@ def semantic_dedup(
     return docs.join(losers, id_col, "left_anti")
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 32,
-    n_probe: int = 4,
-) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
-    inverted lists, probe the ``n_probe`` nearest lists per query, exact
-    cosine re-score + top-k inside them. Same output schema as
-    ``cosine_topk`` / ``lsh_cosine_topk``.
+def _coarse_lists(
+    embeddings: DataFrame, n_centroids: int
+) -> tuple[DataFrame, int]:
+    """IVF coarse quantization: assign every corpus vector to its
+    nearest sampled centroid (the ``n_centroids`` lowest-vec_id
+    vectors). Returns ((vec_id, emb, n2, cid), d).
 
-    Centroids are the ``n_centroids`` lowest-vec_id corpus vectors
-    (sampled coarse quantizer — deterministic and engine-reproducible;
-    a Lloyd refinement would add recall but makes results depend on
-    float summation order, so it belongs behind a recall soak, not an
-    equality oracle). Corpus->list assignment is the IVF build's hot
-    loop (N x C cosines): it runs as ONE numpy matmul per Arrow batch
-    inside ``mapInPandas`` against the (small, driver-collected)
-    centroid matrix — measured 100k x 256 x 64d: 46.7s as interpreted
-    ``zip_with`` expressions vs ~1s vectorized. Map-only, no shuffle.
-    Ties (round(cos,4)) break to the smaller centroid id (argmax over
-    ascending-cid columns) so list assignment is total-ordered.
-    """
+    The assignment is the IVF build's hot loop (N x C cosines): it
+    runs as ONE numpy matmul per Arrow batch inside ``mapInPandas``
+    against the (small, driver-collected) centroid matrix — measured
+    100k x 256 x 64d: 46.7s as interpreted ``zip_with`` expressions vs
+    ~1s vectorized. Map-only, no shuffle. Ties (round(cos,4)) break to
+    the smaller centroid id (argmax over ascending-cid columns) so
+    list assignment is total-ordered."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -381,8 +371,19 @@ def ivf_topk(
     lists = embeddings.select("vec_id", "embedding").mapInPandas(
         assign_batches, assign_schema
     )
+    return lists, int(cmat.shape[1])
 
-    # query probes: tiny side (Q x C) — the expression path suffices
+
+def _query_probes(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int,
+    n_probe: int,
+    d: int,
+) -> DataFrame:
+    """The ``n_probe`` nearest coarse lists per query vector:
+    (q_id, q_emb, n1, cid). Tiny side (Q x C) — the expression path
+    suffices; centroid table broadcast."""
     cents = F.broadcast(
         embeddings.orderBy("vec_id")
         .limit(n_centroids)
@@ -390,7 +391,6 @@ def ivf_topk(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
         )
     )
-    d = int(cmat.shape[1])
     cent_norm = cents.withColumn("cn", _norm_expr("cent", d))
     q = _with_norm(
         queries.select("q_id", F.col("q_emb").alias("embedding")), dims=d
@@ -406,7 +406,7 @@ def ivf_topk(
     wq = Window.partitionBy("q_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
     )
-    probes = (
+    return (
         q_scored.withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= n_probe)
         .select(
@@ -414,6 +414,30 @@ def ivf_topk(
             F.col("nrm").alias("n1"), "cid",
         )
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, probe the ``n_probe`` nearest lists per query, exact
+    cosine re-score + top-k inside them. Same output schema as
+    ``cosine_topk`` / ``lsh_cosine_topk``.
+
+    Centroids are the ``n_centroids`` lowest-vec_id corpus vectors
+    (sampled coarse quantizer — deterministic and engine-reproducible;
+    a Lloyd refinement would add recall but makes results depend on
+    float summation order, so it belongs behind a recall soak, not an
+    equality oracle). See :func:`_coarse_lists` for the vectorized
+    assignment and :func:`_query_probes` for the probe stage (both
+    shared with ``pq.ivf_pq_topk``).
+    """
+    lists, d = _coarse_lists(embeddings, n_centroids)
+    probes = _query_probes(embeddings, queries, n_centroids, n_probe, d)
     cand = (
         probes.join(lists, "cid")
         .filter(F.col("q_id") != F.col("vec_id"))

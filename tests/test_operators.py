@@ -1789,6 +1789,60 @@ def test_pq_refine_full_shortlist_equals_exact_topk(spark, sf001_dir):
     assert refined == exact
 
 
+def test_ivf_pq_probe_all_refine_all_equals_exact_topk(spark, sf001_dir):
+    """With every list probed the candidate set is the whole corpus,
+    and with refine covering it the ADC shortlist hides nothing — so
+    the composed IVF+PQ result must equal brute-force cosine_topk row
+    for row (same rounding, same tie-break). Pins both pruning stages:
+    any assignment/probe/join slip loses a candidate and shows up as a
+    row diff."""
+    from ocr_spark.operators.pq import ivf_pq_topk
+    from ocr_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = {
+        (r.q_id, r.rank): (r.vec_id, r.cos)
+        for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    composed = {
+        (r.q_id, r.rank): (r.vec_id, r.score)
+        for r in ivf_pq_topk(
+            emb, qs, k=5, n_centroids=32, n_probe=32, m=4, ksub=16,
+            iters=1, refine=499,
+        ).collect()
+    }
+    assert composed == exact
+
+
+def test_ivf_pq_prunes_scan_to_probed_lists(spark, sf001_dir):
+    """With probe < lists the ADC scan must only see candidates from
+    the query's probed lists: every returned neighbour's coarse list
+    is one of the query's n_probe nearest centroids."""
+    from ocr_spark.operators.pq import ivf_pq_topk
+    from ocr_spark.operators.similarity import (
+        _coarse_lists, _query_probes,
+    )
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    lists, d = _coarse_lists(emb, 32)
+    cid_of = {r.vec_id: r.cid for r in lists.collect()}
+    probed = {}
+    for r in _query_probes(emb, qs, 32, 4, d).collect():
+        probed.setdefault(r.q_id, set()).add(r.cid)
+    out = ivf_pq_topk(
+        emb, qs, k=5, n_centroids=32, n_probe=4, m=4, ksub=16, iters=1
+    ).collect()
+    assert len(out) == 25
+    for r in out:
+        assert cid_of[r.vec_id] in probed[r.q_id], (r.q_id, r.vec_id)
+
+
 def test_near_dup_keep_best_keeps_highest_quality_member(spark):
     """A 3-member near-dup cluster whose best-quality member is NOT
     the min id: keep-best must keep it (where near_dup_groups'

@@ -546,3 +546,24 @@ def test_pq_ann_broadcasts_queries_no_cartesian(spark, sf001_dir):
     tree = _tree(plan)
     assert "BroadcastNestedLoopJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_ivf_pq_corpus_never_hash_shuffles(spark, sf001_dir):
+    # IVF+PQ scale shape: coarse assignment is mapInPandas (map-only),
+    # encode chains as projections, the LUT-carrying probe side
+    # BROADCASTS into the cid join — so every hash-shuffle in the plan
+    # is a per-QUERY window (keyed q_id / q_id+vec shortlist), never a
+    # corpus repartition
+    import re
+
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["ann_ivf_pq"](spark, sf001_dir))
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    # hashpartitioning arguments live in the detail section
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected the per-query rank windows"
+    for p in parts:
+        assert "q_id" in p, p
