@@ -243,6 +243,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "unigram_logprob",
         "ccnet_buckets",
         "bigram_logprob",
+        "kn_logprob",
         "pmi_bigrams",
         "kmv_distinct",
         "pack_conversations",

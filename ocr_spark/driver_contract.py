@@ -1693,6 +1693,14 @@ def q_bigram_logprob(spark, sf_dir):
     return X.bigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def q_kn_logprob(spark, sf_dir):
+    """Per-doc interpolated Kneser-Ney bigram log-probability (D=0.75
+    absolute discount, continuation-probability backoff) — the
+    KenLM/CCNet perplexity-filter smoothing family, checked exactly:
+    every count in the formula is SQL aggregation."""
+    return X.kn_logprob(load(spark, sf_dir, "documents"))
+
+
 def q_pmi_bigrams(spark, sf_dir):
     """Top-50 bigram collocations by PMI (min count 5) — the
     vocabulary/tokenizer-building statistic."""
@@ -2074,12 +2082,12 @@ QUERIES: dict[str, Callable] = {
     "extract_plain_route": q_extract_plain_route,
     "extract_html_route": q_extract_html_route,
     "extract_pdf_route": q_extract_pdf_route,
-    "media_decode": q_media_decode,
     "media_features": q_media_features,
     # -- training-data operators --
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
+    "kn_logprob": q_kn_logprob,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2128,9 +2136,10 @@ QUERIES: dict[str, Callable] = {
     #    and BIT-UNCHANGED since the r4 artifact commit, demoted for
     #    the r5 PQ + near_dup_keep_best keys; media_frames
     #    r4-hash-green, media ops untouched in r5, demoted for the
-    #    r5 ann_ivf_pq key)
+    #    r5 ann_ivf_pq key; media_decode likewise for kn_logprob)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "media_decode": q_media_decode,
     "media_frames": q_media_frames,
     "dedup_exact": q_dedup_exact,
     "bigram_logprob": q_bigram_logprob,
@@ -4345,6 +4354,51 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, count(*) AS n_bigrams,
                round(sum(logp) / count(*), 4) AS avg_logprob2
+        FROM bf JOIN prob USING (term_a, term_b)
+        GROUP BY doc_id
+    """,
+    # Kneser-Ney: same bigram stream; D = 0.75 is exactly binary-
+    # representable so the literal is portable as written; the
+    # arithmetic mirrors the operator's expression structure term by
+    # term (greatest/max, the (D * n_cont / c_left) grouping)
+    "kn_logprob": """
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        big AS (
+            SELECT doc_id, t[r.i + 1] AS term_a, t[r.i + 2] AS term_b
+            FROM arrs, unnest(range(0, len(t) - 1)) AS r(i)
+            WHERE len(t) >= 2
+        ),
+        bf AS (
+            SELECT * FROM big WHERE term_a <> '' AND term_b <> ''
+        ),
+        cab AS (
+            SELECT term_a, term_b, count(*) AS c_ab
+            FROM bf GROUP BY 1, 2
+        ),
+        cleft AS (
+            SELECT term_a, CAST(sum(c_ab) AS BIGINT) AS c_left,
+                   count(*) AS n_cont
+            FROM cab GROUP BY 1
+        ),
+        cright AS (
+            SELECT term_b, count(*) AS n_left FROM cab GROUP BY 1
+        ),
+        bt AS (SELECT count(*) AS b_types FROM cab),
+        prob AS (
+            SELECT cab.term_a, cab.term_b,
+                   ln(greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0)
+                          / c_left
+                      + (0.75 * n_cont / c_left)
+                        * (CAST(n_left AS DOUBLE) / b_types)) AS logp
+            FROM cab JOIN cleft USING (term_a)
+            JOIN cright USING (term_b), bt
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(sum(logp) / count(*), 4) AS avg_kn_logprob
         FROM bf JOIN prob USING (term_a, term_b)
         GROUP BY doc_id
     """,

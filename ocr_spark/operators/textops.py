@@ -1176,6 +1176,83 @@ def bigram_logprob(df: DataFrame, lam: float = 0.7) -> DataFrame:
     )
 
 
+def kn_logprob(df: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Per-document average INTERPOLATED KNESER-NEY bigram
+    log-probability — the smoothing family KenLM implements and CCNet's
+    perplexity filter actually runs (Chen & Goodman '98 §2.7; Heafield
+    '11). One smoothing class up from :func:`bigram_logprob`'s
+    Jelinek-Mercer: instead of mixing in the raw unigram (which
+    over-scores words that are frequent only inside one stock phrase),
+    KN discounts every seen bigram by a fixed ``discount`` D and backs
+    off to the CONTINUATION probability — how many distinct left
+    contexts a word follows, not how often it occurs:
+
+        p(w | v) = max(c(v,w) - D, 0) / c_left(v)
+                 + (D * n_cont(v) / c_left(v)) * (n_left(w) / b_types)
+
+    with c_left(v) = bigram occurrences of v on the left, n_cont(v) =
+    DISTINCT continuations of v, n_left(w) = DISTINCT left contexts of
+    w, b_types = distinct bigram types. The conditional sums to 1 over
+    the vocabulary (pytest-pinned closed form: the discount mass
+    D * n_cont / c_left exactly funds the continuation backoff).
+    Trained on and scored against the same corpus, so every scored
+    bigram is seen and p > 0 by construction.
+
+    Returns (doc_id, n_bigrams, avg_kn_logprob); docs with zero
+    qualifying bigrams drop, as in ``bigram_logprob``.
+
+    Plan shape mirrors ``bigram_logprob``: one corpus-wide bigram
+    hash-agg; n_cont/c_left derive from THAT table (vocabulary-sized,
+    no second corpus pass), n_left likewise; b_types is a 1-row
+    broadcast; the per-doc stream joins the probability relation
+    (inverted-index shaped, AQE-broadcast when small) and one final
+    per-doc hash-agg. D = 0.75 is exactly representable in binary so
+    the literal is engine-portable as written (the ``1.0 - lam`` ulp
+    trap of bigram_logprob does not arise).
+    """
+    arr = _ensure_parallelism(df).select(
+        "doc_id", F.expr(TOKENS_LC).alias("t")
+    )
+    big = _bigram_stream(arr, "doc_id")
+    cab = big.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    cleft = cab.groupBy("term_a").agg(
+        F.sum("c_ab").alias("c_left"),
+        F.count(F.lit(1)).alias("n_cont"),
+    )
+    cright = cab.groupBy("term_b").agg(F.count(F.lit(1)).alias("n_left"))
+    btypes = cab.agg(F.count(F.lit(1)).alias("b_types"))
+    d = float(discount)
+    prob = (
+        cab.join(cleft, "term_a")
+        .join(cright, "term_b")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "term_a",
+            "term_b",
+            F.log(
+                F.greatest(
+                    F.col("c_ab").cast("double") - F.lit(d), F.lit(0.0)
+                )
+                / F.col("c_left")
+                + (F.lit(d) * F.col("n_cont") / F.col("c_left"))
+                * (F.col("n_left") / F.col("b_types"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        big.join(prob, ["term_a", "term_b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("logp") / F.count(F.lit(1)), 4).alias(
+                "avg_kn_logprob"
+            ),
+        )
+    )
+
+
 def pmi_bigrams(df: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
     """Top-k bigram collocations by pointwise mutual information
     (Church & Hanks '90) — the vocabulary/tokenizer-building shape
