@@ -247,6 +247,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "pmi_bigrams",
         "kmv_distinct",
         "pack_conversations",
+        "sft_examples",
         "winnow",
         "winnow_pairs",
         "winnow_verified",

@@ -1508,6 +1508,23 @@ def q_pack_conversations(spark, sf_dir):
     return X.pack_conversations(docs, max_tokens=300)
 
 
+def q_sft_examples(spark, sf_dir):
+    """Multi-turn SFT example construction over synthesized transcript
+    structure (conv_id = doc_id div 8, turn order = doc_id % 8,
+    alternating user/assistant roles): one (context, target) pair per
+    assistant turn with a 3-turn rolling context — built by ONE lag
+    window, never materializing a conversation."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 8").alias("conv_id"),
+        (F.col("doc_id") % 8).alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        "text",
+    )
+    return X.sft_examples(docs, context_turns=3)
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing via textops.ccnet_buckets in
     EXACT threshold mode — the only place exact mode is used: Spark's
@@ -2082,12 +2099,12 @@ QUERIES: dict[str, Callable] = {
     "extract_plain_route": q_extract_plain_route,
     "extract_html_route": q_extract_html_route,
     "extract_pdf_route": q_extract_pdf_route,
-    "media_features": q_media_features,
     # -- training-data operators --
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
     "kn_logprob": q_kn_logprob,
+    "sft_examples": q_sft_examples,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2136,9 +2153,11 @@ QUERIES: dict[str, Callable] = {
     #    and BIT-UNCHANGED since the r4 artifact commit, demoted for
     #    the r5 PQ + near_dup_keep_best keys; media_frames
     #    r4-hash-green, media ops untouched in r5, demoted for the
-    #    r5 ann_ivf_pq key; media_decode likewise for kn_logprob)
+    #    r5 ann_ivf_pq key; media_decode likewise for kn_logprob,
+    #    media_features for sft_examples)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "media_features": q_media_features,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
     "dedup_exact": q_dedup_exact,
@@ -4019,6 +4038,31 @@ ORACLES: dict[str, str] = {
     # mirrors textops.pack_conversations (max_tokens=300) over the
     # synthesized conv structure: the greedy fold as a recursive CTE
     # (chunk/fill state propagated turn by turn within each conv)
+    # concat_ws skips NULL lags in BOTH engines, so conversation-start
+    # contexts shorten identically; chr(10) = the operator's '\n'
+    "sft_examples": """
+        WITH t AS (
+            SELECT doc_id // 8 AS conv_id, doc_id % 8 AS turn_idx,
+                   CASE WHEN doc_id % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   text
+            FROM documents
+        ),
+        lagged AS (
+            SELECT conv_id, turn_idx, role, text,
+                   lag(concat_ws(': ', role, text), 3) OVER w AS c3,
+                   lag(concat_ws(': ', role, text), 2) OVER w AS c2,
+                   lag(concat_ws(': ', role, text), 1) OVER w AS c1
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id, turn_idx,
+               (CASE WHEN c3 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN c2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN c1 IS NULL THEN 0 ELSE 1 END) AS n_ctx,
+               concat_ws(chr(10), c3, c2, c1) AS context,
+               text AS target
+        FROM lagged WHERE role = 'assistant'
+    """,
     "pack_conversations": """
         WITH RECURSIVE t0 AS (
             SELECT doc_id // 10 AS conv_id, doc_id % 10 AS turn_idx,

@@ -1545,6 +1545,72 @@ def c4_rules(
     )
 
 
+def sft_examples(
+    turns: DataFrame,
+    context_turns: int = 3,
+    target_role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Conversation -> supervised fine-tuning examples: one (context,
+    target) pair per ``target_role`` turn, the context being the
+    previous ``context_turns`` turns rendered as ``role: text`` lines —
+    the standard multi-turn-SFT example construction (each assistant
+    turn trains once, conditioned on a bounded rolling history; cf.
+    the doc-side window analogue :func:`doc_chunks`).
+
+    Scale shape: ONE window over (conv, turn order) computes the
+    ``context_turns`` lag columns — the conversation is NEVER
+    materialized as a single row (no sort_array/collect_list), so a
+    million-turn whale conversation costs exactly what its turn count
+    costs and no row ever exceeds ``context_turns + 1`` turns of text.
+    ``concat_ws`` skips the NULL lags at conversation starts in both
+    engines, so early-turn examples simply carry shorter contexts
+    (n_ctx counts the real ones; a conversation-opening target yields
+    context = ''). The role filter applies AFTER the window — context
+    sees every turn, targets are only ``target_role`` turns.
+
+    Returns (conv_id, turn_idx, n_ctx, context, target), renamed from
+    ``conv_col``/``idx_col``. Compose downstream with
+    :func:`pack_sequences` to pack examples into training sequences.
+    """
+    if context_turns < 1:
+        raise ValueError(f"context_turns={context_turns} must be >= 1")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    fmt = F.concat_ws(": ", "role", "text")
+    # one projection holding all lag columns -> a single Window node
+    lagged = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        "role",
+        "text",
+        *[
+            F.lag(fmt, j).over(w).alias(f"ctx_{j}")
+            for j in range(context_turns, 0, -1)
+        ],
+    )
+    n_ctx = None
+    for j in range(context_turns, 0, -1):
+        term = F.when(F.col(f"ctx_{j}").isNull(), 0).otherwise(1)
+        n_ctx = term if n_ctx is None else n_ctx + term
+    return (
+        lagged.filter(F.col("role") == target_role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            n_ctx.alias("n_ctx"),
+            F.concat_ws(
+                "\n",
+                *[
+                    F.col(f"ctx_{j}")
+                    for j in range(context_turns, 0, -1)
+                ],
+            ).alias("context"),
+            F.col("text").alias("target"),
+        )
+    )
+
+
 def pack_conversations(
     df: DataFrame,
     max_tokens: int = 2048,

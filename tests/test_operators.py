@@ -436,6 +436,69 @@ def test_line_dedup_max_df_threshold(spark):
     assert out[1] == "twice shared\nb1"
 
 
+def test_sft_examples_rolling_context_and_edges(spark):
+    """One example per assistant turn; contexts are the previous <= 3
+    turns as 'role: text' lines; a conversation-OPENING assistant turn
+    yields context '' with n_ctx 0; user turns never become targets;
+    context windows never cross conversations."""
+    from ocr_spark.operators.textops import sft_examples
+
+    rows = [
+        # conv 0: u0 a1 u2 a3 u4 a5 — second assistant turn sees 3
+        # turns, first sees 1
+        (0, 0, "user", "hi"),
+        (0, 1, "assistant", "hello"),
+        (0, 2, "user", "how are you"),
+        (0, 3, "assistant", "fine"),
+        (0, 4, "user", "bye"),
+        (0, 5, "assistant", "goodbye"),
+        # conv 1: assistant OPENS (zero context), then user only
+        (1, 0, "assistant", "welcome"),
+        (1, 1, "user", "thanks"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in sft_examples(turns, context_turns=3).collect()
+    }
+    assert set(out) == {(0, 1), (0, 3), (0, 5), (1, 0)}
+    assert out[(0, 1)].context == "user: hi"
+    assert out[(0, 1)].n_ctx == 1
+    assert out[(0, 3)].context == (
+        "user: hi\nassistant: hello\nuser: how are you"
+    )
+    assert out[(0, 3)].n_ctx == 3
+    assert out[(0, 5)].context == (
+        "user: how are you\nassistant: fine\nuser: bye"
+    )
+    assert out[(0, 5)].target == "goodbye"
+    assert out[(1, 0)].context == "" and out[(1, 0)].n_ctx == 0
+
+
+def test_sft_examples_is_one_window_no_conv_materialization(spark):
+    """Scale pin: the whole op is ONE window over (conv, turn order) —
+    a single hash exchange, no aggregation, no join, no sort_array /
+    collect_list whale row (a million-turn conversation streams
+    through at per-turn cost)."""
+    from ocr_spark.operators.textops import sft_examples
+
+    turns = spark.createDataFrame(
+        [(0, 0, "user", "x"), (0, 1, "assistant", "y")],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    tree = (
+        sft_examples(turns, context_turns=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert tree.count("Exchange") == 1
+    assert "HashAggregate" not in tree
+    assert "Join" not in tree
+    assert "collect_list" not in tree and "sort_array" not in tree
+    assert tree.count("Window") == 1
+
+
 def test_pack_conversations_zero_token_turn_edge(spark):
     """The fill>0 guard both engines share: a chunk opened by
     zero-token turns absorbs even an oversized next turn (fill==0
