@@ -249,6 +249,54 @@ def sessionize_stream(
     return writer.start()
 
 
+def windowed_counts_stream(
+    events: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    ts: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    trigger_once: bool = False,
+):
+    """Watermarked TUMBLING-window aggregation — the fixed-bucket twin
+    of :func:`sessionize_stream` and the canonical late-data shape:
+    (key, window) counts are emitted in append mode once the event-time
+    watermark passes the window's end, so every emitted bucket is FINAL
+    (no retraction downstream); events arriving later than ``watermark``
+    after the stream's max event time are dropped, never double-counted
+    (pytest-pinned: a post-emission late event changes nothing).
+
+    State is one count per (key, open window) within the watermark
+    horizon — bounded, independent of stream length. The batch
+    equivalent is ``groupBy(F.window(ts, window), key).count()``; the
+    streaming plan is the SAME declarative agg plus the watermark,
+    which is the whole point of Structured Streaming's model.
+    """
+    from pyspark.sql import functions as F
+
+    agg = (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def extract_stream_with_lineage(
     transcripts: DataFrame,
     output_dir: str,

@@ -253,6 +253,83 @@ def test_streaming_session_windows(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_streaming_tumbling_windows_and_late_data_drop(spark, tmp_path):
+    """Tumbling-window watermarked counts: buckets emit once the
+    watermark passes their end, match the batch groupBy(window) on the
+    same files, and a late event arriving AFTER emission is dropped —
+    never double-counted, never a duplicate bucket row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.streaming import windowed_counts_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def write_events(path, rows):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    write_events(
+        f"{in_dir}/a.parquet",
+        [
+            ("A", "2026-01-01 00:05:00"),
+            ("A", "2026-01-01 00:55:00"),  # same 1h bucket
+            ("A", "2026-01-01 01:10:00"),  # next bucket
+            ("B", "2026-01-01 00:30:00"),
+        ],
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .parquet(in_dir)
+        )
+        q = windowed_counts_stream(
+            stream, out_dir, ckpt, window="1 hour",
+            watermark="10 minutes", trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # sentinel advances the watermark past every file-a bucket end;
+    # its own bucket stays open (unemitted)
+    write_events(
+        f"{in_dir}/sentinel.parquet", [("Z", "2026-02-01 00:00:00")]
+    )
+    drain()
+
+    def emitted():
+        got = duckdb.sql(
+            f"""select user_id, strftime(window_start, '%H:%M') as s,
+                       n_events
+                from '{out_dir}/*.parquet' order by user_id, s"""
+        ).df()
+        return {(r.user_id, r.s): r.n_events for r in got.itertuples()}
+
+    rows = emitted()
+    assert rows == {
+        ("A", "00:00"): 2, ("A", "01:00"): 1, ("B", "00:00"): 1
+    }
+    # late event into an ALREADY-EMITTED bucket: dropped by the
+    # watermark — output is unchanged (no extra row, no recount)
+    write_events(
+        f"{in_dir}/late.parquet", [("A", "2026-01-01 00:20:00")]
+    )
+    drain()
+    assert emitted() == rows
+
+
 def test_streaming_lineage_parity(spark, tmp_path):
     """foreachBatch variant: per-micro-batch lineage rows (the batch
     writer's observability protocol) with idempotent batch dirs;
