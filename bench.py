@@ -244,6 +244,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "ccnet_buckets",
         "bigram_logprob",
         "kn_logprob",
+        "oov_rate",
         "pmi_bigrams",
         "kmv_distinct",
         "pack_conversations",

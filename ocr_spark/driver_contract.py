@@ -1710,6 +1710,14 @@ def q_bigram_logprob(spark, sf_dir):
     return X.bigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def q_oov_rate(spark, sf_dir):
+    """Per-doc OOV rate vs the corpus's own top-100 vocabulary
+    (count desc, term asc boundary) — tokenizer-fit signal; V=100
+    keeps the sf0.01 rates mid-range so both count branches and the
+    broadcast-join path are exercised."""
+    return X.oov_rate(load(spark, sf_dir, "documents"), vocab_size=100)
+
+
 def q_kn_logprob(spark, sf_dir):
     """Per-doc interpolated Kneser-Ney bigram log-probability (D=0.75
     absolute discount, continuation-probability backoff) — the
@@ -2098,13 +2106,13 @@ QUERIES: dict[str, Callable] = {
     "media_near_dup": q_media_near_dup,
     "extract_plain_route": q_extract_plain_route,
     "extract_html_route": q_extract_html_route,
-    "extract_pdf_route": q_extract_pdf_route,
     # -- training-data operators --
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
     "kn_logprob": q_kn_logprob,
     "sft_examples": q_sft_examples,
+    "oov_rate": q_oov_rate,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2154,9 +2162,11 @@ QUERIES: dict[str, Callable] = {
     #    the r5 PQ + near_dup_keep_best keys; media_frames
     #    r4-hash-green, media ops untouched in r5, demoted for the
     #    r5 ann_ivf_pq key; media_decode likewise for kn_logprob,
-    #    media_features for sft_examples)
+    #    media_features for sft_examples, extract_pdf_route for
+    #    oov_rate — all r4-hash-green, untouched in r5)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "extract_pdf_route": q_extract_pdf_route,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
@@ -4399,6 +4409,28 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*) AS n_bigrams,
                round(sum(logp) / count(*), 4) AS avg_logprob2
         FROM bf JOIN prob USING (term_a, term_b)
+        GROUP BY doc_id
+    """,
+    "oov_rate": """
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        toks AS (
+            SELECT doc_id, unnest(t) AS term FROM arrs
+        ),
+        tf AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        vocab AS (
+            SELECT term FROM (
+                SELECT term, count(*) AS c FROM tf GROUP BY term
+            ) ORDER BY c DESC, term ASC LIMIT 100
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               count(*) FILTER (WHERE v.term IS NULL) AS n_oov,
+               round(count(*) FILTER (WHERE v.term IS NULL)
+                     / count(*), 4) AS oov_rate
+        FROM tf LEFT JOIN vocab v ON tf.term = v.term
         GROUP BY doc_id
     """,
     # Kneser-Ney: same bigram stream; D = 0.75 is exactly binary-

@@ -923,6 +923,52 @@ def vocab_topk(df: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def oov_rate(df: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` vocabulary — the tokenizer-fit / domain-shift
+    signal (a doc whose tokens a tokenizer trained on this corpus
+    would fragment; high OOV flags boilerplate-junk, code-in-prose,
+    or off-domain text).
+
+    Vocabulary = top-V lowercased tokens by occurrence count with the
+    (count desc, term asc) total order of :func:`vocab_topk` — a
+    distributed TakeOrdered, never a global sort — then BROADCAST into
+    the token stream (V rows by construction); per-doc aggregation is
+    one hash-agg with map-side partials. Returns
+    (doc_id, n_tokens, n_oov, oov_rate round-4); token-less docs drop
+    (the ``unigram_logprob`` convention).
+    """
+    arr = _ensure_parallelism(df).select(
+        "doc_id", F.expr(TOKENS_LC).alias("t")
+    )
+    toks = arr.select("doc_id", F.explode("t").alias("term")).filter(
+        F.col("term") != ""
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("iv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("iv").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
 def ngram_topk(df: DataFrame, n: int = 3, k: int = 100) -> DataFrame:
     """Corpus most-frequent word n-grams — the boilerplate-discovery /
     corpus-inspection operator (the top trigrams of a web dump ARE its

@@ -215,6 +215,27 @@ def test_bigram_logprob_order_sensitivity(spark):
     assert [r.doc_id for r in bigram_logprob(docs2).collect()] == [0]
 
 
+def test_oov_rate_vocab_boundary_and_rates(spark):
+    """OOV rate against the corpus's own top-V vocabulary: counts and
+    rates match hand computation, the V boundary tie-breaks by term
+    asc at equal count, and a token-less doc drops."""
+    from ocr_spark.operators.textops import oov_rate
+
+    # counts: a=4, b=3, c=3, d=1 -> top-3 vocab {a, b, c} (c beats d
+    # on count; b/c tie broken irrelevant here). With V=2: {a, b}
+    # (b beats c on the term-asc tie-break at count 3).
+    docs = _docs(spark, ["a a b c", "a b c d", "a b c", ""])
+    out3 = {r.doc_id: r for r in oov_rate(docs, vocab_size=3).collect()}
+    assert set(out3) == {0, 1, 2}, "empty doc drops"
+    assert (out3[0].n_tokens, out3[0].n_oov) == (4, 0)
+    assert (out3[1].n_tokens, out3[1].n_oov) == (4, 1)  # d is OOV
+    assert out3[1].oov_rate == pytest.approx(0.25, abs=1e-12)
+    assert (out3[2].n_tokens, out3[2].n_oov) == (3, 0)
+    out2 = {r.doc_id: r for r in oov_rate(docs, vocab_size=2).collect()}
+    assert (out2[2].n_tokens, out2[2].n_oov) == (3, 1)  # c fell out
+    assert out2[1].n_oov == 2  # c and d
+
+
 def test_kn_logprob_closed_form_and_normalization(spark):
     """Interpolated Kneser-Ney: per-doc averages match a hand-built
     python reference on a tiny corpus, and the conditional distribution
