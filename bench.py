@@ -249,6 +249,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "kmv_distinct",
         "pack_conversations",
         "sft_examples",
+        "sft_pipeline",
         "winnow",
         "winnow_pairs",
         "winnow_verified",

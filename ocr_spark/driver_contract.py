@@ -1525,6 +1525,32 @@ def q_sft_examples(spark, sf_dir):
     return X.sft_examples(docs, context_turns=3)
 
 
+def q_sft_pipeline(spark, sf_dir):
+    """The multi-turn SFT data path end to end as ONE declarative
+    plan: synthesized transcripts -> sft_examples (3-turn rolling
+    contexts; lag window) -> render 'context\\n\\ntarget' (nullif
+    skips the empty context so openers don't lead with the separator)
+    -> pack_sequences into 512-token sequences in 8 hash shards
+    (per-shard window cumsum). Example ids densify to
+    conv_id*4 + (turn_idx-1) div 2 so every shard populates."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 8").alias("conv_id"),
+        (F.col("doc_id") % 8).alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        "text",
+    )
+    ex = X.sft_examples(docs, context_turns=3)
+    rendered = ex.select(
+        F.expr("conv_id * 4 + (turn_idx - 1) div 2").alias("doc_id"),
+        F.concat_ws(
+            "\n\n", F.expr("nullif(context, '')"), F.col("target")
+        ).alias("text"),
+    )
+    return X.pack_sequences(rendered, seq_len=512, shards=8)
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing via textops.ccnet_buckets in
     EXACT threshold mode — the only place exact mode is used: Spark's
@@ -2105,7 +2131,6 @@ QUERIES: dict[str, Callable] = {
     "extract_then_curate": q_extract_then_curate,
     "media_near_dup": q_media_near_dup,
     "extract_plain_route": q_extract_plain_route,
-    "extract_html_route": q_extract_html_route,
     # -- training-data operators --
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
@@ -2113,6 +2138,7 @@ QUERIES: dict[str, Callable] = {
     "kn_logprob": q_kn_logprob,
     "sft_examples": q_sft_examples,
     "oov_rate": q_oov_rate,
+    "sft_pipeline": q_sft_pipeline,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2163,9 +2189,11 @@ QUERIES: dict[str, Callable] = {
     #    r4-hash-green, media ops untouched in r5, demoted for the
     #    r5 ann_ivf_pq key; media_decode likewise for kn_logprob,
     #    media_features for sft_examples, extract_pdf_route for
-    #    oov_rate — all r4-hash-green, untouched in r5)
+    #    oov_rate, extract_html_route for sft_pipeline — all
+    #    r4-hash-green, untouched in r5)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "extract_html_route": q_extract_html_route,
     "extract_pdf_route": q_extract_pdf_route,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
@@ -4072,6 +4100,50 @@ ORACLES: dict[str, str] = {
                concat_ws(chr(10), c3, c2, c1) AS context,
                text AS target
         FROM lagged WHERE role = 'assistant'
+    """,
+    # sft_examples CTEs + rendering + the pack_sequences shard-window
+    # cumsum, composed verbatim; nullif('') keeps conversation-opening
+    # targets from leading with the blank-line separator
+    "sft_pipeline": """
+        WITH t AS (
+            SELECT doc_id // 8 AS conv_id, doc_id % 8 AS turn_idx,
+                   CASE WHEN doc_id % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   text
+            FROM documents
+        ),
+        lagged AS (
+            SELECT conv_id, turn_idx, role, text,
+                   lag(concat_ws(': ', role, text), 3) OVER w AS c3,
+                   lag(concat_ws(': ', role, text), 2) OVER w AS c2,
+                   lag(concat_ws(': ', role, text), 1) OVER w AS c1
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ),
+        ex AS (
+            SELECT conv_id * 4 + (turn_idx - 1) // 2 AS doc_id,
+                   concat_ws(chr(10) || chr(10),
+                             nullif(concat_ws(chr(10), c3, c2, c1), ''),
+                             text) AS text
+            FROM lagged WHERE role = 'assistant'
+        ),
+        tk AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                   END AS n_tokens
+            FROM ex
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 512) AS BIGINT) AS seq_idx,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) % 512 AS BIGINT) AS seq_offset
+        FROM tk
     """,
     "pack_conversations": """
         WITH RECURSIVE t0 AS (

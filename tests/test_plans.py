@@ -548,6 +548,25 @@ def test_pq_ann_broadcasts_queries_no_cartesian(spark, sf001_dir):
     assert "CartesianProduct" not in tree
 
 
+def test_sft_pipeline_is_two_windows_one_plan(spark, sf001_dir):
+    # the SFT data path composes as ONE declarative plan: exactly two
+    # hash exchanges (the conv-keyed lag window, then the shard-keyed
+    # pack cumsum window), no join, no aggregation, no whale rows
+    import re
+
+    from ocr_spark.driver_contract import QUERIES
+
+    plan = _formatted(QUERIES["sft_pipeline"](spark, sf001_dir))
+    tree = _tree(plan)
+    parts = re.findall(r"hashpartitioning\(([^,)]*)", plan)
+    assert len(parts) == 2, parts
+    assert any("conv_id" in p for p in parts)
+    assert any("shard" in p for p in parts)
+    assert "Join" not in tree
+    assert "HashAggregate" not in tree
+    assert "collect_list" not in plan
+
+
 def test_ivf_pq_corpus_never_hash_shuffles(spark, sf001_dir):
     # IVF+PQ scale shape: coarse assignment is mapInPandas (map-only),
     # encode chains as projections, the LUT-carrying probe side
