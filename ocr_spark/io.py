@@ -147,6 +147,33 @@ def ingest_zip(
     return read_transcripts(spark, str(out), fmt=fmt, dedup=dedup)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on
+    ``key`` — the co-located-join storage layout: two tables bucketed
+    on the same key with the same bucket count join with NO shuffle on
+    either side (Catalyst sees ``HashPartitioning(key, buckets)`` as
+    the output partitioning of the scan), which is THE lever for a
+    repeated big-big join at 100 TB — the shuffle is paid once at
+    write time, then every downstream join of any two co-bucketed
+    tables is exchange-free (pytest-pinned in
+    test_bucketed_join_is_shuffle_free).
+
+    Uses ``bucketBy`` + ``saveAsTable`` (bucket metadata lives in the
+    session catalog; plain ``parquet(path)`` cannot carry it — the
+    Spark API constraint, not a choice). ``sortBy(key)`` additionally
+    lets a one-file-per-bucket table skip the join's Sort."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg runtime jar is on the session classpath."""
     try:

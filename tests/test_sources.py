@@ -105,3 +105,39 @@ def test_zip_ingest_dedups_by_filename_then_rows(
     assert got.select("conv_id").distinct().count() == df[
         "conv_id"
     ].nunique()
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The co-located-join layout: two tables bucketBy'd on the same
+    key with the same bucket count join WITHOUT an Exchange on either
+    side — the scan itself reports HashPartitioning(key). The shuffle
+    is paid once at write time; every later co-bucketed join is free.
+    Values round-trip exactly."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.io import write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    write_bucketed(left, "bkt_left", "k", buckets=8)
+    write_bucketed(right, "bkt_right", "k", buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        tree = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree, tree
+        got = {r.k: (r.a, r.b) for r in j.collect()}
+        assert len(got) == 1000
+        assert got[7] == (14, 21)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
