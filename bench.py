@@ -255,6 +255,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "winnow_verified",
         "bpe_tokenize",
         "minhash_lsh",
+        "minhash_estimate",
         "near_dup_keep_best",
         "simhash",
         "simhash_pairs",

@@ -1010,6 +1010,16 @@ def q_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """LSH candidates scored by signature agreement (n_match/16, the
+    Broder unbiased Jaccard estimator) — the constant-width verify
+    path; min_match=1 keeps every candidate so both the band join and
+    the component-compare arithmetic are exercised."""
+    return D.minhash_estimate_pairs(
+        load(spark, sf_dir, "documents"), min_match=1
+    )
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(load(spark, sf_dir, "documents"))
 
@@ -2130,7 +2140,6 @@ QUERIES: dict[str, Callable] = {
     #    gated before r4: they must land inside the artifact) --
     "extract_then_curate": q_extract_then_curate,
     "media_near_dup": q_media_near_dup,
-    "extract_plain_route": q_extract_plain_route,
     # -- training-data operators --
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
@@ -2139,6 +2148,7 @@ QUERIES: dict[str, Callable] = {
     "sft_examples": q_sft_examples,
     "oov_rate": q_oov_rate,
     "sft_pipeline": q_sft_pipeline,
+    "minhash_estimate": q_minhash_estimate,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2189,10 +2199,12 @@ QUERIES: dict[str, Callable] = {
     #    r4-hash-green, media ops untouched in r5, demoted for the
     #    r5 ann_ivf_pq key; media_decode likewise for kn_logprob,
     #    media_features for sft_examples, extract_pdf_route for
-    #    oov_rate, extract_html_route for sft_pipeline — all
-    #    r4-hash-green, untouched in r5)
+    #    oov_rate, extract_html_route for sft_pipeline,
+    #    extract_plain_route for minhash_estimate — all r4-hash-green,
+    #    untouched in r5)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "extract_plain_route": q_extract_plain_route,
     "extract_html_route": q_extract_html_route,
     "extract_pdf_route": q_extract_pdf_route,
     "media_features": q_media_features,
@@ -3112,6 +3124,47 @@ ORACLES: dict[str, str] = {
         WHERE round(inter / (szi.sz_i + szc.sz_c - inter), 4) >= 0.05
     """,
     "minhash_lsh": _MINHASH_SQL,
+    # signature-agreement estimate: positional component matches over
+    # the (seed, part) long form = Spark's mh{i} columns (i =
+    # seed*4 + part); count(FILTER) keeps BIGINT (integer kind — the
+    # sum(CASE) HUGEINT->float trap); n/16 is dyadic so round-4 exact
+    "minhash_estimate": f"""
+        WITH {_SH_CTE},
+        mh AS (
+            SELECT doc_id, seed, part,
+                   min(substring(md5(seed || '#' || shingle),
+                                 part * 8 + 1, 8)) AS minhash
+            FROM sh
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS part)
+            GROUP BY 1, 2, 3
+        ),
+        bands AS (
+            SELECT doc_id, CAST((seed * 4 + part) // 2 AS INT) AS band,
+                   md5(array_to_string(list_sort(list(minhash)), '|'))
+                       AS band_key
+            FROM mh GROUP BY doc_id, band
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        agree AS (
+            SELECT c.doc_a, c.doc_b,
+                   count(*) FILTER (WHERE ma.minhash = mb.minhash)
+                       AS n_match
+            FROM cands c
+            JOIN mh ma ON ma.doc_id = c.doc_a
+            JOIN mh mb ON mb.doc_id = c.doc_b
+                      AND mb.seed = ma.seed AND mb.part = ma.part
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_match,
+               round(n_match / 16, 4) AS est_jaccard
+        FROM agree WHERE n_match >= 1
+    """,
     "simhash": _simhash_sql(16),
     "simhash_pairs": _simhash_pairs_sql(64, 4, 3),
     # transitive min over the same LSH pair graph: every node's group is

@@ -372,6 +372,75 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_match: int = 1,
+) -> DataFrame:
+    """LSH candidate pairs scored by SIGNATURE AGREEMENT — matching
+    components / ``num_hashes`` is the unbiased Jaccard estimator
+    (P[component match] = J per MinHash element, Broder '97) and the
+    verify path that stays CONSTANT-WIDTH at 100 TB: scoring a pair
+    reads only the two k-component signatures (2*k*8 bytes, however
+    long the documents), where ``minhash_lsh_pairs``' exact verify
+    re-joins the candidate docs' full shingle sets. Trade: the
+    estimate is quantized to 1/k with sd sqrt(J(1-J)/k) (k=16 ->
+    +-0.12 at J=0.5) — use the exact verify when the downstream
+    decision needs a tight threshold; gate on ``min_match`` components
+    here (an integer, so the cut is engine-exact by construction).
+
+    Returns (doc_a, doc_b, n_match, est_jaccard) for candidates with
+    n_match >= min_match; est_jaccard = n_match/k rounds exactly
+    (multiples of 1/16 are dyadic). Signatures would be computed once
+    and persisted in production (the FingerprintStore pattern — band
+    keys AND signature components are both store-committable); here
+    the plan recomputes the signature agg per consumer, matching
+    ``minhash_lsh_pairs``' shape.
+    """
+    sig = _minhash_agg(_with_shingles(df, n), num_hashes)
+    banded = _explode_bands(sig, num_hashes, bands)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # cf. minhash_lsh_pairs
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    n_match = None
+    for i in range(num_hashes):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+        .filter(F.col("n_match") >= min_match)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.round(F.col("n_match") / F.lit(num_hashes), 4).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 def line_dedup(df: DataFrame, max_df: int = 1) -> DataFrame:
     """Paragraph/line-level exact dedup — the C4 / RefinedWeb shape
     (Raffel et al. JMLR '20 §2.2; Penedo et al. '23 §4.2): a line whose

@@ -58,6 +58,34 @@ def test_minhash_lsh_recalls_near_dup(spark):
     assert {(r.doc_a, r.doc_b) for r in out} == {(0, 1)}
 
 
+def test_minhash_estimate_agreement_semantics(spark):
+    """Signature-agreement scoring: identical docs match on all 16
+    components (est 1.0); a near-dup pair matches on SOME but not all;
+    an unrelated doc never becomes a candidate; and every pair the
+    exact verify keeps appears in the estimate's candidate superset."""
+    from ocr_spark.operators.dedup import (
+        minhash_estimate_pairs, minhash_lsh_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base + "extra"
+    far = "one two three four five six seven eight nine ten " * 3
+    docs = _docs(spark, [base, base, near, far])
+    est = {
+        (r.doc_a, r.doc_b): r for r in
+        minhash_estimate_pairs(docs, min_match=1).collect()
+    }
+    assert est[(0, 1)].n_match == 16
+    assert est[(0, 1)].est_jaccard == 1.0
+    assert 1 <= est[(0, 2)].n_match < 16
+    assert not any(3 in p for p in est), "far doc never a candidate"
+    exact = {
+        (r.doc_a, r.doc_b) for r in
+        minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert exact <= set(est), "estimate candidates superset exact pairs"
+
+
 def test_simhash_similar_docs_close(spark):
     a = "spark shuffle partition arrow batch kernel vector column"
     b = a + " extra"
