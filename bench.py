@@ -245,6 +245,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "bigram_logprob",
         "kn_logprob",
         "oov_rate",
+        "js_divergence",
         "pmi_bigrams",
         "kmv_distinct",
         "pack_conversations",

@@ -1746,6 +1746,15 @@ def q_bigram_logprob(spark, sf_dir):
     return X.bigram_logprob(load(spark, sf_dir, "documents"))
 
 
+def q_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between the src0 and src1 unigram
+    distributions — the corpus-comparison statistic, one token-stream
+    pass (conditional counts, never per-group tables joined)."""
+    return X.js_divergence(
+        load(spark, sf_dir, "documents"), "src0", "src1"
+    )
+
+
 def q_oov_rate(spark, sf_dir):
     """Per-doc OOV rate vs the corpus's own top-100 vocabulary
     (count desc, term asc boundary) — tokenizer-fit signal; V=100
@@ -2139,7 +2148,6 @@ QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
     "extract_then_curate": q_extract_then_curate,
-    "media_near_dup": q_media_near_dup,
     # -- training-data operators --
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
@@ -2149,6 +2157,7 @@ QUERIES: dict[str, Callable] = {
     "oov_rate": q_oov_rate,
     "sft_pipeline": q_sft_pipeline,
     "minhash_estimate": q_minhash_estimate,
+    "js_divergence": q_js_divergence,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2200,10 +2209,11 @@ QUERIES: dict[str, Callable] = {
     #    r5 ann_ivf_pq key; media_decode likewise for kn_logprob,
     #    media_features for sft_examples, extract_pdf_route for
     #    oov_rate, extract_html_route for sft_pipeline,
-    #    extract_plain_route for minhash_estimate — all r4-hash-green,
-    #    untouched in r5)
+    #    extract_plain_route for minhash_estimate, media_near_dup for
+    #    js_divergence — all r4-hash-green, untouched in r5)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "media_near_dup": q_media_near_dup,
     "extract_plain_route": q_extract_plain_route,
     "extract_html_route": q_extract_html_route,
     "extract_pdf_route": q_extract_pdf_route,
@@ -4535,6 +4545,41 @@ ORACLES: dict[str, str] = {
                round(sum(logp) / count(*), 4) AS avg_logprob2
         FROM bf JOIN prob USING (term_a, term_b)
         GROUP BY doc_id
+    """,
+    # term-level contributions mirror the operator expression shape;
+    # cross-engine agg-order residual absorbed by round-6 (sum of
+    # O(10^3) O(1e-3) terms sits ~1e-12 from a boundary at worst)
+    "js_divergence": """
+        WITH toks AS (
+            SELECT source AS g,
+                   unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS term
+            FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        tf AS (SELECT g, term FROM toks WHERE term <> ''),
+        counts AS (
+            SELECT term,
+                   count(*) FILTER (WHERE g = 'src0') AS ca,
+                   count(*) FILTER (WHERE g = 'src1') AS cb
+            FROM tf GROUP BY term
+        ),
+        tots AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM counts),
+        terms AS (
+            SELECT ca / ta AS p, cb / tb AS q, ta, tb
+            FROM counts, tots
+        )
+        SELECT 'src0' AS group_a, 'src1' AS group_b,
+               count(*) AS n_vocab,
+               CAST(max(ta) AS BIGINT) AS tokens_a,
+               CAST(max(tb) AS BIGINT) AS tokens_b,
+               round(sum(0.5 * (
+                   CASE WHEN p > 0
+                        THEN p * ln(p / ((p + q) / 2.0))
+                        ELSE 0.0 END
+                 + CASE WHEN q > 0
+                        THEN q * ln(q / ((p + q) / 2.0))
+                        ELSE 0.0 END)), 6) AS jsd
+        FROM terms
     """,
     "oov_rate": """
         WITH arrs AS (

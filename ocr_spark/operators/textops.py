@@ -923,6 +923,76 @@ def vocab_topk(df: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def js_divergence(
+    df: DataFrame,
+    group_a: str,
+    group_b: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two document groups' unigram
+    distributions — the corpus-comparison statistic (domain shift,
+    dump-over-dump drift, did-my-filter-change-the-distribution): 0 for
+    identical distributions, ln(2) for disjoint vocabularies, symmetric
+    and always finite (unlike KL, which diverges the moment one group
+    has a word the other lacks — with p or q zero the term's
+    contribution is defined by continuity and handled explicitly).
+
+        JSD = 1/2 Σ_w p(w) ln(p/m) + 1/2 Σ_w q(w) ln(q/m),  m = (p+q)/2
+
+    Scale shape: ONE pass over the token stream — per-term conditional
+    counts (c_a, c_b) come from a single hash-agg with map-side
+    partials (never one count table per group joined), group totals
+    are a 2-row broadcast, the final Σ is a single-row agg. Returns
+    one row (group_a, group_b, n_vocab, tokens_a, tokens_b, jsd)
+    rounded 6 dp (term sums land ~1e-12 of the boundary at worst —
+    the corpus_stats rounding argument).
+    """
+    toks = (
+        _ensure_parallelism(df)
+        .filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.expr(TOKENS_LC)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.when(F.col("g") == group_a, 1)).alias("ca"),
+        F.count(F.when(F.col("g") == group_b, 1)).alias("cb"),
+    )
+    tots = counts.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    terms = counts.crossJoin(F.broadcast(tots)).select(
+        "ca",
+        "cb",
+        "ta",
+        "tb",
+        (F.col("ca") / F.col("ta")).alias("p"),
+        (F.col("cb") / F.col("tb")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    contrib = F.lit(0.5) * (
+        F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m))
+        .otherwise(F.lit(0.0))
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.max("ta").alias("tokens_a"),
+        F.max("tb").alias("tokens_b"),
+        F.round(F.sum(contrib), 6).alias("jsd"),
+    ).select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_vocab",
+        "tokens_a",
+        "tokens_b",
+        "jsd",
+    )
+
+
 def oov_rate(df: DataFrame, vocab_size: int = 1000) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus's own
     top-``vocab_size`` vocabulary — the tokenizer-fit / domain-shift

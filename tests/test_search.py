@@ -215,6 +215,38 @@ def test_bigram_logprob_order_sensitivity(spark):
     assert [r.doc_id for r in bigram_logprob(docs2).collect()] == [0]
 
 
+def test_js_divergence_identity_disjoint_symmetry(spark):
+    """JSD = 0 for identical distributions, ln(2) for disjoint
+    vocabularies, symmetric under group swap, and strictly between for
+    partial overlap."""
+    import math
+
+    from ocr_spark.operators.textops import js_divergence
+
+    rows = [
+        (0, "a b c a", "g1"),
+        (1, "a b c a", "g2"),      # g2 identical to g1
+        (2, "x y z x", "g3"),      # g3 disjoint from g1
+        (3, "a b x y", "g4"),      # g4 half-overlaps g1
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+    def jsd(a, b):
+        return js_divergence(docs, a, b).collect()[0]
+
+    same = jsd("g1", "g2")
+    assert same.jsd == 0.0
+    assert same.n_vocab == 3 and same.tokens_a == 4
+    disj = jsd("g1", "g3")
+    assert disj.jsd == round(math.log(2.0), 6)
+    assert disj.n_vocab == 6
+    part = jsd("g1", "g4")
+    assert 0.0 < part.jsd < round(math.log(2.0), 6)
+    assert jsd("g4", "g1").jsd == part.jsd, "symmetric"
+
+
 def test_oov_rate_vocab_boundary_and_rates(spark):
     """OOV rate against the corpus's own top-V vocabulary: counts and
     rates match hand computation, the V boundary tie-breaks by term
