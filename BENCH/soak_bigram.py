@@ -12,8 +12,10 @@ by construction, so any unigram-score separation is pure noise, while
 the bigram LM sees the broken transitions.
 
 Metric: classification accuracy of the midpoint-of-class-means
-threshold, plus Cohen's d, for both scores. Pass = bigram accuracy
->= 0.99 AND unigram accuracy <= 0.65 (chance-ish).
+threshold, plus Cohen's d, for all three scores (JM bigram, Kneser-Ney
+bigram, unigram). Pass = bigram AND KN accuracy >= 0.99, unigram
+accuracy <= 0.65 (chance-ish) — the KN leg shows the heavier smoothing
+keeps the same order-sensitivity at corpus scale.
 
 Run: python BENCH/soak_bigram.py [n_docs]
 Prints one JSON line.
@@ -67,7 +69,9 @@ def gen_partition(batches):
 def main() -> int:
     from pyspark.sql import SparkSession, functions as F
 
-    from ocr_spark.operators.textops import bigram_logprob, unigram_logprob
+    from ocr_spark.operators.textops import (
+        bigram_logprob, kn_logprob, unigram_logprob,
+    )
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -127,6 +131,9 @@ def main() -> int:
     t0 = time.time()
     un = stats_for(unigram_logprob(corpus), "avg_logprob")
     t_un = time.time() - t0
+    t0 = time.time()
+    kn = stats_for(kn_logprob(corpus), "avg_kn_logprob")
+    t_kn = time.time() - t0
 
     res = {
         "n_docs": N_DOCS,
@@ -134,9 +141,12 @@ def main() -> int:
         "bigram_wall_s": round(t_bi, 1),
         "unigram": un,
         "unigram_wall_s": round(t_un, 1),
+        "kneser_ney": kn,
+        "kn_wall_s": round(t_kn, 1),
     }
     print(json.dumps(res))
-    ok = bi["accuracy"] >= 0.99 and un["accuracy"] <= 0.65
+    ok = (bi["accuracy"] >= 0.99 and kn["accuracy"] >= 0.99
+          and un["accuracy"] <= 0.65)
     return 0 if ok else 1
 
 
