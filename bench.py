@@ -251,6 +251,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "pack_conversations",
         "sft_examples",
         "sft_pipeline",
+        "sft_spans",
         "winnow",
         "winnow_pairs",
         "winnow_verified",

@@ -1561,6 +1561,27 @@ def q_sft_pipeline(spark, sf_dir):
     return X.pack_sequences(rendered, seq_len=512, shards=8)
 
 
+def q_sft_spans(spark, sf_dir):
+    """Loss-mask spans for the packed SFT examples: where each
+    example's TARGET tokens land in the shard's flat token stream —
+    the mask a multi-turn SFT trainer applies. Same synthesized
+    transcripts / dense example ids as sft_pipeline."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 8").alias("conv_id"),
+        (F.col("doc_id") % 8).alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        "text",
+    )
+    ex = X.sft_examples(docs, context_turns=3).select(
+        F.expr("conv_id * 4 + (turn_idx - 1) div 2").alias("doc_id"),
+        "context",
+        "target",
+    )
+    return X.sft_spans(ex, seq_len=512, shards=8)
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing via textops.ccnet_buckets in
     EXACT threshold mode — the only place exact mode is used: Spark's
@@ -2147,7 +2168,6 @@ def q_dedup_turns(spark, sf_dir):
 QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
-    "extract_then_curate": q_extract_then_curate,
     # -- training-data operators --
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
@@ -2158,6 +2178,7 @@ QUERIES: dict[str, Callable] = {
     "sft_pipeline": q_sft_pipeline,
     "minhash_estimate": q_minhash_estimate,
     "js_divergence": q_js_divergence,
+    "sft_spans": q_sft_spans,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2210,9 +2231,11 @@ QUERIES: dict[str, Callable] = {
     #    media_features for sft_examples, extract_pdf_route for
     #    oov_rate, extract_html_route for sft_pipeline,
     #    extract_plain_route for minhash_estimate, media_near_dup for
-    #    js_divergence — all r4-hash-green, untouched in r5)
+    #    js_divergence, extract_then_curate for sft_spans — all
+    #    r4-hash-green, untouched in r5)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "extract_then_curate": q_extract_then_curate,
     "media_near_dup": q_media_near_dup,
     "extract_plain_route": q_extract_plain_route,
     "extract_html_route": q_extract_html_route,
@@ -4207,6 +4230,65 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) % 512 AS BIGINT) AS seq_offset
         FROM tk
+    """,
+    # sft_pipeline + the ctx-token carry: n_tokens of the rendered
+    # text and ctx_tokens of the bare context are independent
+    # whitespace counts whose sum property the operator pytest pins
+    "sft_spans": """
+        WITH t AS (
+            SELECT doc_id // 8 AS conv_id, doc_id % 8 AS turn_idx,
+                   CASE WHEN doc_id % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   text
+            FROM documents
+        ),
+        lagged AS (
+            SELECT conv_id, turn_idx, role, text,
+                   lag(concat_ws(': ', role, text), 3) OVER w AS c3,
+                   lag(concat_ws(': ', role, text), 2) OVER w AS c2,
+                   lag(concat_ws(': ', role, text), 1) OVER w AS c1
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ),
+        ex AS (
+            SELECT conv_id * 4 + (turn_idx - 1) // 2 AS doc_id,
+                   concat_ws(chr(10), c3, c2, c1) AS ctx,
+                   concat_ws(chr(10) || chr(10),
+                             nullif(concat_ws(chr(10), c3, c2, c1), ''),
+                             text) AS rendered
+            FROM lagged WHERE role = 'assistant'
+        ),
+        tk AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   CASE WHEN trim(rendered) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(rendered),
+                                                       '\\s+'))
+                   END AS n_tokens,
+                   CASE WHEN trim(ctx) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(ctx),
+                                                       '\\s+'))
+                   END AS ctx_tokens
+            FROM ex
+        ),
+        p AS (
+            SELECT doc_id, shard, n_tokens, ctx_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 512) AS BIGINT) AS seq_idx,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) % 512 AS BIGINT) AS seq_offset
+            FROM tk
+        )
+        SELECT doc_id, shard, n_tokens, ctx_tokens,
+               n_tokens - ctx_tokens AS tgt_tokens,
+               seq_idx, seq_offset,
+               CAST(seq_idx * 512 + seq_offset + ctx_tokens AS BIGINT)
+                   AS tgt_start,
+               CAST(seq_idx * 512 + seq_offset + n_tokens AS BIGINT)
+                   AS tgt_end
+        FROM p
     """,
     "pack_conversations": """
         WITH RECURSIVE t0 AS (

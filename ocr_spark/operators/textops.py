@@ -1854,6 +1854,7 @@ def pack_sequences(
     df: DataFrame,
     seq_len: int = 2048,
     shards: int = 32,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Greedy contiguous sequence packing (the sample-packing step of an
     LLM data pipeline): documents are laid end-to-end in deterministic
@@ -1867,7 +1868,9 @@ def pack_sequences(
     partitions by shard, so the sort is per-shard and parallel, and a
     sequence never crosses a shard boundary (standard practice — shards
     map to training-data files). Returns
-    (doc_id, shard, n_tokens, seq_idx, seq_offset).
+    (doc_id, shard, n_tokens, seq_idx, seq_offset, *keep) — ``keep``
+    names extra input columns carried through the packing unchanged
+    (``sft_spans`` threads its context token count this way).
     """
     from pyspark.sql import Window
 
@@ -1875,6 +1878,7 @@ def pack_sequences(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(shards)).alias("shard"),
         "n_tokens",
+        *keep,
     )
     w = (
         Window.partitionBy("shard")
@@ -1888,6 +1892,58 @@ def pack_sequences(
         "n_tokens",
         F.floor(cum_before / F.lit(seq_len)).cast("long").alias("seq_idx"),
         F.pmod(cum_before, F.lit(seq_len)).cast("long").alias("seq_offset"),
+        *keep,
+    )
+
+
+def sft_spans(
+    examples: DataFrame,
+    seq_len: int = 2048,
+    shards: int = 32,
+) -> DataFrame:
+    """Loss-mask spans for packed SFT examples — the missing third of
+    the SFT data path (:func:`sft_examples` builds the pairs,
+    :func:`pack_sequences` lays them out, THIS says which packed
+    tokens the trainer computes loss on): render ``context\\n\\ntarget``,
+    pack, and emit where the TARGET tokens land in the shard's flat
+    token stream, [tgt_start, tgt_end) with tgt_start =
+    seq_idx*seq_len + seq_offset + ctx_tokens. Everything outside
+    these spans (the contexts) is masked — the standard multi-turn SFT
+    loss rule.
+
+    Token additivity is guaranteed by construction: the separator is
+    whitespace, so tokens(context) + tokens(target) == tokens(rendered)
+    (pytest-pinned), and a span may legitimately cross a sequence
+    boundary (packing cuts mid-example; the flat positions stay
+    correct). Input: (doc_id, context, target) as produced by
+    ``sft_examples`` plus an id projection. Plan = the pack window
+    with ctx_tokens carried through (``keep=``) — no join, no second
+    pass. Returns (doc_id, shard, n_tokens, ctx_tokens, tgt_tokens,
+    seq_idx, seq_offset, tgt_start, tgt_end).
+    """
+    rendered = examples.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n", F.expr("nullif(context, '')"), F.col("target")
+        ).alias("text"),
+        F.when(F.trim("context") == "", F.lit(0))
+        .otherwise(F.size(F.expr("split(trim(context), '\\\\s+')")))
+        .alias("ctx_tokens"),
+    )
+    packed = pack_sequences(
+        rendered, seq_len=seq_len, shards=shards, keep=("ctx_tokens",)
+    )
+    flat = F.col("seq_idx") * F.lit(seq_len) + F.col("seq_offset")
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "ctx_tokens",
+        (F.col("n_tokens") - F.col("ctx_tokens")).alias("tgt_tokens"),
+        "seq_idx",
+        "seq_offset",
+        (flat + F.col("ctx_tokens")).cast("long").alias("tgt_start"),
+        (flat + F.col("n_tokens")).cast("long").alias("tgt_end"),
     )
 
 

@@ -527,6 +527,44 @@ def test_sft_examples_is_one_window_no_conv_materialization(spark):
     assert tree.count("Window") == 1
 
 
+def test_sft_spans_additivity_and_stream_tiling(spark):
+    """Loss-mask spans: ctx_tokens + tgt_tokens == n_tokens exactly
+    (whitespace separator additivity), a zero-context opener's span
+    starts at its own flat position, and consecutive examples TILE the
+    shard's flat token stream (one example's tgt_end == the next
+    example's flat start — no gaps, no overlaps)."""
+    from ocr_spark.operators.textops import sft_spans
+
+    rows = [
+        (0, "", "welcome to the show"),               # opener: 0 ctx
+        (8, "user: hi", "hello there my friend"),
+        (16, "user: a\nassistant: b", "short"),
+        (24, "user: one two", "three four five six seven"),
+    ]
+    ex = spark.createDataFrame(
+        rows, "doc_id long, context string, target string"
+    )
+    out = sorted(
+        sft_spans(ex, seq_len=6, shards=1).collect(),
+        key=lambda r: r.doc_id,
+    )
+    for r in out:
+        assert r.ctx_tokens + r.tgt_tokens == r.n_tokens
+        assert r.tgt_end - r.tgt_start == r.tgt_tokens
+        flat = r.seq_idx * 6 + r.seq_offset
+        assert r.tgt_start == flat + r.ctx_tokens
+    assert out[0].ctx_tokens == 0 and out[0].tgt_start == 0
+    # tiling: each example's end == the next one's flat start
+    for a, b in zip(out, out[1:]):
+        assert a.tgt_end == b.seq_idx * 6 + b.seq_offset
+    # a span crossing a sequence boundary stays flat-correct:
+    # example 8 starts at flat 4 (opener had 4 tokens) with 2 ctx +
+    # 4 tgt -> target spans [6, 10), crossing the seq_len=6 cut
+    r8 = out[1]
+    assert (r8.seq_idx, r8.seq_offset) == (0, 4)
+    assert (r8.tgt_start, r8.tgt_end) == (6, 10)
+
+
 def test_pack_conversations_zero_token_turn_edge(spark):
     """The fill>0 guard both engines share: a chunk opened by
     zero-token turns absorbs even an oversized next turn (fill==0
