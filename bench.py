@@ -246,6 +246,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "kn_logprob",
         "oov_rate",
         "js_divergence",
+        "quality_ensemble",
         "pmi_bigrams",
         "kmv_distinct",
         "pack_conversations",

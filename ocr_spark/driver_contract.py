@@ -77,6 +77,55 @@ sh AS (
 
 _SH_CTE = _sh_cte(3)
 
+# Gopher A1 signal CTEs (ends with `s` = per-doc signals) and the
+# composite pass predicate — shared by the gopher_rules oracle and the
+# quality_ensemble composition so the rule set cannot silently diverge
+_GOPHER_CTES = f"""t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS ts,
+                   list_filter(list_transform(
+                       string_split(text, chr(10)), l -> trim(l)),
+                       l -> l <> '') AS ls
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS word_count,
+                   CASE WHEN len(ts) > 0 THEN round(
+                       CAST(list_sum(list_transform(ts, x -> strlen(x)))
+                            AS DOUBLE) / len(ts), 4) ELSE 0.0 END
+                       AS mean_word_len,
+                   CASE WHEN len(ts) > 0 THEN round(
+                       CAST(len(list_filter(ts, x ->
+                           strpos(x, '#') > 0 OR strpos(x, '...') > 0))
+                            AS DOUBLE) / len(ts), 4) ELSE 0.0 END
+                       AS symbol_ratio,
+                   CASE WHEN len(ts) > 0 THEN round(
+                       CAST(len(list_filter(ts, x ->
+                           regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                           / len(ts), 4) ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN len(ls) > 0 THEN round(
+                       CAST(len(list_filter(ls, l ->
+                           l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+                            AS DOUBLE) / len(ls), 4) ELSE 0.0 END
+                       AS bullet_ratio,
+                   CASE WHEN len(ls) > 0 THEN round(
+                       CAST(len(list_filter(ls, l -> l LIKE '%...'))
+                            AS DOUBLE) / len(ls), 4) ELSE 0.0 END
+                       AS ellipsis_ratio,
+                   CAST(len(list_filter(ts, x ->
+                       lower(x) IN ({_STOP_SQL}))) AS INT) AS stop_hits
+            FROM t
+        )"""
+
+_GOPHER_PASS = """(word_count >= 20 AND word_count <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+                AND stop_hits >= 2)"""
+
 def _jaccard_sql(max_df: int, cand_cte: str | None = None) -> str:
     """Df-capped exact-Jaccard SELECT, mirroring
     ``dedup._jaccard_from_shingles`` EXACTLY: shingles whose document
@@ -1561,6 +1610,31 @@ def q_sft_pipeline(spark, sf_dir):
     return X.pack_sequences(rendered, seq_len=512, shards=8)
 
 
+def q_quality_ensemble(spark, sf_dir):
+    """FineWeb-style ensemble quality gate as ONE plan: Gopher A1
+    signals + the length/alpha/stopword quality score (both pure maps
+    chained on one scan — no self-join) and the OOV rate (agg +
+    broadcast-vocab join) combine into a single keep flag. Every
+    compared value is round-4 on both engines, so the AND of
+    thresholds is engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    gq = X.with_quality(
+        X.with_gopher_rules(docs, min_words=20)
+    ).select("doc_id", "gopher_pass", "quality")
+    ov = X.oov_rate(docs, vocab_size=16).select("doc_id", "oov_rate")
+    return gq.join(ov, "doc_id").select(
+        "doc_id",
+        "gopher_pass",
+        "quality",
+        "oov_rate",
+        (
+            F.col("gopher_pass")
+            & (F.col("quality") >= 0.6)
+            & (F.col("oov_rate") <= 0.45)
+        ).alias("keep"),
+    )
+
+
 def q_sft_spans(spark, sf_dir):
     """Loss-mask spans for the packed SFT examples: where each
     example's TARGET tokens land in the shard's flat token stream —
@@ -1777,11 +1851,13 @@ def q_js_divergence(spark, sf_dir):
 
 
 def q_oov_rate(spark, sf_dir):
-    """Per-doc OOV rate vs the corpus's own top-100 vocabulary
-    (count desc, term asc boundary) — tokenizer-fit signal; V=100
-    keeps the sf0.01 rates mid-range so both count branches and the
-    broadcast-join path are exercised."""
-    return X.oov_rate(load(spark, sf_dir, "documents"), vocab_size=100)
+    """Per-doc OOV rate vs the corpus's own top-16 vocabulary
+    (count desc, term asc boundary) — tokenizer-fit signal. V=16 cuts
+    INSIDE the synthetic corpus's 31-token vocabulary so rates land
+    mid-range and both count branches + the boundary tie-break are
+    exercised (V=100 would cover the whole vocab: all-zero rates, a
+    degenerate check)."""
+    return X.oov_rate(load(spark, sf_dir, "documents"), vocab_size=16)
 
 
 def q_kn_logprob(spark, sf_dir):
@@ -2179,6 +2255,7 @@ QUERIES: dict[str, Callable] = {
     "minhash_estimate": q_minhash_estimate,
     "js_divergence": q_js_divergence,
     "sft_spans": q_sft_spans,
+    "quality_ensemble": q_quality_ensemble,
     "intra_doc_dedup": q_intra_doc_dedup,
     "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
@@ -2204,7 +2281,6 @@ QUERIES: dict[str, Callable] = {
     "substring_dedup": q_substring_dedup,
     "web_curation": q_web_curation,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "url_curation": q_url_curation,
     "dsir_select": q_dsir_select,
     "nb_quality": q_nb_quality,
     "ccnet_buckets": q_ccnet_buckets,
@@ -2231,10 +2307,12 @@ QUERIES: dict[str, Callable] = {
     #    media_features for sft_examples, extract_pdf_route for
     #    oov_rate, extract_html_route for sft_pipeline,
     #    extract_plain_route for minhash_estimate, media_near_dup for
-    #    js_divergence, extract_then_curate for sft_spans — all
-    #    r4-hash-green, untouched in r5)
+    #    js_divergence, extract_then_curate for sft_spans,
+    #    url_curation for quality_ensemble — all r4-hash-green,
+    #    untouched in r5)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "url_curation": q_url_curation,
     "extract_then_curate": q_extract_then_curate,
     "media_near_dup": q_media_near_dup,
     "extract_plain_route": q_extract_plain_route,
@@ -3677,53 +3755,59 @@ ORACLES: dict[str, str] = {
         FROM injected
     """,
     "gopher_rules": f"""
-        WITH t AS (
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []
-                        ELSE regexp_split_to_array(trim(text), '\\s+')
-                   END AS ts,
-                   list_filter(list_transform(
-                       string_split(text, chr(10)), l -> trim(l)),
-                       l -> l <> '') AS ls
-            FROM documents
-        ),
-        s AS (
-            SELECT doc_id,
-                   CAST(len(ts) AS BIGINT) AS word_count,
-                   CASE WHEN len(ts) > 0 THEN round(
-                       CAST(list_sum(list_transform(ts, x -> strlen(x)))
-                            AS DOUBLE) / len(ts), 4) ELSE 0.0 END
-                       AS mean_word_len,
-                   CASE WHEN len(ts) > 0 THEN round(
-                       CAST(len(list_filter(ts, x ->
-                           strpos(x, '#') > 0 OR strpos(x, '...') > 0))
-                            AS DOUBLE) / len(ts), 4) ELSE 0.0 END
-                       AS symbol_ratio,
-                   CASE WHEN len(ts) > 0 THEN round(
-                       CAST(len(list_filter(ts, x ->
-                           regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-                           / len(ts), 4) ELSE 0.0 END AS alpha_ratio,
-                   CASE WHEN len(ls) > 0 THEN round(
-                       CAST(len(list_filter(ls, l ->
-                           l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
-                            AS DOUBLE) / len(ls), 4) ELSE 0.0 END
-                       AS bullet_ratio,
-                   CASE WHEN len(ls) > 0 THEN round(
-                       CAST(len(list_filter(ls, l -> l LIKE '%...'))
-                            AS DOUBLE) / len(ls), 4) ELSE 0.0 END
-                       AS ellipsis_ratio,
-                   CAST(len(list_filter(ts, x ->
-                       lower(x) IN ({_STOP_SQL}))) AS INT) AS stop_hits
-            FROM t
-        )
+        WITH {_GOPHER_CTES}
         SELECT doc_id, word_count, mean_word_len, symbol_ratio,
                alpha_ratio, bullet_ratio, ellipsis_ratio, stop_hits,
-               (word_count >= 20 AND word_count <= 100000
-                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
-                AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
-                AND stop_hits >= 2) AS gopher_pass
+               {_GOPHER_PASS} AS gopher_pass
         FROM s
+    """,
+    # gopher signals + quality_score + OOV rate joined doc-keyed into
+    # one keep flag — every compared value is round-4 on both sides,
+    # so the AND-of-thresholds is engine-exact
+    "quality_ensemble": f"""
+        WITH {_GOPHER_CTES},
+        g AS (SELECT doc_id, {_GOPHER_PASS} AS gopher_pass FROM s),
+        q AS (
+            SELECT doc_id,
+                   round(
+                     0.4 * least(1.0,
+                         len(regexp_split_to_array(trim(text), '\\s+'))
+                             / 50.0)
+                   + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]',
+                                                  '', 'g'))
+                            / length(text))
+                   + 0.3 * least(1.0,
+                         5.0 * len(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             t -> lower(t) IN ({_STOP_SQL})))
+                         / len(regexp_split_to_array(trim(text),
+                                                     '\\s+'))),
+                   4) AS quality
+            FROM documents
+        ),
+        arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        toks AS (SELECT doc_id, unnest(t) AS term FROM arrs),
+        tf AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        vocab AS (
+            SELECT term FROM (
+                SELECT term, count(*) AS c FROM tf GROUP BY term
+            ) ORDER BY c DESC, term ASC LIMIT 16
+        ),
+        ov AS (
+            SELECT doc_id,
+                   round(count(*) FILTER (WHERE v.term IS NULL)
+                         / count(*), 4) AS oov_rate
+            FROM tf LEFT JOIN vocab v ON tf.term = v.term
+            GROUP BY doc_id
+        )
+        SELECT g.doc_id, g.gopher_pass, q.quality, ov.oov_rate,
+               (g.gopher_pass AND q.quality >= 0.6
+                AND ov.oov_rate <= 0.45) AS keep
+        FROM g JOIN q USING (doc_id) JOIN ov USING (doc_id)
     """,
     # C4 rules: the fixture CASE mirrors _c4_docs verbatim; line filter
     # and page flags recomputed with DuckDB list/regex functions. The
@@ -4676,7 +4760,7 @@ ORACLES: dict[str, str] = {
         vocab AS (
             SELECT term FROM (
                 SELECT term, count(*) AS c FROM tf GROUP BY term
-            ) ORDER BY c DESC, term ASC LIMIT 100
+            ) ORDER BY c DESC, term ASC LIMIT 16
         )
         SELECT doc_id, count(*) AS n_tokens,
                count(*) FILTER (WHERE v.term IS NULL) AS n_oov,

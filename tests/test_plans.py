@@ -548,6 +548,26 @@ def test_pq_ann_broadcasts_queries_no_cartesian(spark, sf001_dir):
     assert "CartesianProduct" not in tree
 
 
+def test_quality_ensemble_all_legs_live(spark, sf001_dir):
+    # every leg of the ensemble must actually gate something on the
+    # synthetic corpus (a threshold that never fires is a dead leg),
+    # and the keep flag must equal the AND of the three thresholds
+    # recomputed from the emitted signals
+    from ocr_spark.driver_contract import QUERIES
+
+    rows = QUERIES["quality_ensemble"](spark, sf001_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.keep == (
+            r.gopher_pass and r.quality >= 0.6 and r.oov_rate <= 0.45
+        )
+    assert any(not r.gopher_pass for r in rows)
+    assert any(r.quality < 0.6 for r in rows)
+    assert any(r.oov_rate > 0.45 for r in rows)
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < 500
+
+
 def test_sft_pipeline_is_two_windows_one_plan(spark, sf001_dir):
     # the SFT data path composes as ONE declarative plan: exactly two
     # hash exchanges (the conv-keyed lag window, then the shard-keyed
