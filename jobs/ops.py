@@ -24,6 +24,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tables", help="dir containing <table>.parquet files")
     ap.add_argument("--output", help="output parquet dir")
     ap.add_argument("--list", action="store_true", help="list queries")
+    ap.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of writing "
+        "(--output not required) — the shape review an operator gets "
+        "before it ships: look for PushedFilters/ReadSchema at the "
+        "scan, WholeStageCodegen spans, broadcast vs shuffle joins",
+    )
     args = ap.parse_args(argv)
 
     from ocr_spark.driver_contract import QUERIES
@@ -32,8 +40,11 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(QUERIES):
             print(name)
         return 0
-    if not (args.query and args.tables and args.output):
-        print("--query, --tables and --output are required", file=sys.stderr)
+    if not (args.query and args.tables and (args.output or args.explain)):
+        print(
+            "--query, --tables and --output (or --explain) are required",
+            file=sys.stderr,
+        )
         return 2
     if args.query not in QUERIES:
         print(f"unknown query {args.query!r}; try --list", file=sys.stderr)
@@ -48,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
     df = QUERIES[args.query](spark, args.tables)
+    if args.explain:
+        df.explain("formatted")
+        spark.stop()
+        return 0
     df.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"{args.query}: wrote {n} rows -> {args.output}")
