@@ -249,6 +249,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "quality_ensemble",
         "pmi_bigrams",
         "kmv_distinct",
+        "pagerank",
         "pack_conversations",
         "sft_examples",
         "sft_pipeline",

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ocr_spark.operators import clustering as CL
 from ocr_spark.operators import dedup as D
+from ocr_spark.operators import graph as G
 from ocr_spark.operators import pq as PQ
 from ocr_spark.operators import relational as R
 from ocr_spark.operators import search as SR
@@ -2235,6 +2236,22 @@ def q_dedup_turns(spark, sf_dir):
 # registry
 # --------------------------------------------------------------------------
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic host graph (src =
+    doc_id % 32, dst = (doc_id*7+3) % 40 — nodes 32..39 appear only as
+    destinations, so the dangling-mass branch is exercised, and the
+    doc_id collapse yields multi-edges so the distinct policy is too).
+    3 power iterations, damping 0.85, float32 fixed points per
+    iteration (cross-engine contract). The link-quality prior of
+    Common-Crawl-style web curation."""
+    docs = load(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 32).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"),
+    )
+    return G.pagerank(edges, damping=0.85, iters=3)
+
+
 # Key ORDER is load-bearing: the driver's correctness gate covers the
 # first 50 keys positionally (CORRECTNESS_r03 stopped at key 50). Head =
 # the flagship compositions, extract routes, media family, and every
@@ -2245,6 +2262,7 @@ QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
+    "pagerank": q_pagerank,
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
@@ -2286,7 +2304,6 @@ QUERIES: dict[str, Callable] = {
     "ccnet_buckets": q_ccnet_buckets,
     "pack_conversations": q_pack_conversations,
     "near_dup_keep_best": q_near_dup_keep_best,
-    "bpe_tokenize": q_bpe_tokenize,
     "curation_pipeline": q_curation_pipeline,
     "char_entropy": q_char_entropy,
     "hash_split": q_hash_split,
@@ -2309,9 +2326,12 @@ QUERIES: dict[str, Callable] = {
     #    extract_plain_route for minhash_estimate, media_near_dup for
     #    js_divergence, extract_then_curate for sft_spans,
     #    url_curation for quality_ensemble — all r4-hash-green,
-    #    untouched in r5)
+    #    untouched in r5; bpe_tokenize — rows-only by design, r4
+    #    rows-evidence, kernel-equality pytest is its value check —
+    #    demoted for the r5 pagerank key)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "bpe_tokenize": q_bpe_tokenize,
     "url_curation": q_url_curation,
     "extract_then_curate": q_extract_then_curate,
     "media_near_dup": q_media_near_dup,
@@ -2479,6 +2499,52 @@ c0 AS (SELECT vec_id AS cid, emb AS cent FROM e ORDER BY vec_id
 
 
 _KMEANS_CTES = _kmeans_ctes(8, 64)
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power iterations mirroring ``graph.pagerank`` exactly:
+    explicit-DOUBLE arithmetic (DuckDB would evaluate FLOAT/BIGINT in
+    float32 otherwise), float32 cast per iteration, and the damping
+    constants written as the SAME IEEE expressions Spark evaluates
+    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE), never the folded
+    decimal 0.15 — the bigram_logprob one-ULP lesson)."""
+    d = repr(damping)
+    parts = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        parts.append(f"""c{k} AS (
+    SELECT l.dst AS node,
+           SUM(CAST(r.rank AS DOUBLE) / CAST(l.outdeg AS DOUBLE))
+               AS contrib
+    FROM linked l JOIN {prev} r ON l.src = r.node
+    GROUP BY l.dst),
+d{k} AS (
+    SELECT COALESCE(SUM(CAST(rank AS DOUBLE)), CAST(0 AS DOUBLE)) AS dang
+    FROM {prev} WHERE node NOT IN (SELECT src FROM outdeg)),
+r{k} AS (
+    SELECT nd.node,
+           CAST((CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) / nn.n_d
+                + CAST({d} AS DOUBLE)
+                  * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                     + d{k}.dang / nn.n_d)
+                AS FLOAT) AS rank
+    FROM nodes nd
+    LEFT JOIN c{k} c ON nd.node = c.node
+    CROSS JOIN d{k} CROSS JOIN nn)""")
+        prev = f"r{k}"
+    body = ",\n".join(parts)
+    return f"""WITH edges AS (
+    SELECT DISTINCT doc_id % 32 AS src, (doc_id * 7 + 3) % 40 AS dst
+    FROM documents),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_d FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+linked AS (SELECT e.src, e.dst, o.outdeg
+           FROM edges e JOIN outdeg o USING (src)),
+r0 AS (SELECT node, CAST(CAST(1.0 AS DOUBLE) / nn.n_d AS FLOAT) AS rank
+       FROM nodes CROSS JOIN nn),
+{body}
+SELECT node, rank FROM {prev}"""
 
 
 def _pq_ctes(m: int = 4, ksub: int = 16, dsub: int = 16,
@@ -5241,3 +5307,5 @@ ORACLES: dict[str, str] = {
 # same oracle, separate gate key -> a hash mismatch would mean the bloom
 # routed a row wrong (it cannot, by construction -- this pins it).
 ORACLES["incremental_dedup_bloom"] = ORACLES["incremental_dedup"]
+
+ORACLES["pagerank"] = _pagerank_sql(3, 0.85)

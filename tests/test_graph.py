@@ -1,0 +1,95 @@
+"""PageRank: hand-graph reference equality, dangling mass, policies."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.graph import pagerank
+
+
+def _ref_pagerank(edge_list, damping=0.85, iters=3):
+    """Pure-python power iteration mirroring the operator's float32
+    fixed-point contract (np.float32 cast per iteration)."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = float(len(nodes))
+    out: dict = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: np.float32(1.0 / n) for v in nodes}
+    for _ in range(iters):
+        contrib: dict = {}
+        for s, t in edges:
+            contrib[t] = contrib.get(t, 0.0) + float(rank[s]) / float(
+                out[s]
+            )
+        dang = sum(float(rank[v]) for v in nodes if v not in out)
+        rank = {
+            v: np.float32(
+                (1.0 - damping) / n
+                + damping * (contrib.get(v, 0.0) + dang / n)
+            )
+            for v in nodes
+        }
+    return rank
+
+
+EDGES = [
+    (1, 2), (2, 3), (3, 1), (1, 3),
+    (4, 1), (4, 5),          # 5 has no out-edges -> dangling
+    (2, 3),                  # duplicate edge: collapses via distinct
+    (6, 6),                  # self-loop participates like any edge
+    (3, 6),
+]
+
+
+def _run(spark, edge_list, **kw):
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    return {
+        r["node"]: r["rank"] for r in pagerank(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_reference(spark):
+    got = _run(spark, EDGES)
+    ref = _ref_pagerank(EDGES)
+    assert set(got) == set(ref)
+    for v in ref:
+        # agg order may differ between engines pre-quantization; the
+        # float32 grid makes anything beyond ~1e-6 a real divergence
+        assert abs(got[v] - float(ref[v])) < 1e-6, v
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    got = _run(spark, EDGES)
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    assert all(r > 0 for r in got.values())
+
+
+def test_pagerank_dangling_node_gets_teleport_plus_dangling_share(spark):
+    # node 5 has no in-links besides nothing and no out-edges: its rank
+    # is exactly base + d * (contrib_from_4 + dang/N) — reference pins
+    # it; a missing dangling branch would leak its mass (sum < 1)
+    got = _run(spark, EDGES)
+    ref = _ref_pagerank(EDGES)
+    assert abs(got[5] - float(ref[5])) < 1e-6
+
+
+def test_pagerank_multi_edge_collapses(spark):
+    base = _run(spark, [(1, 2), (2, 1)])
+    dup = _run(spark, [(1, 2), (1, 2), (2, 1)])
+    assert base == dup
+
+
+def test_pagerank_iters_validated(spark):
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
+
+
+def test_pagerank_sink_heavy_graph_ranks_hub_highest(spark):
+    # star graph: everyone points at 0
+    star = [(i, 0) for i in range(1, 8)]
+    got = _run(spark, star)
+    assert max(got, key=got.get) == 0
