@@ -250,6 +250,8 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "pmi_bigrams",
         "kmv_distinct",
         "pagerank",
+        "cms_topk",
+        "zipf_fit",
         "pack_conversations",
         "sft_examples",
         "sft_pipeline",

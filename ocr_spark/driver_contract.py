@@ -2236,6 +2236,25 @@ def q_dedup_turns(spark, sf_dir):
 # registry
 # --------------------------------------------------------------------------
 
+def q_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters: depth 3 x width 8 (width cut
+    BELOW the synthetic corpus's vocabulary size so bucket collisions
+    actually occur — est > n_exact on real rows, not a vacuously
+    collision-free pass), top-20 terms by estimate. Deterministic md5
+    hash family -> the approximate sketch passes the exact gate (the
+    kmv_distinct convention)."""
+    return SK.cms_heavy_hitters(
+        load(spark, sf_dir, "documents"), depth=3, width=8, k=20
+    )
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency OLS over the top-100 token ranks — the
+    one-row corpus-health statistic (slope ~ -1 on natural language).
+    float32-cast outputs (cross-engine contract)."""
+    return X.zipf_fit(load(spark, sf_dir, "documents"), top_r=100)
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over a deterministic synthetic host graph (src =
     doc_id % 32, dst = (doc_id*7+3) % 40 — nodes 32..39 appear only as
@@ -2263,6 +2282,8 @@ QUERIES: dict[str, Callable] = {
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
     "pagerank": q_pagerank,
+    "cms_topk": q_cms_topk,
+    "zipf_fit": q_zipf_fit,
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
@@ -2301,8 +2322,6 @@ QUERIES: dict[str, Callable] = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "dsir_select": q_dsir_select,
     "nb_quality": q_nb_quality,
-    "ccnet_buckets": q_ccnet_buckets,
-    "pack_conversations": q_pack_conversations,
     "near_dup_keep_best": q_near_dup_keep_best,
     "curation_pipeline": q_curation_pipeline,
     "char_entropy": q_char_entropy,
@@ -2328,9 +2347,13 @@ QUERIES: dict[str, Callable] = {
     #    url_curation for quality_ensemble — all r4-hash-green,
     #    untouched in r5; bpe_tokenize — rows-only by design, r4
     #    rows-evidence, kernel-equality pytest is its value check —
-    #    demoted for the r5 pagerank key)
+    #    demoted for the r5 pagerank key; ccnet_buckets /
+    #    pack_conversations r4-hash-green, untouched since, demoted
+    #    for the r5 cms_topk / zipf_fit keys)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "ccnet_buckets": q_ccnet_buckets,
+    "pack_conversations": q_pack_conversations,
     "bpe_tokenize": q_bpe_tokenize,
     "url_curation": q_url_curation,
     "extract_then_curate": q_extract_then_curate,
@@ -5309,3 +5332,62 @@ ORACLES: dict[str, str] = {
 ORACLES["incremental_dedup_bloom"] = ORACLES["incremental_dedup"]
 
 ORACLES["pagerank"] = _pagerank_sql(3, 0.85)
+
+# cms_topk: the sketch counters are integer sums over the tf relation,
+# so the whole estimate is exact integer arithmetic — the only contract
+# items are the md5-prefix bucket arithmetic (the shard-oracle '0x'||hex
+# cast) and CAST(sum AS BIGINT) (DuckDB sum(BIGINT) is HUGEINT -> pandas
+# float, kind mismatch otherwise).
+ORACLES["cms_topk"] = r"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS term
+    FROM documents),
+tf AS (SELECT term, count(*) AS cnt FROM toks WHERE term <> ''
+       GROUP BY term),
+h AS (SELECT term, cnt, r.r,
+             CAST('0x' || substr(md5(concat(r.r, '|', term)), 1, 8)
+                  AS BIGINT) % 8 AS bucket
+      FROM tf CROSS JOIN (SELECT unnest(range(0, 3)) AS r) r),
+sketch AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS counter
+           FROM h GROUP BY r, bucket)
+SELECT h.term, min(s.counter) AS est, min(h.cnt) AS n_exact
+FROM h JOIN sketch s ON h.r = s.r AND h.bucket = s.bucket
+GROUP BY h.term
+ORDER BY est DESC, h.term ASC
+LIMIT 20
+"""
+
+# zipf_fit: the five sufficient sums feed the SAME closed-form
+# expression shapes Spark evaluates (num/denx etc.), outputs float32-
+# cast; degenerate variance -> NULL via CASE on both engines.
+ORACLES["zipf_fit"] = r"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS term
+    FROM documents),
+tf AS (SELECT term, count(*) AS cnt FROM toks WHERE term <> ''
+       GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 100),
+xy AS (SELECT
+           ln(CAST(row_number() OVER (ORDER BY cnt DESC, term ASC)
+                   AS DOUBLE)) AS x,
+           ln(CAST(cnt AS DOUBLE)) AS y
+       FROM tf),
+sums AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                sum(x * x) AS sxx, sum(y * y) AS syy
+         FROM xy),
+t AS (SELECT nd, sx, sy,
+             nd * sxy - sx * sy AS num,
+             nd * sxx - sx * sx AS denx,
+             nd * syy - sy * sy AS deny
+      FROM sums)
+SELECT CAST(nd AS BIGINT) AS n_ranks,
+       CAST(CASE WHEN denx <> 0 THEN num / denx END AS FLOAT) AS slope,
+       CAST((sy - (CASE WHEN denx <> 0 THEN num / denx END) * sx) / nd
+            AS FLOAT) AS intercept,
+       CAST(CASE WHEN denx <> 0 AND deny <> 0
+                 THEN (num * num) / (denx * deny) END
+            AS FLOAT) AS r2
+FROM t
+"""

@@ -189,6 +189,63 @@ def winnow_verified_pairs(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame, depth: int = 3, width: int = 1024, k: int = 20
+) -> DataFrame:
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan
+    '05): ``depth`` x ``width`` counters, counter(r, b) = total count
+    of tokens hashing to bucket b under row-r's hash; estimate(t) =
+    min_r counter(r, bucket_r(t)) — always >= the true count, with the
+    overestimate bounded by the collision mass. Like
+    :func:`kmv_distinct_tokens`, the fixed md5 hash family makes the
+    APPROXIMATE sketch fully deterministic, so it sits under the exact
+    DuckDB value gate.
+
+    Returns the top ``k`` terms by (estimate DESC, term ASC):
+    (term, est, n_exact) — n_exact is the true count (cheap at gate
+    scale, and pinning est >= n_exact is the sketch's correctness
+    property; at 100 TB you would keep only the d x w counter table).
+
+    Plan shape: ONE corpus-scale pass (token explode -> term-frequency
+    hash-agg with map-side partials); everything downstream runs over
+    the VOCABULARY-sized tf relation — the sketch build fans tf out
+    ``depth``-fold and collapses to d*w rows (the fixed-size mergeable
+    summary an executor would emit per partition at scale), and the
+    probe joins tf back to those d*w rows (broadcast — the sketch is
+    tiny by construction). Top-k is orderBy().limit() = TakeOrdered,
+    never a global sort.
+    """
+    toks = _ensure_parallelism(df).select(
+        F.explode(F.expr(TOKENS_LC)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = F.array([F.lit(r) for r in range(depth)])
+    h = tf.select(
+        "term", "cnt", F.explode(rows).alias("r")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit("|"),
+                               F.col("term"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(width),
+    )
+    sketch = h.groupBy("r", "bucket").agg(F.sum("cnt").alias("counter"))
+    est = (
+        h.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.min("counter").alias("est"),
+            F.min("cnt").alias("n_exact"),
+        )
+    )
+    return est.orderBy(F.col("est").desc(), F.col("term").asc()).limit(k)
+
+
 def kmv_distinct_tokens(
     df: DataFrame, k: int = 8, group_col: str = "source"
 ) -> DataFrame:

@@ -1039,6 +1039,80 @@ def oov_rate(df: DataFrame, vocab_size: int = 1000) -> DataFrame:
     )
 
 
+def zipf_fit(df: DataFrame, top_r: int = 100) -> DataFrame:
+    """OLS fit of the Zipf rank-frequency law over the corpus's top
+    ``top_r`` token ranks: regress ln(count) on ln(rank); a healthy
+    natural-language corpus fits slope ~ -1 with high R^2, while
+    template/boilerplate-dominated or synthetic dumps bend the curve —
+    a one-row corpus-health statistic for curation dashboards (and a
+    cheap drift alarm between ingest snapshots).
+
+    Returns ONE row (n_ranks, slope, intercept, r2): closed-form OLS
+    from the five sufficient sums; outputs pass the float32 cross-
+    engine cast (sum order may differ per engine by ~1e-15 relative —
+    invisible on the float32 grid; a decimal round could tie-diverge).
+    Degenerate fits (fewer than 2 ranks, or zero x-variance) yield
+    NULL slope/intercept/r2 on both engines rather than an
+    engine-specific inf.
+
+    Plan shape: one corpus-scale token pass (explode -> tf hash-agg
+    with map-side partials), a distributed TakeOrdered for the top-R
+    boundary ((count desc, term asc) total order), then the regression
+    is a single tiny aggregate over R rows. Nothing corpus-sized
+    sorts.
+    """
+    toks = _ensure_parallelism(df).select(
+        F.explode(F.expr(TOKENS_LC)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(top_r)
+    )
+    # rank within the R-row head: the window runs over <= top_r rows
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    xy = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    terms = sums.select(
+        "nd",
+        (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "num"
+        ),
+        (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "denx"
+        ),
+        (F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "deny"
+        ),
+        "sx",
+        "sy",
+    )
+    slope = F.when(F.col("denx") != 0.0, F.col("num") / F.col("denx"))
+    return terms.select(
+        F.col("nd").cast("long").alias("n_ranks"),
+        slope.cast("float").alias("slope"),
+        (
+            (F.col("sy") - slope * F.col("sx")) / F.col("nd")
+        ).cast("float").alias("intercept"),
+        F.when(
+            (F.col("denx") != 0.0) & (F.col("deny") != 0.0),
+            (F.col("num") * F.col("num"))
+            / (F.col("denx") * F.col("deny")),
+        ).cast("float").alias("r2"),
+    )
+
+
 def ngram_topk(df: DataFrame, n: int = 3, k: int = 100) -> DataFrame:
     """Corpus most-frequent word n-grams — the boilerplate-discovery /
     corpus-inspection operator (the top trigrams of a web dump ARE its

@@ -1,0 +1,126 @@
+"""cms_heavy_hitters + zipf_fit: reference equality and properties."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from ocr_spark.operators.sketches import cms_heavy_hitters
+from ocr_spark.operators.textops import zipf_fit
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def _bucket(r: int, term: str, width: int) -> int:
+    return (
+        int(hashlib.md5(f"{r}|{term}".encode()).hexdigest()[:8], 16)
+        % width
+    )
+
+
+def _ref_cms(texts, depth, width, k):
+    tf = Counter(
+        t for x in texts for t in x.strip().lower().split() if t
+    )
+    sketch: Counter = Counter()
+    for term, c in tf.items():
+        for r in range(depth):
+            sketch[(r, _bucket(r, term, width))] += c
+    est = {
+        term: min(sketch[(r, _bucket(r, term, width))] for r in range(depth))
+        for term in tf
+    }
+    top = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(term, e, tf[term]) for term, e in top]
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the dog ate the cat food",
+    "a cat and a dog and a mat",
+    "the the the dog dog mat",
+]
+
+
+def test_cms_matches_reference_with_collisions(spark):
+    got = sorted(
+        tuple(r)
+        for r in cms_heavy_hitters(
+            _docs(spark, TEXTS), depth=2, width=4, k=50
+        ).collect()
+    )
+    assert got == sorted(_ref_cms(TEXTS, 2, 4, 50))
+
+
+def test_cms_never_underestimates_and_collides_when_narrow(spark):
+    rows = cms_heavy_hitters(
+        _docs(spark, TEXTS), depth=2, width=4, k=50
+    ).collect()
+    assert all(r["est"] >= r["n_exact"] for r in rows)
+    # 11 distinct terms into 4 buckets: some collision must inflate
+    assert any(r["est"] > r["n_exact"] for r in rows)
+
+
+def test_cms_wide_sketch_is_exact(spark):
+    rows = cms_heavy_hitters(
+        _docs(spark, TEXTS), depth=3, width=65536, k=50
+    ).collect()
+    assert rows and all(r["est"] == r["n_exact"] for r in rows)
+
+
+def test_cms_topk_boundary_is_total_order(spark):
+    rows = cms_heavy_hitters(
+        _docs(spark, TEXTS), depth=2, width=4, k=3
+    ).collect()
+    ref = _ref_cms(TEXTS, 2, 4, 3)
+    assert sorted((r["term"], r["est"], r["n_exact"]) for r in rows) == sorted(ref)
+
+
+def _ref_zipf(texts, top_r):
+    tf = Counter(
+        t for x in texts for t in x.strip().lower().split() if t
+    )
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_r]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(c) for _, c in top]
+    n = float(len(top))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num, denx, deny = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    slope = num / denx
+    return len(top), slope, (sy - slope * sx) / n, num * num / (denx * deny)
+
+
+def test_zipf_matches_closed_form_reference(spark):
+    row = zipf_fit(_docs(spark, TEXTS), top_r=10).collect()[0]
+    n, slope, intercept, r2 = _ref_zipf(TEXTS, 10)
+    assert row["n_ranks"] == n
+    assert abs(row["slope"] - slope) < 1e-5
+    assert abs(row["intercept"] - intercept) < 1e-5
+    assert abs(row["r2"] - r2) < 1e-5
+
+
+def test_zipf_perfect_power_law(spark):
+    # counts 240/rank for ranks 1..6: y = ln240 - x, an exact line
+    counts = [240 // r for r in (1, 2, 3, 4, 5, 6)]
+    text = " ".join(
+        " ".join(f"t{i}" for _ in range(c)) for i, c in enumerate(counts)
+    )
+    row = zipf_fit(_docs(spark, [text]), top_r=6).collect()[0]
+    assert row["n_ranks"] == 6
+    assert abs(row["slope"] + 1.0) < 1e-5
+    assert row["r2"] > 0.999999
+    assert abs(row["intercept"] - math.log(240.0)) < 1e-5
+
+
+def test_zipf_degenerate_single_rank_is_null(spark):
+    row = zipf_fit(_docs(spark, ["only only only"]), top_r=5).collect()[0]
+    assert row["n_ranks"] == 1
+    assert row["slope"] is None and row["r2"] is None
