@@ -236,6 +236,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "shard_assign",
         "train_shards",
         "bm25_topk",
+        "rrf_fusion",
         "tfidf_keywords",
         "domain_mix",
         "dsir_select",
@@ -252,6 +253,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "pagerank",
         "cms_topk",
         "zipf_fit",
+        "corpus_diff",
         "pack_conversations",
         "sft_examples",
         "sft_pipeline",

@@ -2236,6 +2236,51 @@ def q_dedup_turns(spark, sf_dir):
 # registry
 # --------------------------------------------------------------------------
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff: the new corpus version drops doc_id%10==0
+    (removed), mutates doc_id%7==0 text (changed), and adds +10^9-
+    offset copies of doc_id%5==0 (added; the collision-free offset
+    convention) — every status branch exercised on real rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"), "text"
+    )
+    return R.corpus_diff(docs, base.unionByName(added))
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: RRF fusion of two BM25 probe rankings (probes
+    share 'merge', so overlapping docs exercise the multi-list sum)
+    and one dense cosine ranking (vec_id read as doc_id — the fixture's
+    join convention). Rank INTEGERS cross the fusion boundary, never
+    raw float scores."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    def ranked(bm: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        return bm.select("doc_id", F.row_number().over(w).alias("rank"))
+
+    bm_a = ranked(SR.bm25_topk(docs, ["hash", "join", "merge"], k=30))
+    bm_b = ranked(SR.bm25_topk(docs, ["merge", "sort", "scan"], k=30))
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    dense = S.cosine_topk(emb, q0, k=30).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return SR.rrf_fuse([bm_a, bm_b, dense], k0=60, k=10)
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-min-sketch heavy hitters: depth 3 x width 8 (width cut
     BELOW the synthetic corpus's vocabulary size so bucket collisions
@@ -2284,6 +2329,8 @@ QUERIES: dict[str, Callable] = {
     "pagerank": q_pagerank,
     "cms_topk": q_cms_topk,
     "zipf_fit": q_zipf_fit,
+    "corpus_diff": q_corpus_diff,
+    "rrf_fusion": q_rrf_fusion,
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
@@ -2316,8 +2363,6 @@ QUERIES: dict[str, Callable] = {
     "incremental_minhash": q_incremental_minhash,
     "incremental_verified": q_incremental_verified,
     "train_shards": q_train_shards,
-    "line_dedup": q_line_dedup,
-    "substring_dedup": q_substring_dedup,
     "web_curation": q_web_curation,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "dsir_select": q_dsir_select,
@@ -2349,9 +2394,13 @@ QUERIES: dict[str, Callable] = {
     #    rows-evidence, kernel-equality pytest is its value check —
     #    demoted for the r5 pagerank key; ccnet_buckets /
     #    pack_conversations r4-hash-green, untouched since, demoted
-    #    for the r5 cms_topk / zipf_fit keys)
+    #    for the r5 cms_topk / zipf_fit keys; line_dedup /
+    #    substring_dedup r4-hash-green, untouched since their r4
+    #    rewrites, demoted for the r5 corpus_diff / rrf_fusion keys)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "line_dedup": q_line_dedup,
+    "substring_dedup": q_substring_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "pack_conversations": q_pack_conversations,
     "bpe_tokenize": q_bpe_tokenize,
@@ -5390,4 +5439,89 @@ SELECT CAST(nd AS BIGINT) AS n_ranks,
                  THEN (num * num) / (denx * deny) END
             AS FLOAT) AS r2
 FROM t
+"""
+
+ORACLES["corpus_diff"] = """
+WITH oldc AS (SELECT doc_id, md5(coalesce(text, '')) AS fp
+              FROM documents),
+nb AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                   ELSE text END AS text
+       FROM documents WHERE doc_id % 10 <> 0),
+ad AS (SELECT doc_id + 1000000000 AS doc_id, text FROM documents
+       WHERE doc_id % 5 = 0),
+newc AS (SELECT doc_id, md5(coalesce(text, '')) AS fp
+         FROM (SELECT * FROM nb UNION ALL SELECT * FROM ad))
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM oldc o FULL JOIN newc n ON o.doc_id = n.doc_id
+"""
+
+
+def _bm25_rank_cte(terms: tuple[str, ...], tag: str, limit: int) -> str:
+    """CTE chain ending in bm{tag}(doc_id, rank): the bm25_topk oracle
+    arithmetic verbatim (round-4 score, (score desc, doc_id) order),
+    reduced to its rank integers for RRF fusion."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""tf{tag} AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN ({in_list})
+    GROUP BY doc_id, term),
+dfreq{tag} AS (SELECT term, count(*) AS df FROM tf{tag} GROUP BY term),
+sc{tag} AS (
+    SELECT doc_id,
+           round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+           ), 4) AS bm25
+    FROM tf{tag} JOIN dfreq{tag} USING (term) JOIN dl USING (doc_id),
+         stats
+    GROUP BY doc_id),
+bm{tag} AS (
+    SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                   AS rank
+        FROM sc{tag}) WHERE rank <= {limit})"""
+
+
+ORACLES["rrf_fusion"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS term
+    FROM documents WHERE trim(text) <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term <> ''
+       GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+{_bm25_rank_cte(('hash', 'join', 'merge'), 'a', 30)},
+{_bm25_rank_cte(('merge', 'sort', 'scan'), 'b', 30)},
+cosr AS (
+    SELECT vec_id AS doc_id, rank FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                   ORDER BY round(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]), 4) DESC,
+                            e.vec_id) AS rank
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id = 0 AND e.vec_id <> q.vec_id
+    ) WHERE rank <= 30),
+uni AS (
+    SELECT doc_id, rank FROM bma
+    UNION ALL SELECT doc_id, rank FROM bmb
+    UNION ALL SELECT doc_id, rank FROM cosr)
+SELECT doc_id,
+       CAST(sum(CAST(1.0 AS DOUBLE)
+                / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)))
+            AS FLOAT) AS rrf,
+       count(*) AS n_lists
+FROM uni GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
 """

@@ -185,3 +185,38 @@ def group_quantiles(
         for i, q in enumerate(quantiles)
     ]
     return agg.select(group_col, *cols, "n")
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff between two corpus versions keyed by doc_id — the
+    ingest-versioning primitive (what changed between crawl N and crawl
+    N+1; feeds incremental re-processing and drift dashboards).
+
+    Returns (doc_id, status) with status in added / removed / changed /
+    unchanged, by content fingerprint: md5 of text, NULL text
+    fingerprinting as the empty string (a doc whose text goes NULL <->
+    '' therefore reads unchanged — the fingerprint policy, documented
+    rather than surprising).
+
+    Scale shape: each side reduces to a (doc_id, 16-byte fp) projection
+    BEFORE the join — text never shuffles — and the FULL OUTER join
+    co-partitions on doc_id (the natural bucketing key, so with
+    bucketed snapshot tables this is exchange-free). doc_id is assumed
+    unique per snapshot (the corpus contract).
+    """
+    o = old.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp_old"),
+    )
+    n = new.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp_new"),
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

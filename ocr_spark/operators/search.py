@@ -158,3 +158,49 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame], k0: int = 60, k: int = 10
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke SIGIR '09) — the
+    standard hybrid-retrieval combiner (sparse BM25 + dense ANN lists,
+    or multi-probe query expansion): score(d) = sum over lists of
+    1 / (k0 + rank_in_list(d)).
+
+    Each input ranking carries (id, rank) in its first two columns with
+    rank already DETERMINISTIC by the producer's total order (bm25_topk
+    orders by round-4 score then doc_id; cosine_topk ships an explicit
+    rank column — rank integers, not raw float scores, cross the fusion
+    boundary, so no score-portability risk enters here). Returns the
+    top ``k`` of (doc_id, rrf float32, n_lists), ordered (rrf desc,
+    doc_id asc).
+
+    Plan shape: union of k-row ranking heads -> ONE tiny hash-agg ->
+    TakeOrdered. The inputs are already top-k outputs, so everything
+    here is list-sized; the corpus-scale work happened in the
+    producers. Summation note: 1/(k0+rank) doubles sum per doc — for
+    >= 3 lists the add order is engine/partition-dependent at ~1e-17,
+    invisible on the float32 output grid.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(r.columns[0]).alias("doc_id"),
+            F.col(r.columns[1]).cast("long").alias("rank"),
+        )
+        for r in rankings
+    ]
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    scored = uni.groupBy("doc_id").agg(
+        F.sum(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col("rank").cast("double"))
+        )
+        .cast("float")
+        .alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return scored.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(k)

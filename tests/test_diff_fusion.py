@@ -1,0 +1,75 @@
+"""corpus_diff + rrf_fuse: status semantics and fusion arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.operators.relational import corpus_diff
+from ocr_spark.operators.search import rrf_fuse
+
+
+def test_corpus_diff_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (5, "e"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        5: "added",
+        # NULL text fingerprints as '' (documented policy): NULL -> ''
+        # reads unchanged
+        4: "unchanged",
+    }
+
+
+def test_corpus_diff_identical_snapshots_all_unchanged(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], ["doc_id", "text"]
+    )
+    rows = corpus_diff(df, df).collect()
+    assert len(rows) == 20
+    assert all(r["status"] == "unchanged" for r in rows)
+
+
+def _ranking(spark, pairs):
+    return spark.createDataFrame(pairs, ["doc_id", "rank"])
+
+
+def test_rrf_matches_hand_computation(spark):
+    a = _ranking(spark, [(10, 1), (20, 2), (30, 3)])
+    b = _ranking(spark, [(20, 1), (40, 2)])
+    got = {
+        r["doc_id"]: (r["rrf"], r["n_lists"])
+        for r in rrf_fuse([a, b], k0=60, k=10).collect()
+    }
+    exp = {
+        10: 1 / 61,
+        20: 1 / 62 + 1 / 61,
+        30: 1 / 63,
+        40: 1 / 62,
+    }
+    assert set(got) == set(exp)
+    for d, s in exp.items():
+        assert abs(got[d][0] - s) < 1e-7
+    assert got[20][1] == 2 and got[10][1] == 1
+    # the doc present in both lists must outrank every single-list doc
+    assert max(got, key=lambda d: got[d][0]) == 20
+
+
+def test_rrf_top_k_cut_and_tiebreak(spark):
+    # identical ranks -> identical scores; the doc_id tie-break decides
+    a = _ranking(spark, [(3, 1), (1, 2), (2, 2)])
+    rows = rrf_fuse([a], k0=60, k=2).collect()
+    assert [r["doc_id"] for r in rows] == [3, 1]
+
+
+def test_rrf_empty_rankings_rejected(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([], k0=60, k=5)
