@@ -278,6 +278,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "kmeans_clusters",
         "semantic_dedup_kmeans",
         "d4_select",
+        "embedding_outliers",
         "media_decode",
         "media_frames",
         "media_near_dup",

@@ -2236,6 +2236,15 @@ def q_dedup_turns(spark, sf_dir):
 # registry
 # --------------------------------------------------------------------------
 
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label centroid-cosine outlier QA: bottom 20% per label
+    flagged, all rows kept. round-6 centroid / round-4 cosine fixed
+    points (kmeans contract); count-table rank, no corpus window."""
+    return CL.embedding_outliers(
+        load(spark, sf_dir, "embeddings"), frac=0.2
+    )
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff: the new corpus version drops doc_id%10==0
     (removed), mutates doc_id%7==0 text (changed), and adds +10^9-
@@ -2331,6 +2340,7 @@ QUERIES: dict[str, Callable] = {
     "zipf_fit": q_zipf_fit,
     "corpus_diff": q_corpus_diff,
     "rrf_fusion": q_rrf_fusion,
+    "embedding_outliers": q_embedding_outliers,
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
@@ -2365,7 +2375,6 @@ QUERIES: dict[str, Callable] = {
     "train_shards": q_train_shards,
     "web_curation": q_web_curation,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "dsir_select": q_dsir_select,
     "nb_quality": q_nb_quality,
     "near_dup_keep_best": q_near_dup_keep_best,
     "curation_pipeline": q_curation_pipeline,
@@ -2396,9 +2405,12 @@ QUERIES: dict[str, Callable] = {
     #    pack_conversations r4-hash-green, untouched since, demoted
     #    for the r5 cms_topk / zipf_fit keys; line_dedup /
     #    substring_dedup r4-hash-green, untouched since their r4
-    #    rewrites, demoted for the r5 corpus_diff / rrf_fusion keys)
+    #    rewrites, demoted for the r5 corpus_diff / rrf_fusion keys;
+    #    dsir_select r4-hash-green, untouched in r5, demoted for the
+    #    r5 embedding_outliers key)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "dsir_select": q_dsir_select,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
     "ccnet_buckets": q_ccnet_buckets,
@@ -5524,4 +5536,38 @@ SELECT doc_id,
 FROM uni GROUP BY doc_id
 ORDER BY rrf DESC, doc_id ASC
 LIMIT 10
+"""
+
+ORACLES["embedding_outliers"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+           FROM embeddings),
+cent AS (SELECT label, list(cv ORDER BY pos) AS cent FROM (
+    SELECT e.label, r.pos, round(avg(e.emb[r.pos]), 6) AS cv
+    FROM e CROSS JOIN unnest(range(1, 65)) AS r(pos)
+    GROUP BY e.label, r.pos) GROUP BY label),
+sc AS (SELECT e.vec_id, e.label,
+              round(list_cosine_similarity(e.emb, c.cent), 4) AS cos4
+       FROM e JOIN cent c USING (label)),
+lv AS (SELECT label, cos4, count(*) AS lv_n FROM sc
+       GROUP BY label, cos4),
+cand AS (SELECT label, cos4, cum_below, cut FROM (
+    SELECT label, cos4,
+           COALESCE(SUM(lv_n) OVER (PARTITION BY label
+               ORDER BY cos4 ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_below,
+           CAST(ceil(CAST(0.2 AS DOUBLE)
+                     * CAST(SUM(lv_n) OVER (PARTITION BY label)
+                            AS DOUBLE)) AS BIGINT) AS cut
+    FROM lv) WHERE cum_below < cut),
+fine AS (SELECT s.vec_id,
+                (c.cum_below
+                 + row_number() OVER (PARTITION BY s.label, s.cos4
+                                      ORDER BY s.vec_id)) <= c.cut
+                    AS flag
+         FROM sc s JOIN cand c
+             ON s.label = c.label AND s.cos4 = c.cos4)
+SELECT s.vec_id, s.label, s.cos4 AS centroid_cos,
+       COALESCE(f.flag, FALSE) AS is_outlier
+FROM sc s LEFT JOIN fine f ON s.vec_id = f.vec_id
 """

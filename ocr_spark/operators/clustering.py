@@ -290,3 +290,102 @@ def d4_select(
     )
     dropped = losers.unionByName(protos)
     return docs.join(dropped, id_col, "left_anti")
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    frac: float = 0.2,
+    label_col: str = "label",
+    vec_dims: int | None = None,
+) -> DataFrame:
+    """Embedding-space outlier QA: flag the ``frac`` of each label's
+    vectors least similar to their label centroid (mislabel detection /
+    encoder-drift triage; the inverse of D4's distance-to-centroid
+    prototypicality signal, Tirumala '23 §3).
+
+    Returns (vec_id, label, centroid_cos, is_outlier) — ALL rows kept,
+    ``is_outlier`` true for the per-label bottom ceil(frac * n) by
+    (cos asc, vec_id asc). centroid_cos is the module's round-4 cosine
+    against the round-6 mean centroid (the rounded-fixed-point contract
+    that makes centroid arithmetic engine-portable).
+
+    Scale shape — the quality_select count-table rank, not a corpus
+    window: per-label centroids are one posexplode + map-side-partial
+    avg (the kmeans update shape) kept DISTRIBUTED and broadcast-joined
+    back (no driver collect — nothing iterates here); the bottom-frac
+    cut ranks a per-(label, cos4) LEVEL TABLE (<= 2*10^4 levels per
+    label by the round-4 grid), prunes levels past the cut, and
+    resolves exact ranks with row_number only inside fine
+    (label, level) partitions. The corpus never sorts; parallelism is
+    never capped at the label count.
+    """
+    d = vec_dims if vec_dims is not None else _probe_dims(
+        embeddings, "embedding"
+    )
+    emb = embeddings.select(
+        "vec_id", F.col(label_col).alias("label"), "embedding"
+    ).withColumn("nrm", _norm_expr("embedding", d))
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pv")
+        )
+        .select(
+            "label",
+            F.expr("transform(pv, x -> x.cv)").alias("cent"),
+        )
+        .withColumn("cn", _norm_expr("cent", d))
+    )
+    scored = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot_expr("embedding", "cent", d)
+                / (F.col("nrm") * F.col("cn")),
+                4,
+            ).alias("cos4"),
+        )
+    )
+    lv = scored.groupBy("label", "cos4").agg(
+        F.count(F.lit(1)).alias("lv_n")
+    )
+    w_cum = (
+        Window.partitionBy("label")
+        .orderBy(F.col("cos4").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("label")
+    cand = lv.select(
+        "label",
+        "cos4",
+        F.coalesce(F.sum("lv_n").over(w_cum), F.lit(0)).alias("cum_below"),
+        F.ceil(
+            F.lit(float(frac)) * F.sum("lv_n").over(w_all).cast("double")
+        )
+        .cast("long")
+        .alias("cut"),
+    ).filter(F.col("cum_below") < F.col("cut"))
+    w_fine = Window.partitionBy("label", "cos4").orderBy(
+        F.col("vec_id").asc()
+    )
+    fine = (
+        scored.join(cand, ["label", "cos4"])
+        .select(
+            "vec_id",
+            (
+                (F.col("cum_below") + F.row_number().over(w_fine))
+                <= F.col("cut")
+            ).alias("flag"),
+        )
+    )
+    return scored.join(fine, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.col("cos4").alias("centroid_cos"),
+        F.coalesce(F.col("flag"), F.lit(False)).alias("is_outlier"),
+    )
