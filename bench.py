@@ -251,6 +251,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "pmi_bigrams",
         "kmv_distinct",
         "pagerank",
+        "link_curation",
         "cms_topk",
         "zipf_fit",
         "corpus_diff",

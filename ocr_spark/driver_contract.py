@@ -2325,6 +2325,46 @@ def q_pagerank(spark, sf_dir):
     return G.pagerank(edges, damping=0.85, iters=3)
 
 
+def q_link_curation(spark, sf_dir):
+    """Flagship graph composition: PageRank over the synthetic host
+    graph (q_pagerank's fixture) -> keep documents whose OWN host
+    (doc_id % 32) ranks in the top 25% of nodes — the Common-Crawl-
+    style link-quality prior applied as a curation gate, ONE plan end
+    to end. The rank/count windows run over the NODE-sized rank table
+    (bounded by design), and the kept-host table broadcasts into the
+    corpus join; dangling dst-only hosts can out-rank doc hosts (rank
+    sinks) — deterministic on both engines either way."""
+    docs = load(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 32).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"),
+    )
+    ranks = G.pagerank(edges, damping=0.85, iters=3)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    w_all = Window.partitionBy(F.lit(1))
+    kept = (
+        ranks.select(
+            "node",
+            "rank",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("nn"),
+        )
+        .filter(
+            F.col("rk")
+            <= F.ceil(F.lit(0.25) * F.col("nn").cast("double"))
+        )
+        .select(
+            F.col("node").alias("host"),
+            F.col("rank").alias("host_rank"),
+        )
+    )
+    return docs.select(
+        "doc_id", (F.col("doc_id") % 32).alias("host")
+    ).join(F.broadcast(kept), "host").select(
+        "doc_id", "host", "host_rank"
+    )
+
+
 # Key ORDER is load-bearing: the driver's correctness gate covers the
 # first 50 keys positionally (CORRECTNESS_r03 stopped at key 50). Head =
 # the flagship compositions, extract routes, media family, and every
@@ -2336,6 +2376,7 @@ QUERIES: dict[str, Callable] = {
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
     "pagerank": q_pagerank,
+    "link_curation": q_link_curation,
     "cms_topk": q_cms_topk,
     "zipf_fit": q_zipf_fit,
     "corpus_diff": q_corpus_diff,
@@ -2373,7 +2414,6 @@ QUERIES: dict[str, Callable] = {
     "incremental_minhash": q_incremental_minhash,
     "incremental_verified": q_incremental_verified,
     "train_shards": q_train_shards,
-    "web_curation": q_web_curation,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "nb_quality": q_nb_quality,
     "near_dup_keep_best": q_near_dup_keep_best,
@@ -2407,9 +2447,11 @@ QUERIES: dict[str, Callable] = {
     #    substring_dedup r4-hash-green, untouched since their r4
     #    rewrites, demoted for the r5 corpus_diff / rrf_fusion keys;
     #    dsir_select r4-hash-green, untouched in r5, demoted for the
-    #    r5 embedding_outliers key)
+    #    r5 embedding_outliers key; web_curation r4-hash-green,
+    #    untouched in r5, demoted for the r5 link_curation key)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "web_curation": q_web_curation,
     "dsir_select": q_dsir_select,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
@@ -2592,6 +2634,14 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     constants written as the SAME IEEE expressions Spark evaluates
     (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE), never the folded
     decimal 0.15 — the bigram_logprob one-ULP lesson)."""
+    body, last = _pagerank_ctes(iters, damping)
+    return f"""WITH {body}
+SELECT node, rank FROM {last}"""
+
+
+def _pagerank_ctes(iters: int = 3, damping: float = 0.85) -> tuple[str, str]:
+    """(CTE body, final-relation name) — shared by the pagerank oracle
+    and the link_curation composition oracle."""
     d = repr(damping)
     parts = []
     prev = "r0"
@@ -2617,7 +2667,7 @@ r{k} AS (
     CROSS JOIN d{k} CROSS JOIN nn)""")
         prev = f"r{k}"
     body = ",\n".join(parts)
-    return f"""WITH edges AS (
+    full = f"""edges AS (
     SELECT DISTINCT doc_id % 32 AS src, (doc_id * 7 + 3) % 40 AS dst
     FROM documents),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
@@ -2627,8 +2677,8 @@ linked AS (SELECT e.src, e.dst, o.outdeg
            FROM edges e JOIN outdeg o USING (src)),
 r0 AS (SELECT node, CAST(CAST(1.0 AS DOUBLE) / nn.n_d AS FLOAT) AS rank
        FROM nodes CROSS JOIN nn),
-{body}
-SELECT node, rank FROM {prev}"""
+{body}"""
+    return full, prev
 
 
 def _pq_ctes(m: int = 4, ksub: int = 16, dsub: int = 16,
@@ -5570,4 +5620,17 @@ fine AS (SELECT s.vec_id,
 SELECT s.vec_id, s.label, s.cos4 AS centroid_cos,
        COALESCE(f.flag, FALSE) AS is_outlier
 FROM sc s LEFT JOIN fine f ON s.vec_id = f.vec_id
+"""
+
+_PR_CTES, _PR_LAST = _pagerank_ctes(3, 0.85)
+ORACLES["link_curation"] = f"""
+WITH {_PR_CTES},
+kept AS (SELECT node, rank FROM (
+    SELECT node, rank,
+           row_number() OVER (ORDER BY rank DESC, node ASC) AS rk,
+           count(*) OVER () AS n_all
+    FROM {_PR_LAST})
+    WHERE rk <= ceil(CAST(0.25 AS DOUBLE) * CAST(n_all AS DOUBLE)))
+SELECT d.doc_id, d.doc_id % 32 AS host, k.rank AS host_rank
+FROM documents d JOIN kept k ON d.doc_id % 32 = k.node
 """

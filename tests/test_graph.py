@@ -93,3 +93,47 @@ def test_pagerank_sink_heavy_graph_ranks_hub_highest(spark):
     star = [(i, 0) for i in range(1, 8)]
     got = _run(spark, star)
     assert max(got, key=got.get) == 0
+
+
+def test_link_curation_gate_semantics(spark):
+    """Composition: every surviving doc's host must be in the
+    independently-computed top-25% host set, every doc on such a host
+    survives, and host_rank round-trips the pagerank value."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.driver_contract import q_link_curation, q_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    ranks = {
+        r["node"]: r["rank"] for r in q_pagerank(spark, sf).collect()
+    }
+    cut = math.ceil(0.25 * len(ranks))
+    top = {
+        n for n, _ in sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :cut
+        ]
+    }
+    kept = q_link_curation(spark, sf).collect()
+    assert kept, "composition returned nothing"
+    # every top-ranked host in 0..31 has docs at this sf, so the kept
+    # host set must be exactly the doc-host slice of the top set
+    assert {r["host"] for r in kept} == {h for h in top if h < 32}
+    for r in kept:
+        assert r["host"] in top
+        assert abs(r["host_rank"] - ranks[r["host"]]) == 0.0
+    # completeness: count docs per surviving host against the corpus
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    per_host = {
+        r["host"]: r["n"]
+        for r in docs.select((F.col("doc_id") % 32).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_per_host: dict = {}
+    for r in kept:
+        got_per_host[r["host"]] = got_per_host.get(r["host"], 0) + 1
+    for h, n in got_per_host.items():
+        assert n == per_host[h], (h, n, per_host[h])
