@@ -219,6 +219,11 @@ def cms_heavy_hitters(
         F.explode(F.expr(TOKENS_LC)).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # tf feeds BOTH the sketch build and the probe: checkpoint the
+    # vocabulary-sized relation so the corpus tokenize pass runs ONCE
+    # by construction (without this the plan carries three corpus
+    # scans and only AQE exchange-reuse collapses them at runtime)
+    tf = tf.localCheckpoint(eager=True)
     rows = F.array([F.lit(r) for r in range(depth)])
     h = tf.select(
         "term", "cnt", F.explode(rows).alias("r")

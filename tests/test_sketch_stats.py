@@ -124,3 +124,14 @@ def test_zipf_degenerate_single_rank_is_null(spark):
     row = zipf_fit(_docs(spark, ["only only only"]), top_r=5).collect()[0]
     assert row["n_ranks"] == 1
     assert row["slope"] is None and row["r2"] is None
+
+
+def test_cms_single_corpus_pass(spark):
+    """The tf checkpoint pins ONE corpus tokenize pass: the sketch
+    build and the probe both read the vocabulary-sized checkpoint, so
+    the final plan contains no corpus scan at all."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = cms_heavy_hitters(docs, depth=3, width=16, k=5)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in tree
+    assert "Scan ExistingRDD" in tree  # the checkpointed tf relation
