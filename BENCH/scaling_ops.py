@@ -253,6 +253,26 @@ def _run_op(spark, op: str) -> int:
 
         emb = spark.read.parquet(str(EMB_CACHE))
         out = kmeans_assign(emb, k=8, iters=2, vec_dims=64)
+    elif op == "pagerank":
+        # the ITERATIVE join+agg shape (r5): per-iteration edges JOIN
+        # node-sized ranks + one groupBy(dst) agg, with an eager
+        # localCheckpoint barrier per iteration (the deliberate
+        # lineage cut) — measures how the per-iteration serial
+        # barriers amortize against the data-parallel join/agg work;
+        # input generated in-process from spark.range (deterministic,
+        # identical at both levels, included in the wall on both)
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.graph import pagerank
+
+        edges = spark.range(5_000_000).select(
+            (F.col("id") % 90_000).alias("src"),
+            (
+                (F.col("id") * F.lit(2654435761) + F.lit(17))
+                % F.lit(100_000)
+            ).alias("dst"),
+        )
+        out = pagerank(edges, damping=0.85, iters=5)
     elif op == "simhash":
         # the compute-bound dedup-family datapoint (per-token md5 bit
         # votes dominate): contrasts with string/scan-bound line_dedup
