@@ -222,6 +222,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "intra_doc_dedup",
         "token_budget_mix",
         "quality_select",
+        "score_normalize",
         "ngram_topk",
         "mix_pipeline",
         "domain_upsample",

@@ -2325,6 +2325,16 @@ def q_pagerank(spark, sf_dir):
     return G.pagerank(edges, damping=0.85, iters=3)
 
 
+def q_score_normalize(spark, sf_dir):
+    """Per-domain percent-rank calibration of an integer score
+    (n_chars — already a level grid, zero float risk): pure level-
+    table shape, corpus never windows. float32 pct output."""
+    docs = load(spark, sf_dir, "documents")
+    return X.score_normalize(
+        docs, score_col="n_chars", domain_col="source"
+    )
+
+
 def q_link_curation(spark, sf_dir):
     """Flagship graph composition: PageRank over the synthetic host
     graph (q_pagerank's fixture) -> keep documents whose OWN host
@@ -2377,6 +2387,7 @@ QUERIES: dict[str, Callable] = {
     # -- training-data operators --
     "pagerank": q_pagerank,
     "link_curation": q_link_curation,
+    "score_normalize": q_score_normalize,
     "cms_topk": q_cms_topk,
     "zipf_fit": q_zipf_fit,
     "corpus_diff": q_corpus_diff,
@@ -2417,7 +2428,6 @@ QUERIES: dict[str, Callable] = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "nb_quality": q_nb_quality,
     "near_dup_keep_best": q_near_dup_keep_best,
-    "curation_pipeline": q_curation_pipeline,
     "char_entropy": q_char_entropy,
     "hash_split": q_hash_split,
     "shard_assign": q_shard_assign,
@@ -2448,9 +2458,13 @@ QUERIES: dict[str, Callable] = {
     #    rewrites, demoted for the r5 corpus_diff / rrf_fusion keys;
     #    dsir_select r4-hash-green, untouched in r5, demoted for the
     #    r5 embedding_outliers key; web_curation r4-hash-green,
-    #    untouched in r5, demoted for the r5 link_curation key)
+    #    untouched in r5, demoted for the r5 link_curation key;
+    #    curation_pipeline r4-hash-green, untouched in r5, demoted
+    #    for the r5 score_normalize key — the LAST pre-r5 head key,
+    #    so every head-50 slot now carries an r5-added key)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    "curation_pipeline": q_curation_pipeline,
     "web_curation": q_web_curation,
     "dsir_select": q_dsir_select,
     "line_dedup": q_line_dedup,
@@ -5633,4 +5647,26 @@ kept AS (SELECT node, rank FROM (
     WHERE rk <= ceil(CAST(0.25 AS DOUBLE) * CAST(n_all AS DOUBLE)))
 SELECT d.doc_id, d.doc_id % 32 AS host, k.rank AS host_rank
 FROM documents d JOIN kept k ON d.doc_id % 32 = k.node
+"""
+
+ORACLES["score_normalize"] = """
+WITH lv AS (SELECT source, n_chars, count(*) AS lv_n FROM documents
+            GROUP BY source, n_chars),
+lvn AS (SELECT source, n_chars,
+               COALESCE(SUM(lv_n) OVER (PARTITION BY source
+                   ORDER BY n_chars ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_below,
+               SUM(lv_n) OVER (PARTITION BY source) AS n_dom
+        FROM lv),
+pct AS (SELECT source, n_chars,
+               CAST(CASE WHEN n_dom > 1
+                         THEN CAST(cum_below AS DOUBLE)
+                              / CAST(n_dom - 1 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END AS FLOAT)
+                   AS score_pct
+        FROM lvn)
+SELECT d.doc_id, d.source, d.n_chars, p.score_pct
+FROM documents d JOIN pct p
+    ON d.source = p.source AND d.n_chars = p.n_chars
 """

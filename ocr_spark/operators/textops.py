@@ -2103,3 +2103,62 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
     return out.withColumn("text_redacted", clean)
+
+
+def score_normalize(
+    df: DataFrame,
+    score_col: str = "score",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain percent-rank normalization of a quality score — the
+    calibration step that makes one threshold comparable ACROSS domains
+    (a raw-score cut keeps different fractions of prose vs code vs
+    forums; CCNet-style pipelines bucket per domain for exactly this
+    reason). pct = cum_below / (n_domain - 1) — the standard
+    percent_rank with ties sharing their tie-group's minimum rank — as
+    float32 (the cross-engine contract; both engines divide the same
+    exact integers, so the double is bit-identical before the cast).
+    Single-row domains define pct = 0 (Spark percent_rank convention).
+
+    Scale shape: the PURE level-table form of the quality_select
+    machinery, and strictly cheaper — percent-rank is constant within
+    a tie group, so no fine row_number pass exists at all. One
+    (domain, score) count agg with map-side partials, tiny per-domain
+    cumulative windows over the LEVEL table, broadcast back to the
+    corpus. The corpus never sorts and never windows; parallelism is
+    never domain-capped. Quantize continuous scores (round-4) before
+    calling so the level table stays bounded (integer scores like
+    char/token counts are already levels).
+    """
+    lv = df.groupBy(domain_col, score_col).agg(
+        F.count(F.lit(1)).alias("lv_n")
+    )
+    w_cum = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(domain_col)
+    lvn = lv.select(
+        domain_col,
+        score_col,
+        F.coalesce(F.sum("lv_n").over(w_cum), F.lit(0)).alias(
+            "cum_below"
+        ),
+        F.sum("lv_n").over(w_all).alias("n_dom"),
+    ).select(
+        domain_col,
+        score_col,
+        F.when(
+            F.col("n_dom") > 1,
+            F.col("cum_below").cast("double")
+            / (F.col("n_dom") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("float")
+        .alias("score_pct"),
+    )
+    return df.select(id_col, domain_col, score_col).join(
+        F.broadcast(lvn), [domain_col, score_col]
+    ).select(id_col, domain_col, score_col, "score_pct")

@@ -135,3 +135,48 @@ def test_cms_single_corpus_pass(spark):
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in tree
     assert "Scan ExistingRDD" in tree  # the checkpointed tf relation
+
+
+def test_score_normalize_matches_percent_rank_reference(spark):
+    from ocr_spark.operators.textops import score_normalize
+
+    rows = [
+        # domain a: scores with a tie group
+        (1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 40),
+        # domain b: distinct scores
+        (5, "b", 1), (6, "b", 2), (7, "b", 3),
+        # domain c: single row -> pct 0 by convention
+        (8, "c", 99),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    got = {
+        r["doc_id"]: r["score_pct"]
+        for r in score_normalize(df).collect()
+    }
+    exp = {
+        1: 0.0, 2: 1 / 3, 3: 1 / 3, 4: 3 / 3,
+        5: 0.0, 6: 1 / 2, 7: 2 / 2,
+        8: 0.0,
+    }
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert abs(got[k] - v) < 1e-7, (k, got[k], v)
+
+
+def test_score_normalize_no_corpus_window(spark):
+    """The corpus must never enter a window: every
+    windowspecdefinition belongs to the LEVEL table (no doc_id in any
+    spec), and the level table reaches the corpus via broadcast."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.textops import score_normalize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = score_normalize(docs, score_col="n_chars", domain_col="source")
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", tree)
+    assert specs, "level windows expected"
+    assert all("doc_id" not in s for s in specs), specs
+    assert "BroadcastHashJoin" in tree
