@@ -10,11 +10,13 @@ distinct collapses a real 5.6x multi-edge load to 900k distinct edges
 (n_distinct_edges in the output pins it); the python reference runs
 over the same deduped set.
 
-Measured (degraded-window box, 2026-08-18): wall 26.0s for 5M input
-edges x 5 iterations (~0.96M edge-iters/s incl. the distinct),
-worst per-node |Spark - reference| = 0.0 — BIT-EXACT on all 100k
-nodes — mass 0.99999997, top-100 ordered-exact, min rank at the
-teleport floor.
+Measured (degraded-window box, 2026-08-18): wall 17.6s for 5M input
+edges x 5 iterations (~1.4M edge-iters/s incl. the distinct; was
+26.0s before the dangling-node-set hoist out of the iteration loop —
+the set is iteration-invariant, only its mass changes), worst
+per-node |Spark - reference| = 0.0 — BIT-EXACT on all 100k nodes —
+mass 0.99999997, top-100 ordered-exact, min rank at the teleport
+floor.
 
 Checks:
 - node coverage: exactly one rank row per node.
@@ -53,35 +55,10 @@ ITERS = 5
 DAMP = 0.85
 
 
-def _ref_pagerank(edges, n_nodes, damping, iters):
-    import numpy as np
-
-    out_deg: dict = {}
-    for s, _ in edges:
-        out_deg[s] = out_deg.get(s, 0) + 1
-    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
-    n = float(len(nodes))
-    rank = {v: np.float32(1.0 / n) for v in nodes}
-    for _ in range(iters):
-        contrib: dict = {}
-        for s, t in edges:
-            contrib[t] = contrib.get(t, 0.0) + float(rank[s]) / float(
-                out_deg[s]
-            )
-        dang = sum(float(rank[v]) for v in nodes if v not in out_deg)
-        base = (1.0 - damping) / n
-        rank = {
-            v: np.float32(
-                base + damping * (contrib.get(v, 0.0) + dang / n)
-            )
-            for v in nodes
-        }
-    return rank
-
-
 def main() -> int:
     from pyspark.sql import SparkSession, functions as F
 
+    from ocr_spark.kernels.graph_ref import ref_pagerank
     from ocr_spark.operators.graph import pagerank
 
     spark = (
@@ -130,7 +107,7 @@ def main() -> int:
          for i in range(N_EDGES)}
     )
     res["n_distinct_edges"] = len(edge_list)
-    ref = _ref_pagerank(edge_list, N_NODES, DAMP, ITERS)
+    ref = ref_pagerank(edge_list, damping=DAMP, iters=ITERS)
     res["ref_s"] = round(time.time() - t1, 1)
     assert set(ref) == set(got)
     worst = max(abs(float(got[v]) - float(ref[v])) for v in ref)

@@ -5572,8 +5572,7 @@ WITH toks AS (
                AS term
     FROM documents WHERE trim(text) <> ''
 ),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term <> ''
-       GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 {_bm25_rank_cte(('hash', 'join', 'merge'), 'a', 30)},
 {_bm25_rank_cte(('merge', 'sort', 'scan'), 'b', 30)},

@@ -351,25 +351,28 @@ def embedding_outliers(
             ).alias("cos4"),
         )
     )
-    lv = scored.groupBy("label", "cos4").agg(
-        F.count(F.lit(1)).alias("lv_n")
-    )
-    w_cum = (
-        Window.partitionBy("label")
-        .orderBy(F.col("cos4").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("label")
-    cand = lv.select(
-        "label",
-        "cos4",
-        F.coalesce(F.sum("lv_n").over(w_cum), F.lit(0)).alias("cum_below"),
-        F.ceil(
-            F.lit(float(frac)) * F.sum("lv_n").over(w_all).cast("double")
+    # NULL cos4 (NULL/zero-norm embedding) stays OUT of the level
+    # table — a NULL level sorts NULLS-FIRST in Spark's ascending
+    # window but NULLS-LAST under DuckDB's default, shifting cum_below
+    # on one engine only; such rows still reach the output (flag
+    # false) through the final left join
+    lv = scored.filter(F.col("cos4").isNotNull()).groupBy(
+        "label", "cos4"
+    ).agg(F.count(F.lit(1)).alias("lv_n"))
+    from ocr_spark.operators.textops import _level_cum
+
+    cand = (
+        _level_cum(lv, ["label"], "cos4")
+        .select(
+            "label",
+            "cos4",
+            "cum_below",
+            F.ceil(F.lit(float(frac)) * F.col("n_part").cast("double"))
+            .cast("long")
+            .alias("cut"),
         )
-        .cast("long")
-        .alias("cut"),
-    ).filter(F.col("cum_below") < F.col("cut"))
+        .filter(F.col("cum_below") < F.col("cut"))
+    )
     w_fine = Window.partitionBy("label", "cos4").orderBy(
         F.col("vec_id").asc()
     )

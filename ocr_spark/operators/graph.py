@@ -64,6 +64,12 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) — built once, reused every iteration
     linked = e.join(outdeg, "src").localCheckpoint(eager=True)
+    # the dangling-node SET is iteration-invariant: derive it once
+    # (its MASS changes per iteration and is re-aggregated below)
+    dangling = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     base = F.lit(1.0 - damping) / F.lit(float(n))
     ranks = nodes.withColumn(
@@ -82,7 +88,7 @@ def pagerank(
             )
         )
         dang = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            ranks.join(dangling, "node", "left_semi")
             .agg(
                 F.coalesce(
                     F.sum(F.col("rank").cast("double")), F.lit(0.0)

@@ -2105,6 +2105,32 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("text_redacted", clean)
 
 
+def _level_cum(
+    lv: DataFrame, part_cols: list[str], level_col: str
+) -> DataFrame:
+    """Exclusive prefix sum (cum_below) + partition total (n_part)
+    over a LEVEL table in ascending level order — the shared fragment
+    of the count-table rank machinery (score_normalize and
+    clustering.embedding_outliers; quality_select keeps its own
+    descending budget variant). Input carries a ``lv_n`` count column;
+    levels must be NULL-free (Spark windows sort NULLS FIRST where
+    DuckDB defaults NULLS LAST — callers filter)."""
+    w_cum = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(level_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*part_cols)
+    return lv.select(
+        *part_cols,
+        level_col,
+        F.coalesce(F.sum("lv_n").over(w_cum), F.lit(0)).alias(
+            "cum_below"
+        ),
+        F.sum("lv_n").over(w_all).alias("n_part"),
+    )
+
+
 def score_normalize(
     df: DataFrame,
     score_col: str = "score",
@@ -2130,30 +2156,24 @@ def score_normalize(
     never domain-capped. Quantize continuous scores (round-4) before
     calling so the level table stays bounded (integer scores like
     char/token counts are already levels).
+
+    NULL scores are EXCLUDED up front (documented policy): percent
+    rank is undefined for them, and a NULL level would otherwise sort
+    NULLS-FIRST in Spark's ascending window but NULLS-LAST under
+    DuckDB's default, silently shifting cum_below for every real
+    level on one engine only.
     """
+    df = df.filter(F.col(score_col).isNotNull())
     lv = df.groupBy(domain_col, score_col).agg(
         F.count(F.lit(1)).alias("lv_n")
     )
-    w_cum = (
-        Window.partitionBy(domain_col)
-        .orderBy(F.col(score_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy(domain_col)
-    lvn = lv.select(
-        domain_col,
-        score_col,
-        F.coalesce(F.sum("lv_n").over(w_cum), F.lit(0)).alias(
-            "cum_below"
-        ),
-        F.sum("lv_n").over(w_all).alias("n_dom"),
-    ).select(
+    lvn = _level_cum(lv, [domain_col], score_col).select(
         domain_col,
         score_col,
         F.when(
-            F.col("n_dom") > 1,
+            F.col("n_part") > 1,
             F.col("cum_below").cast("double")
-            / (F.col("n_dom") - 1).cast("double"),
+            / (F.col("n_part") - 1).cast("double"),
         )
         .otherwise(F.lit(0.0))
         .cast("float")

@@ -1,39 +1,11 @@
-"""PageRank: hand-graph reference equality, dangling mass, policies."""
+"""PageRank: golden-reference equality, dangling mass, policies."""
 
 from __future__ import annotations
 
-import numpy as np
 import pytest
 
+from ocr_spark.kernels.graph_ref import ref_pagerank as _ref_pagerank
 from ocr_spark.operators.graph import pagerank
-
-
-def _ref_pagerank(edge_list, damping=0.85, iters=3):
-    """Pure-python power iteration mirroring the operator's float32
-    fixed-point contract (np.float32 cast per iteration)."""
-    edges = sorted(set(edge_list))
-    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
-    n = float(len(nodes))
-    out: dict = {}
-    for s, _ in edges:
-        out[s] = out.get(s, 0) + 1
-    rank = {v: np.float32(1.0 / n) for v in nodes}
-    for _ in range(iters):
-        contrib: dict = {}
-        for s, t in edges:
-            contrib[t] = contrib.get(t, 0.0) + float(rank[s]) / float(
-                out[s]
-            )
-        dang = sum(float(rank[v]) for v in nodes if v not in out)
-        rank = {
-            v: np.float32(
-                (1.0 - damping) / n
-                + damping * (contrib.get(v, 0.0) + dang / n)
-            )
-            for v in nodes
-        }
-    return rank
-
 
 EDGES = [
     (1, 2), (2, 3), (3, 1), (1, 3),

@@ -6,9 +6,19 @@ import math
 import random
 import re
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from ocr_spark.operators.clustering import embedding_outliers
 
 D = 4
+
+
+def _r(x: float, nd: int) -> float:
+    """HALF_UP decimal round — Spark's round(), NOT Python's banker's
+    round() (CLAUDE.md: tie behavior differs; the repo's references
+    round HALF_UP, cf. soak_cluster)."""
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _fixture(n_per_label=12, labels=(0, 1), seed=11):
@@ -31,14 +41,14 @@ def _ref_flags(rows, frac):
     flags = {}
     for lab, members in by_label.items():
         cent = [
-            round(sum(v[i] for _, v in members) / len(members), 6)
+            _r(sum(v[i] for _, v in members) / len(members), 6)
             for i in range(D)
         ]
         cn = math.sqrt(sum(c * c for c in cent))
         scored = []
         for vid, vec in members:
             nv = math.sqrt(sum(x * x for x in vec))
-            cos = round(
+            cos = _r(
                 sum(x * c for x, c in zip(vec, cent)) / (nv * cn), 4
             )
             scored.append((cos, vid))
