@@ -73,3 +73,42 @@ def test_rrf_top_k_cut_and_tiebreak(spark):
 def test_rrf_empty_rankings_rejected(spark):
     with pytest.raises(ValueError):
         rrf_fuse([], k0=60, k=5)
+
+
+def test_corpus_diff_randomized_equivalence(spark):
+    """Seeded random snapshot pairs vs a dict-diff reference."""
+    import random
+
+    for seed in range(20):
+        rng = random.Random(f"cd#{seed}")
+        ids = range(rng.randint(1, 25))
+        old = {i: rng.choice(["a", "b", None]) for i in ids if rng.random() < 0.8}
+        new = {
+            i: rng.choice(["a", "b", None])
+            for i in range(rng.randint(1, 25))
+            if rng.random() < 0.8
+        }
+
+        def fp(v):
+            return v if v is not None else ""
+
+        exp = {}
+        for i in set(old) | set(new):
+            if i not in old:
+                exp[i] = "added"
+            elif i not in new:
+                exp[i] = "removed"
+            elif fp(old[i]) != fp(new[i]):
+                exp[i] = "changed"
+            else:
+                exp[i] = "unchanged"
+        if not old or not new:
+            continue  # createDataFrame needs rows; empty snapshots
+        ddl = "doc_id long, text string"  # all-None columns can't infer
+        o = spark.createDataFrame([(i, t) for i, t in old.items()], ddl)
+        n = spark.createDataFrame([(i, t) for i, t in new.items()], ddl)
+        got = {
+            r["doc_id"]: r["status"]
+            for r in corpus_diff(o, n).collect()
+        }
+        assert got == exp, seed

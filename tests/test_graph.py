@@ -109,3 +109,24 @@ def test_link_curation_gate_semantics(spark):
         got_per_host[r["host"]] = got_per_host.get(r["host"], 0) + 1
     for h, n in got_per_host.items():
         assert n == per_host[h], (h, n, per_host[h])
+
+
+def test_pagerank_randomized_equivalence_vs_golden(spark):
+    """Seeded random graphs (the substring_dedup randomized-equivalence
+    precedent): dangling nodes, self-loops, multi-edges and disconnected
+    pieces all arise naturally; every node must match the golden within
+    the float32 envelope."""
+    import random
+
+    for seed in range(12):
+        rng = random.Random(f"pr#{seed}")
+        n_nodes = rng.randint(2, 9)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(1, 14))
+        ]
+        got = _run(spark, edges, iters=2)
+        ref = _ref_pagerank(edges, iters=2)
+        assert set(got) == set(ref), seed
+        for v in ref:
+            assert abs(got[v] - float(ref[v])) < 1e-6, (seed, v)
