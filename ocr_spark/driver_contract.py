@@ -2274,13 +2274,16 @@ def q_rrf_fusion(spark, sf_dir):
     raw float scores."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-
-    def ranked(bm: DataFrame) -> DataFrame:
-        w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        return bm.select("doc_id", F.row_number().over(w).alias("rank"))
-
-    bm_a = ranked(SR.bm25_topk(docs, ["hash", "join", "merge"], k=30))
-    bm_b = ranked(SR.bm25_topk(docs, ["merge", "sort", "scan"], k=30))
+    # ONE corpus pass for both sparse probes (bm25_topk_multi shares
+    # toks/dl/stats/tf); the 2k-row result checkpoint makes the two
+    # per-probe filter branches free
+    multi = SR.bm25_topk_multi(
+        docs,
+        {"a": ["hash", "join", "merge"], "b": ["merge", "sort", "scan"]},
+        k=30,
+    ).localCheckpoint(eager=True)
+    bm_a = multi.filter(F.col("q_key") == "a").select("doc_id", "rank")
+    bm_b = multi.filter(F.col("q_key") == "b").select("doc_id", "rank")
     q0 = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )

@@ -126,6 +126,90 @@ def bm25_topk(
     )
 
 
+def bm25_topk_multi(
+    docs: DataFrame,
+    probes: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Multi-probe BM25: per-probe top-k for a dict of
+    {q_key: [terms...]} sharing ONE corpus tokenize pass, ONE
+    doc-length/stats aggregate, and ONE per-(doc, term) tf relation
+    across all probes — the multi-query form that makes query-expansion
+    fusion (rrf_fuse over several probes) cost one corpus pass instead
+    of one per probe.
+
+    Returns (q_key, doc_id, bm25, n_terms, rank), rank 1..k per probe
+    by (round-4 bm25 desc, doc_id asc) — per-probe scores and ranks are
+    IDENTICAL to independent bm25_topk calls (df/dl/stats are
+    probe-independent; the probe mapping only regroups the same
+    per-term weights), so the two forms are interchangeable under the
+    oracle.
+
+    Plan: the (q_key, term) mapping is a broadcast literal; the
+    per-probe top-k is a rank-filtered (q_key)-partitioned window,
+    which Spark compiles to WindowGroupLimit Partial+Final (map-side
+    k-row heads per partition — the weighted_sample shape), never a
+    monolithic per-probe sort.
+    """
+    mapping_rows = [
+        (q, t) for q, ts in sorted(probes.items()) for t in sorted(set(ts))
+    ]
+    if not mapping_rows:
+        raise ValueError("bm25_topk_multi needs at least one probe term")
+    all_terms = sorted({t for _, t in mapping_rows})
+    toks = _tokens(docs)
+    dl = docs.filter(F.trim("text") != "").select(
+        "doc_id", F.size(F.expr(TOKENS_LC)).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    w = (
+        idf
+        * (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    mapping = docs.sparkSession.createDataFrame(
+        mapping_rows, "q_key string, term string"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", w)
+        .join(F.broadcast(mapping), "term")
+    )
+    win = Window.partitionBy("q_key").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.groupBy("q_key", "doc_id")
+        .agg(
+            F.round(F.sum("w"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
     """Per-document top-k keywords by TF-IDF (stopwords excluded).
 

@@ -112,3 +112,41 @@ def test_corpus_diff_randomized_equivalence(spark):
             for r in corpus_diff(o, n).collect()
         }
         assert got == exp, seed
+
+
+def test_bm25_multi_equals_independent_single_probes(spark):
+    """bm25_topk_multi must be interchangeable with independent
+    bm25_topk calls: same docs, same round-4 scores, same ranks."""
+    from ocr_spark.operators.search import bm25_topk, bm25_topk_multi
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probes = {
+        "a": ["hash", "join", "merge"],
+        "b": ["merge", "sort", "scan"],
+    }
+    multi = bm25_topk_multi(docs, probes, k=15)
+    got = {
+        (r["q_key"], r["doc_id"]): (r["bm25"], r["n_terms"], r["rank"])
+        for r in multi.collect()
+    }
+    for q_key, terms in probes.items():
+        single = bm25_topk(docs, terms, k=15).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(q_key, r["doc_id"])] == (
+                r["bm25"],
+                r["n_terms"],
+                rank,
+            ), (q_key, r["doc_id"])
+    assert len(got) == 30
+
+
+def test_bm25_multi_topk_is_window_group_limit(spark):
+    """The per-probe top-k must compile to WindowGroupLimit
+    (Partial+Final map-side heads), never a monolithic per-probe
+    sort (the weighted_sample lesson)."""
+    from ocr_spark.operators.search import bm25_topk_multi
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = bm25_topk_multi(docs, {"a": ["hash"], "b": ["scan"]}, k=5)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in tree
