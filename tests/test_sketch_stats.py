@@ -169,8 +169,6 @@ def test_score_normalize_no_corpus_window(spark):
     spec), and the level table reaches the corpus via broadcast."""
     import re
 
-    from pyspark.sql import functions as F
-
     from ocr_spark.operators.textops import score_normalize
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
