@@ -26,6 +26,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iters: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """PageRank with uniform teleport and dangling-mass redistribution.
 
@@ -47,7 +48,9 @@ def pagerank(
       partials. Nothing corpus-sized ever sorts.
     - N and the iteration count are driver literals; each iteration's
       node-sized result localCheckpoints, deliberately cutting lineage
-      (kmeans_assign precedent).
+      (kmeans_assign precedent). ``checkpoint=False`` keeps the full
+      lineage instead — ONLY for plan inspection/tests (the plan grows
+      per iteration); production callers leave it on.
     - dangling mass is a 1-row aggregate crossJoined in (broadcast —
       Spark plans a 1-row BNLJ, never a real cartesian).
     """
@@ -111,6 +114,7 @@ def pagerank(
                 .cast("float")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

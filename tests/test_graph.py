@@ -130,3 +130,24 @@ def test_pagerank_randomized_equivalence_vs_golden(spark):
         assert set(got) == set(ref), seed
         for v in ref:
             assert abs(got[v] - float(ref[v])) < 1e-6, (seed, v)
+
+
+def test_pagerank_plan_shape(spark):
+    """Scale-shape pins on the ADAPTIVE executed plan (checkpoint=False
+    exposes the iteration; the production checkpoint hides it behind an
+    RDD scan; ReusedExchange lesson — inspect AFTER collect()): the
+    1-row dangling-mass crossJoin must be a broadcast nested-loop
+    (never CartesianProduct), and the edge-relation joins
+    (linked x ranks, nodes x contrib) must broadcast their node-sized
+    sides — the edge relation itself never sorts. The remaining
+    node-vs-dangling semi-join may stay sort-merge: both sides are
+    node-sized, acceptable at web-graph scale."""
+    df = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 9) for i in range(40)], ["src", "dst"]
+    )
+    out = pagerank(df, iters=1, checkpoint=False)
+    out.collect()
+    tree = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" in tree  # the 1-row dang join
+    assert tree.count("BroadcastHashJoin") >= 2
