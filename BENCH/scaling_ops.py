@@ -260,16 +260,20 @@ def _run_op(spark, op: str) -> int:
         # lineage cut) — measures how the per-iteration serial
         # barriers amortize against the data-parallel join/agg work;
         # input generated in-process from spark.range (deterministic,
-        # identical at both levels, included in the wall on both)
+        # identical at both levels, included in the wall on both).
+        # Sizing: src modulus 1,048,573 (prime) vs 1.2M nodes keeps
+        # the generator period >> 20M, so ~20M DISTINCT edges survive
+        # (the soak's 90k/100k moduli collapse to 900k and read a
+        # 6.8s 8-core wall — under the >=30s Amdahl floor)
         from pyspark.sql import functions as F
 
         from ocr_spark.operators.graph import pagerank
 
-        edges = spark.range(5_000_000).select(
-            (F.col("id") % 90_000).alias("src"),
+        edges = spark.range(20_000_000).select(
+            (F.col("id") % F.lit(1_048_573)).alias("src"),
             (
                 (F.col("id") * F.lit(2654435761) + F.lit(17))
-                % F.lit(100_000)
+                % F.lit(1_200_000)
             ).alias("dst"),
         )
         out = pagerank(edges, damping=0.85, iters=5)
