@@ -260,6 +260,15 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "sft_examples",
         "sft_pipeline",
         "sft_spans",
+        "conv_stats",
+        "conv_filter",
+        "sft_curation",
+        "hits",
+        "length_buckets",
+        "tokenizer_fit",
+        "distinct_ngrams",
+        "cluster_stats",
+        "template_families",
         "winnow",
         "winnow_pairs",
         "winnow_verified",

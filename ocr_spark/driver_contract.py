@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ocr_spark.operators import clustering as CL
+from ocr_spark.operators import convops as CV
 from ocr_spark.operators import dedup as D
 from ocr_spark.operators import graph as G
 from ocr_spark.operators import pq as PQ
@@ -2378,6 +2379,139 @@ def q_link_curation(spark, sf_dir):
     )
 
 
+def _transcripts(docs: DataFrame) -> DataFrame:
+    """Shared transcript fixture for the conversation-structure keys:
+    conv_id = doc_id div 8, turn order = doc_id % 8, alternating
+    user/assistant roles with PLANTED structure faults — the role
+    flips wherever doc_id % 23 == 0 (creating alternation violations,
+    and wrong openers when the flip lands on turn 0) and the text
+    empties wherever doc_id % 31 == 0 — so every conv_stats counter
+    and every conv_filter rejection branch is exercised on real rows.
+    Mirrored verbatim by the ``turns`` CTE in the oracles."""
+    return docs.select(
+        F.expr("doc_id div 8").alias("conv_id"),
+        (F.col("doc_id") % 8).alias("turn_idx"),
+        F.when(
+            (F.col("doc_id") % 2 == 0) != (F.col("doc_id") % 23 == 0),
+            "user",
+        )
+        .otherwise("assistant")
+        .alias("role"),
+        F.when(F.col("doc_id") % 31 == 0, "")
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_conv_stats(spark, sf_dir):
+    """Per-conversation structural QA over the fault-planted transcript
+    fixture: turn/role counts, opener role, alternation violations,
+    empty turns, char totals — one conv-partitioned window pass + one
+    hash-agg, integer/string outputs only (zero float risk)."""
+    return CV.conv_stats(_transcripts(load(spark, sf_dir, "documents")))
+
+
+def q_conv_filter(spark, sf_dir):
+    """Structural conversation gate over the same fixture: keep only
+    convs that open with the user, alternate cleanly, have no empty
+    turns and 2..64 turns — returns the surviving TURN rows (the
+    planted faults guarantee both kept and dropped convs exist)."""
+    return CV.conv_filter(
+        _transcripts(load(spark, sf_dir, "documents")),
+        min_turns=2,
+        max_turns=64,
+    )
+
+
+def q_sft_curation(spark, sf_dir):
+    """The transcripts-axis flagship, ONE plan end to end: fault-
+    planted transcripts -> conv_filter structural gate -> sft_examples
+    (3-turn rolling contexts) -> render -> pack_sequences into
+    512-token sequences in 8 hash shards. Within kept conversations
+    roles provably alternate user-first, so assistant targets sit at
+    odd turn_idx and the conv_id*4 + (turn_idx-1) div 2 example-id
+    densification of sft_pipeline carries over unchanged."""
+    turns = _transcripts(load(spark, sf_dir, "documents"))
+    kept = CV.conv_filter(turns, min_turns=2, max_turns=64).drop(
+        "n_turns"
+    )
+    ex = X.sft_examples(kept, context_turns=3)
+    rendered = ex.select(
+        F.expr("conv_id * 4 + (turn_idx - 1) div 2").alias("doc_id"),
+        F.concat_ws(
+            "\n\n", F.expr("nullif(context, '')"), F.col("target")
+        ).alias("text"),
+    )
+    return X.pack_sequences(rendered, seq_len=512, shards=8)
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities over the pagerank synthetic host graph
+    (same fixture: dst-only nodes 32..39 are pure authorities, so the
+    hub-0 branch is exercised), 3 iterations, L1 norms, float32 fixed
+    points per normalization — the oracle unrolls the same iterations
+    as CTEs."""
+    docs = load(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 32).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"),
+    )
+    return G.hits(edges, iters=3)
+
+
+def q_length_buckets(spark, sf_dir):
+    """Power-of-two token-length histogram — the batching-prep mix
+    sheet. Bucket = bit length of n_tokens (exact at power-of-two
+    boundaries where floor(log2) is not); integer-only output."""
+    return X.length_histogram(load(spark, sf_dir, "documents"))
+
+
+def q_tokenizer_fit(spark, sf_dir):
+    """Per-domain tokenizer fertility / compression sheet: BPE-ish
+    pre-tokens per whitespace word and chars per token — float32 casts
+    of exact-BIGINT divisions (bit-equal cross-engine)."""
+    return X.tokenizer_fit(load(spark, sf_dir, "documents"))
+
+
+def q_distinct_ngrams(spark, sf_dir):
+    """Per-domain lexical diversity (distinct-n / type-token ratios at
+    unigram + bigram level) — exact distinct counts, float32 ratio
+    casts; the bigram stream definition is the shared
+    _bigram_stream/pmi one."""
+    return X.distinct_ngrams(load(spark, sf_dir, "documents"))
+
+
+def q_cluster_stats(spark, sf_dir):
+    """Per-cluster cohesion sheet over the SHARED k-means fit (k=8,
+    2 Lloyd iterations — same fixed points as kmeans_clusters, so the
+    oracle reuses the unrolled CTEs): member counts, min/avg/max
+    round-4 cosine to the final centroid, lowest-id exemplar."""
+    return CL.cluster_stats(
+        load(spark, sf_dir, "embeddings"), k=8, iters=2, vec_dims=64
+    )
+
+
+def q_template_families(spark, sf_dir):
+    """Templated-text family detection: md5 of the first-8-token
+    lowercased prefix; the driver query unions a remixed copy of every
+    document (doc_id + 10^9, original prefix + a synthetic tail) so
+    every document lands in a >= 2-member family and the min_df gate
+    actually drops the tail-only singletons."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    remix = docs.select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(F.expr(X.TOKENS_LC), 1, 8), " "),
+            F.lit("synthetictail"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return D.template_families(
+        docs.unionByName(remix), k=8, min_df=2
+    )
+
+
 # Key ORDER is load-bearing: the driver's correctness gate covers the
 # first 50 keys positionally (CORRECTNESS_r03 stopped at key 50). Head =
 # the flagship compositions, extract routes, media family, and every
@@ -2388,12 +2522,16 @@ QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
-    "pagerank": q_pagerank,
+    "sft_curation": q_sft_curation,
+    "conv_stats": q_conv_stats,
+    "conv_filter": q_conv_filter,
+    "hits": q_hits,
+    "cluster_stats": q_cluster_stats,
+    "template_families": q_template_families,
+    "length_buckets": q_length_buckets,
+    "tokenizer_fit": q_tokenizer_fit,
+    "distinct_ngrams": q_distinct_ngrams,
     "link_curation": q_link_curation,
-    "score_normalize": q_score_normalize,
-    "cms_topk": q_cms_topk,
-    "zipf_fit": q_zipf_fit,
-    "corpus_diff": q_corpus_diff,
     "rrf_fusion": q_rrf_fusion,
     "embedding_outliers": q_embedding_outliers,
     "pq_encode": q_pq_encode,
@@ -2407,16 +2545,12 @@ QUERIES: dict[str, Callable] = {
     "js_divergence": q_js_divergence,
     "sft_spans": q_sft_spans,
     "quality_ensemble": q_quality_ensemble,
-    "intra_doc_dedup": q_intra_doc_dedup,
-    "token_budget_mix": q_token_budget_mix,
     "quality_select": q_quality_select,
-    "unicode_clean": q_unicode_clean,
     "ngram_topk": q_ngram_topk,
     "mix_pipeline": q_mix_pipeline,
     "domain_upsample": q_domain_upsample,
     "corpus_stats": q_corpus_stats,
     "epoch_shards": q_epoch_shards,
-    "weighted_sample": q_weighted_sample,
     "doc_chunks": q_doc_chunks,
     "dedup_weights": q_dedup_weights,
     "soft_sample": q_soft_sample,
@@ -2467,6 +2601,30 @@ QUERIES: dict[str, Callable] = {
     #    so every head-50 slot now carries an r5-added key)
     #    or redundant relational singles driver-green since r1/r2; all
     #    selfchecked every round --
+    # -- eighth-session exception (59 r5-added keys now exist, so 9
+    #    CANNOT fit the 50-slot gate): the 9 demoted here are the r5
+    #    keys with the strongest INDEPENDENT bit-exact evidence, each
+    #    cited — pagerank (soak_graph: 100k nodes bit-exact vs the
+    #    python golden + 12 randomized-graph pytests), cms_topk /
+    #    zipf_fit / score_normalize (soak_stats at 2M docs: exact
+    #    1028-term estimate table / float32-equal closed form / exact
+    #    816-level table), corpus_diff (20 randomized snapshot-pair
+    #    pytests vs a dict-diff reference), intra_doc_dedup /
+    #    unicode_clean / token_budget_mix (soak_mix at 2M docs: exact
+    #    planted-repeat drops / restore+idempotence / kept-set exact
+    #    vs python greedy), weighted_sample (soak_mix: top-10k of 2M
+    #    exact vs a python heap incl. rank order). All remain
+    #    selfchecked vs their DuckDB oracles at sf0.01 AND sf0.1
+    #    every round --
+    "pagerank": q_pagerank,
+    "score_normalize": q_score_normalize,
+    "cms_topk": q_cms_topk,
+    "zipf_fit": q_zipf_fit,
+    "corpus_diff": q_corpus_diff,
+    "intra_doc_dedup": q_intra_doc_dedup,
+    "unicode_clean": q_unicode_clean,
+    "token_budget_mix": q_token_budget_mix,
+    "weighted_sample": q_weighted_sample,
     "curation_pipeline": q_curation_pipeline,
     "web_curation": q_web_curation,
     "dsir_select": q_dsir_select,
@@ -5671,4 +5829,290 @@ pct AS (SELECT source, n_chars,
 SELECT d.doc_id, d.source, d.n_chars, p.score_pct
 FROM documents d JOIN pct p
     ON d.source = p.source AND d.n_chars = p.n_chars
+"""
+
+
+# Shared transcript-fixture CTEs (mirror _transcripts verbatim) and the
+# conversation-stats body — one text reused by conv_stats, conv_filter
+# and sft_curation so the fixture cannot silently diverge.
+_TURNS_CTE = """turns AS (
+    SELECT doc_id // 8 AS conv_id, doc_id % 8 AS turn_idx,
+           CASE WHEN (doc_id % 2 = 0) <> (doc_id % 23 = 0)
+                THEN 'user' ELSE 'assistant' END AS role,
+           CASE WHEN doc_id % 31 = 0 THEN '' ELSE text END AS text
+    FROM documents)"""
+
+_CONV_LAGGED_CTE = """lagged AS (
+    SELECT conv_id, turn_idx, role, text,
+           lag(role) OVER w AS prev_role,
+           row_number() OVER w AS rn
+    FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))"""
+
+# count(CASE ...) not sum(CASE ...): DuckDB sum(int) is HUGEINT ->
+# pandas float, kind mismatch (the contamination_report lesson). Plain
+# equality for the violation test: NULL roles never violate (operator
+# policy, documented in convops).
+_CONV_STATS_CTE = """st AS (
+    SELECT conv_id,
+           count(*) AS n_turns,
+           count(CASE WHEN role = 'user' THEN 1 END) AS n_user,
+           count(CASE WHEN role = 'assistant' THEN 1 END)
+               AS n_assistant,
+           max(CASE WHEN rn = 1 THEN role END) AS first_role,
+           count(CASE WHEN prev_role = role THEN 1 END) AS n_violations,
+           count(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 END)
+               AS n_empty,
+           CAST(sum(COALESCE(length(text), 0)) AS BIGINT) AS total_chars
+    FROM lagged GROUP BY conv_id)"""
+
+_CONV_KEPT_CTE = """kept AS (
+    SELECT conv_id, n_turns FROM st
+    WHERE n_turns >= 2 AND n_turns <= 64 AND first_role = 'user'
+      AND n_violations = 0 AND n_empty = 0)"""
+
+ORACLES["conv_stats"] = f"""
+WITH {_TURNS_CTE},
+{_CONV_LAGGED_CTE},
+{_CONV_STATS_CTE}
+SELECT conv_id, n_turns, n_user, n_assistant, first_role,
+       n_violations, n_empty, total_chars
+FROM st
+"""
+
+ORACLES["conv_filter"] = f"""
+WITH {_TURNS_CTE},
+{_CONV_LAGGED_CTE},
+{_CONV_STATS_CTE},
+{_CONV_KEPT_CTE}
+SELECT t.conv_id, t.turn_idx, t.role, t.text, k.n_turns
+FROM turns t JOIN kept k USING (conv_id)
+"""
+
+# conv_filter CTEs + the sft_pipeline chain (lag contexts -> render ->
+# shard-window cumsum) copied VERBATIM from the sft_pipeline oracle,
+# re-rooted on the kept turns.
+ORACLES["sft_curation"] = f"""
+WITH {_TURNS_CTE},
+{_CONV_LAGGED_CTE},
+{_CONV_STATS_CTE},
+{_CONV_KEPT_CTE},
+kt AS (
+    SELECT t.conv_id, t.turn_idx, t.role, t.text
+    FROM turns t JOIN kept k USING (conv_id)),
+ctx AS (
+    SELECT conv_id, turn_idx, role, text,
+           lag(concat_ws(': ', role, text), 3) OVER w AS c3,
+           lag(concat_ws(': ', role, text), 2) OVER w AS c2,
+           lag(concat_ws(': ', role, text), 1) OVER w AS c1
+    FROM kt WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+ex AS (
+    SELECT conv_id * 4 + (turn_idx - 1) // 2 AS doc_id,
+           concat_ws(chr(10) || chr(10),
+                     nullif(concat_ws(chr(10), c3, c2, c1), ''),
+                     text) AS text
+    FROM ctx WHERE role = 'assistant'),
+tk AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_tokens
+    FROM ex)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 512) AS BIGINT) AS seq_idx,
+       CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) % 512 AS BIGINT) AS seq_offset
+FROM tk
+"""
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled HITS iterations mirroring ``graph.hits`` exactly over
+    the pagerank fixture graph: explicit-DOUBLE raw sums, L1 norm as a
+    1-row aggregate, float32 cast per normalization. Iteration 1 is
+    exactly integer-valued (hub0 = 1.0, so raws are in/out-degrees and
+    the norm is the edge count) — agg-order-proof; later iterations
+    rely on the float32-absorbs-1-ulp contract (pagerank analysis)."""
+    parts = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        parts.append(f"""ar{k} AS (
+    SELECT n.node,
+           COALESCE(SUM(CAST(h.score AS DOUBLE)), CAST(0 AS DOUBLE))
+               AS raw
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.node
+    LEFT JOIN {prev_h} h ON h.node = e.src
+    GROUP BY n.node),
+an{k} AS (SELECT CAST(SUM(raw) AS DOUBLE) AS nrm FROM ar{k}),
+a{k} AS (SELECT node, CAST(raw / an{k}.nrm AS FLOAT) AS score
+         FROM ar{k} CROSS JOIN an{k}),
+hr{k} AS (
+    SELECT n.node,
+           COALESCE(SUM(CAST(a.score AS DOUBLE)), CAST(0 AS DOUBLE))
+               AS raw
+    FROM nodes n
+    LEFT JOIN edges e ON e.src = n.node
+    LEFT JOIN a{k} a ON a.node = e.dst
+    GROUP BY n.node),
+hn{k} AS (SELECT CAST(SUM(raw) AS DOUBLE) AS nrm FROM hr{k}),
+h{k} AS (SELECT node, CAST(raw / hn{k}.nrm AS FLOAT) AS score
+         FROM hr{k} CROSS JOIN hn{k})""")
+        prev_h = f"h{k}"
+    body = ",\n".join(parts)
+    return f"""WITH edges AS (
+    SELECT DISTINCT doc_id % 32 AS src, (doc_id * 7 + 3) % 40 AS dst
+    FROM documents),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1.0 AS FLOAT) AS score FROM nodes),
+{body}
+SELECT node, h.score AS hub, a.score AS auth
+FROM h{iters} h JOIN a{iters} a USING (node)"""
+
+
+ORACLES["hits"] = _hits_sql(3)
+
+# the kmeans_clusters final-assignment subquery verbatim, aggregated
+ORACLES["cluster_stats"] = f"""
+WITH {_KMEANS_CTES},
+asg AS (
+    SELECT vec_id, cid, cos FROM (
+        SELECT e.vec_id, c.cid,
+               round(list_cosine_similarity(e.emb, c.cent), 4) AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                                e.emb, c.cent), 4) DESC,
+                            c.cid) AS rk
+        FROM e CROSS JOIN c2 c) WHERE rk = 1)
+SELECT cid, count(*) AS n_members, min(vec_id) AS exemplar,
+       min(cos) AS min_cos, max(cos) AS max_cos,
+       CAST(SUM(CAST(cos AS DOUBLE)) / CAST(count(*) AS DOUBLE)
+            AS FLOAT) AS avg_cos
+FROM asg GROUP BY cid
+"""
+
+ORACLES["length_buckets"] = """
+WITH tok AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_tokens
+    FROM documents),
+bk AS (
+    SELECT n_tokens,
+           CASE WHEN COALESCE(n_tokens, 0) <= 0 THEN 0
+                ELSE CAST(length(bin(CAST(n_tokens AS BIGINT))) AS INT)
+           END AS bucket
+    FROM tok)
+SELECT bucket,
+       CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+            ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS bucket_lo,
+       CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+            ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS bucket_hi,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM bk GROUP BY bucket
+"""
+
+# token/bpe-token CTEs verbatim from the token_count / token_count_bpe
+# oracles; ratios are float32 casts of exact-BIGINT divisions
+ORACLES["tokenizer_fit"] = r"""
+WITH d AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+'))
+           END AS n_tokens,
+           COALESCE(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]+')), 0)
+               AS n_bpe,
+           COALESCE(length(text), 0) AS n_ch
+    FROM documents),
+agg AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_ch) AS BIGINT) AS total_chars
+    FROM d GROUP BY source)
+SELECT source, n_docs, ws_tokens, bpe_tokens, total_chars,
+       CAST(CAST(bpe_tokens AS DOUBLE)
+            / CAST(nullif(ws_tokens, 0) AS DOUBLE) AS FLOAT)
+           AS fertility,
+       CAST(CAST(total_chars AS DOUBLE)
+            / CAST(nullif(ws_tokens, 0) AS DOUBLE) AS FLOAT)
+           AS chars_per_word,
+       CAST(CAST(total_chars AS DOUBLE)
+            / CAST(nullif(bpe_tokens, 0) AS DOUBLE) AS FLOAT)
+           AS chars_per_token
+FROM agg
+"""
+
+# unigram/bigram streams mirror _bigram_stream / the pmi oracle: empty
+# tokens drop, bigram pairs need len(t) >= 2 (Spark's sequence(1,0) is
+# DESCENDING, the guard is semantic)
+ORACLES["distinct_ngrams"] = """
+WITH arr AS (
+    SELECT source AS dom,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents),
+uni AS (
+    SELECT dom, unnest(t) AS term FROM arr),
+u AS (
+    SELECT dom, count(*) AS total_unigrams,
+           count(DISTINCT term) AS distinct_unigrams
+    FROM uni WHERE term <> '' GROUP BY dom),
+big0 AS (
+    SELECT dom, unnest([t[i + 1] || chr(9) || t[i + 2]
+                        for i in range(0, len(t) - 1)]) AS bg
+    FROM arr WHERE len(t) >= 2),
+big AS (
+    SELECT dom, split_part(bg, chr(9), 1) AS term_a,
+           split_part(bg, chr(9), 2) AS term_b
+    FROM big0),
+b AS (
+    SELECT dom, count(*) AS total_bigrams,
+           count(DISTINCT term_a || ' ' || term_b) AS distinct_bigrams
+    FROM big WHERE term_a <> '' AND term_b <> '' GROUP BY dom)
+SELECT u.dom AS source,
+       u.total_unigrams, u.distinct_unigrams,
+       b.total_bigrams, b.distinct_bigrams,
+       CAST(CAST(distinct_unigrams AS DOUBLE)
+            / CAST(nullif(total_unigrams, 0) AS DOUBLE) AS FLOAT)
+           AS ttr,
+       CAST(CAST(distinct_bigrams AS DOUBLE)
+            / CAST(nullif(total_bigrams, 0) AS DOUBLE) AS FLOAT)
+           AS bigram_ttr
+FROM u LEFT JOIN b USING (dom)
+"""
+
+# remix fixture mirrored: doc_id + 10^9 carries the original's
+# lowercased 8-token prefix plus a unique synthetic tail
+ORACLES["template_families"] = """
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000,
+           concat_ws(' ',
+               array_to_string(
+                   regexp_split_to_array(lower(trim(text)),
+                                         '\\s+')[1:8], ' '),
+               'synthetictail', CAST(doc_id AS VARCHAR))
+    FROM documents),
+pre AS (
+    SELECT doc_id,
+           array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\\s+')[1:8],
+               ' ') AS prefix
+    FROM base),
+pf AS (SELECT doc_id, prefix FROM pre WHERE prefix <> ''),
+fams AS (
+    SELECT prefix, count(*) AS fam_size
+    FROM pf GROUP BY prefix HAVING count(*) >= 2)
+SELECT p.doc_id, md5(p.prefix) AS family, f.fam_size, p.prefix
+FROM pf p JOIN fams f USING (prefix)
 """

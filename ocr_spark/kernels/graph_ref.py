@@ -48,3 +48,27 @@ def ref_pagerank(
             for v in nodes
         }
     return rank
+
+
+def ref_hits(edge_list, iters: int = 3) -> dict:
+    """(src, dst) iterable -> {node: (np.float32 hub, np.float32 auth)}
+    after ``iters`` HITS iterations — mirrors operators/graph.hits:
+    Kleinberg update order (new authority feeds the hub step), L1
+    normalization, float32 cast per normalization, multi-edges collapse.
+    Same summation-order caveat as ref_pagerank."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    hub = {v: np.float32(1.0) for v in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw_a = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            raw_a[t] += float(hub[s])
+        na = sum(raw_a[v] for v in nodes)
+        auth = {v: np.float32(raw_a[v] / na) for v in nodes}
+        raw_h = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            raw_h[s] += float(auth[t])
+        nh = sum(raw_h[v] for v in nodes)
+        hub = {v: np.float32(raw_h[v] / nh) for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}

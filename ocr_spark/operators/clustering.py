@@ -392,3 +392,37 @@ def embedding_outliers(
         F.col("cos4").alias("centroid_cos"),
         F.coalesce(F.col("flag"), F.lit(False)).alias("is_outlier"),
     )
+
+
+def cluster_stats(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_dims: int | None = None,
+) -> DataFrame:
+    """Per-cluster quality sheet over the shared k-means fit — the
+    health check run before trusting a clustering for SemDeDup/D4
+    (tiny or low-cohesion clusters mean k or the iteration budget is
+    wrong): member count, cohesion (min/avg/max cosine to the final
+    centroid), and the lowest member vec_id as a stable exemplar.
+
+    Builds on :func:`kmeans_assign` (same fixed-point contract: cos is
+    the round-4 similarity), so the oracle reuses the unrolled Lloyd
+    CTEs. One conversation-sized hash-agg over the assignment; the avg
+    is a float32 cast of SUM(round-4 doubles)/COUNT — group sums of 4dp
+    values sit far from float32 rounding boundaries, the corpus_stats
+    agg-order analysis.
+    """
+    asg = kmeans_assign(embeddings, k=k, iters=iters, vec_dims=vec_dims)
+    return asg.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("exemplar"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+        (
+            F.sum(F.col("cos").cast("double"))
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("float")
+        .alias("avg_cos"),
+    )

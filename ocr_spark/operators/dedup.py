@@ -24,7 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ocr_spark.operators.textops import _ensure_parallelism, with_fingerprint
+from ocr_spark.operators.textops import (
+    TOKENS_LC,
+    _ensure_parallelism,
+    with_fingerprint,
+)
 
 SHINGLES = (
     "transform(sequence(0, size(toks) - {n}), "
@@ -1604,3 +1608,43 @@ def near_dup_keep_best(
         .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def template_families(
+    df: DataFrame, k: int = 8, min_df: int = 2
+) -> DataFrame:
+    """Templated-text family detection: documents sharing an identical
+    first-``k``-token prefix (lowercased whitespace tokens) form a
+    family — the cheap detector for boilerplate generators (error
+    pages, listing templates, form letters) that near-dup measures
+    over WHOLE documents miss because the generated tails differ.
+
+    Family id = md5 of the space-joined prefix; only families with
+    >= ``min_df`` members return (singletons are just documents).
+    Zero-token documents are excluded up front — an empty prefix is
+    not a template.
+
+    Scale shape: prefix fingerprinting is a pure map (slice of the
+    token array — the full token explode never happens); family sizes
+    come from ONE fingerprint-keyed hash-agg (map-side partials), and
+    the >= min_df filter prunes the family table to the (rare)
+    template families BEFORE it joins back — the family side is
+    near-dup-group-sized, not corpus-sized.
+
+    Returns (doc_id, family, fam_size, prefix).
+    """
+    pre = _ensure_parallelism(df).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.expr(TOKENS_LC), 1, k), " "
+        ).alias("prefix"),
+    ).filter(F.col("prefix") != "")
+    fams = (
+        pre.groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("fam_size"))
+        .filter(F.col("fam_size") >= min_df)
+        .select(F.md5("prefix").alias("family"), "prefix", "fam_size")
+    )
+    return pre.join(fams, "prefix").select(
+        "doc_id", "family", "fam_size", "prefix"
+    )

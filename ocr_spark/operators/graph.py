@@ -118,3 +118,98 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg '99) over a (src, dst)
+    relation — the link-analysis complement to :func:`pagerank`:
+    authorities are pages good sources point AT, hubs are pages that
+    point at good authorities (a dst-only node is a pure authority,
+    hub 0; a src-only node the reverse).
+
+    Per iteration (Kleinberg's order — the NEW authority feeds the hub
+    update): auth'(v) = sum over in-edges of hub(u), L1-normalized;
+    hub'(u) = sum over out-edges of auth'(v), L1-normalized. L1 rather
+    than Kleinberg's L2 norm (documented variant): the ranking is
+    norm-invariant and L1 avoids a sqrt on the cross-engine path.
+    Scores pass a float32 cast per normalization (the pagerank
+    cross-engine fixed-point contract; all arithmetic explicit-DOUBLE).
+
+    Scale shape mirrors pagerank: the edge relation is the only big
+    input and is touched twice per iteration through node-keyed joins
+    + ONE groupBy sum each (map-side partials; AQE broadcasts the
+    node-sized score relation when nodes << edges). The L1 norm is a
+    1-row aggregate crossJoined back in (broadcast BNLJ). Node-sized
+    results localCheckpoint per iteration (lineage cut);
+    ``checkpoint=False`` is the plan-inspection escape hatch only.
+
+    Returns (node, hub float32, auth float32).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0).cast("float"))
+    auth = None
+
+    def _l1_normalize(raw: DataFrame, col: str) -> DataFrame:
+        norm = raw.agg(
+            F.sum(F.col("_raw").cast("double")).alias("_norm")
+        )
+        return raw.crossJoin(F.broadcast(norm)).select(
+            "node",
+            (F.col("_raw").cast("double") / F.col("_norm"))
+            .cast("float")
+            .alias(col),
+        )
+
+    for _ in range(iters):
+        a_raw = (
+            nodes.join(e, nodes["node"] == e["dst"], "left")
+            .join(
+                hub.select(
+                    F.col("node").alias("_hn"), F.col("hub").alias("_hs")
+                ),
+                F.col("src") == F.col("_hn"),
+                "left",
+            )
+            .groupBy("node")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("_hs").cast("double")), F.lit(0.0)
+                ).alias("_raw")
+            )
+        )
+        auth = _l1_normalize(a_raw, "auth")
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+        h_raw = (
+            nodes.join(e, nodes["node"] == e["src"], "left")
+            .join(
+                auth.select(
+                    F.col("node").alias("_an"),
+                    F.col("auth").alias("_as"),
+                ),
+                F.col("dst") == F.col("_an"),
+                "left",
+            )
+            .groupBy("node")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("_as").cast("double")), F.lit(0.0)
+                ).alias("_raw")
+            )
+        )
+        hub = _l1_normalize(h_raw, "hub")
+        if checkpoint:
+            hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub", "auth")

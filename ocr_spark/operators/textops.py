@@ -2182,3 +2182,165 @@ def score_normalize(
     return df.select(id_col, domain_col, score_col).join(
         F.broadcast(lvn), [domain_col, score_col]
     ).select(id_col, domain_col, score_col, "score_pct")
+
+
+def with_length_bucket(df: DataFrame) -> DataFrame:
+    """Per-doc power-of-two token-length bucket — the batching prep
+    every training loader wants (length-bucketed batching pads to the
+    bucket cap instead of the global max).
+
+    bucket b covers [2^(b-1), 2^b - 1] tokens; bucket 0 is the empty
+    doc. Computed as the BIT LENGTH of n_tokens via the binary-string
+    representation (``length(bin(n))``) — identical in Spark and
+    DuckDB, and exact where ``floor(log2(n))`` risks a 2.9999…
+    off-by-one at power-of-two boundaries (log2 is log(x)/log(2), not
+    exactly rounded at integer arguments).
+    """
+    d = with_token_count(df)
+    return d.withColumn(
+        "bucket",
+        F.when(F.col("n_tokens") <= 0, F.lit(0)).otherwise(
+            F.length(F.bin(F.col("n_tokens").cast("long")))
+        ).cast("int"),
+    )
+
+
+def length_histogram(df: DataFrame) -> DataFrame:
+    """Token-length histogram over power-of-two buckets: per bucket the
+    doc count, token total and observed min/max, plus the bucket's
+    [bucket_lo, bucket_hi] token range. ONE map pass + one tiny
+    hash-agg with map-side partials; integer-only output (zero float
+    risk). The mix-sheet for length-bucketed batch planning: padding
+    waste under bucketed batching is bounded by bucket_hi/bucket_lo=2x
+    vs corpus-max padding without it.
+    """
+    # NB: F.shiftleft only accepts a LITERAL shift amount — the
+    # column-shift form must go through F.expr (established repo fact).
+    return (
+        with_length_bucket(df)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+            )
+            .alias("bucket_lo"),
+            F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+            )
+            .alias("bucket_hi"),
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+        )
+    )
+
+
+def tokenizer_fit(df: DataFrame, domain_col: str = "source") -> DataFrame:
+    """Per-domain tokenizer-fit / fertility sheet: how many BPE-ish
+    pre-tokens a whitespace word explodes into (fertility), and the
+    chars-per-token compression the corpus achieves — the standard
+    signal for "this tokenizer was not trained on this domain"
+    (fertility >> 1.3 on English-like text flags domain shift; cf. the
+    OOV-rate operator for the closed-vocab variant).
+
+    ONE hash-agg pass; every ratio is a float32 cast of a division of
+    two exact BIGINT sums — the doubles are bit-identical cross-engine
+    before the cast, so the gate hash cannot tie-diverge. Domains with
+    zero tokens yield NULL ratios (0/0 guarded via nullif).
+    """
+    d = with_token_count_bpe(with_token_count(df)).select(
+        domain_col,
+        "n_tokens",
+        F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("n_ch"),
+    )
+    agg = d.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_ch").cast("long").alias("total_chars"),
+    )
+
+    def ratio(num: str, den: str) -> F.Column:
+        return (
+            F.col(num).cast("double")
+            / F.nullif(F.col(den), F.lit(0)).cast("double")
+        ).cast("float")
+
+    return agg.select(
+        domain_col,
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "total_chars",
+        ratio("bpe_tokens", "ws_tokens").alias("fertility"),
+        ratio("total_chars", "ws_tokens").alias("chars_per_word"),
+        ratio("total_chars", "bpe_tokens").alias("chars_per_token"),
+    )
+
+
+def distinct_ngrams(df: DataFrame, domain_col: str = "source") -> DataFrame:
+    """Per-domain lexical-diversity sheet: type-token ratio at the
+    unigram and bigram level (the distinct-n diversity metric, the
+    corpus-level stand-in for Self-BLEU: templated/duplicated text
+    scores low, diverse prose high). Lowercased whitespace tokens,
+    empty tokens dropped — the corpus-vocabulary convention.
+
+    Shape: one tokenize pass feeds both the unigram and bigram
+    streams; distinct counts are exact (groupBy domain+term then
+    count — two-stage hash aggs with map-side partials, never a
+    corpus-wide sort). Ratios are float32 casts of exact-BIGINT
+    divisions (cross-engine bit-equal before the cast); a domain with
+    no bigrams (all docs < 2 tokens) yields NULL bigram columns via
+    the outer join + nullif guard.
+    """
+    arr = df.select(
+        F.col(domain_col).alias("_dom"),
+        F.expr(TOKENS_LC).alias("t"),
+    ).filter(F.size("t") >= 1)
+    uni = (
+        arr.select("_dom", F.explode("t").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    u = uni.groupBy("_dom").agg(
+        F.count(F.lit(1)).alias("total_unigrams"),
+        F.count_distinct("term").alias("distinct_unigrams"),
+    )
+    bg = _bigram_stream(arr, "_dom").select(
+        "_dom", F.concat_ws(" ", "term_a", "term_b").alias("bigram")
+    )
+    b = bg.groupBy("_dom").agg(
+        F.count(F.lit(1)).alias("total_bigrams"),
+        F.count_distinct("bigram").alias("distinct_bigrams"),
+    )
+
+    def ratio(num: str, den: str) -> F.Column:
+        return (
+            F.col(num).cast("double")
+            / F.nullif(F.col(den), F.lit(0)).cast("double")
+        ).cast("float")
+
+    return (
+        u.join(b, "_dom", "left")
+        .select(
+            F.col("_dom").alias(domain_col),
+            "total_unigrams",
+            "distinct_unigrams",
+            "total_bigrams",
+            "distinct_bigrams",
+            ratio("distinct_unigrams", "total_unigrams").alias("ttr"),
+            ratio("distinct_bigrams", "total_bigrams").alias(
+                "bigram_ttr"
+            ),
+        )
+    )

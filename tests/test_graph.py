@@ -151,3 +151,85 @@ def test_pagerank_plan_shape(spark):
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" in tree  # the 1-row dang join
     assert tree.count("BroadcastHashJoin") >= 2
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _run_hits(spark, edge_list, **kw):
+    from ocr_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    return {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df, **kw).collect()
+    }
+
+
+def test_hits_matches_reference(spark):
+    from ocr_spark.kernels.graph_ref import ref_hits
+
+    got = _run_hits(spark, EDGES)
+    ref = ref_hits(EDGES)
+    assert set(got) == set(ref)
+    for v, (h, a) in ref.items():
+        assert abs(got[v][0] - float(h)) < 1e-6, ("hub", v)
+        assert abs(got[v][1] - float(a)) < 1e-6, ("auth", v)
+
+
+def test_hits_l1_norms_and_pure_roles(spark):
+    # dst-only node = pure authority (hub 0); src-only = pure hub
+    got = _run_hits(spark, [(1, 2), (1, 3), (4, 3)])
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-5
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-5
+    assert got[2][0] == 0.0 and got[3][0] == 0.0  # dst-only: no hub
+    assert got[1][1] == 0.0 and got[4][1] == 0.0  # src-only: no auth
+    # 3 has two in-edges, 2 one -> 3 is the stronger authority
+    assert got[3][1] > got[2][1]
+
+
+def test_hits_multi_edge_collapses_and_iters_validated(spark):
+    from ocr_spark.operators.graph import hits
+
+    base = _run_hits(spark, [(1, 2), (2, 1)])
+    dup = _run_hits(spark, [(1, 2), (1, 2), (2, 1)])
+    assert base == dup
+    with pytest.raises(ValueError):
+        hits(spark.createDataFrame([(1, 2)], ["src", "dst"]), iters=0)
+
+
+def test_hits_randomized_equivalence_vs_golden(spark):
+    from ocr_spark.kernels.graph_ref import ref_hits
+
+    import random
+
+    for seed in range(8):
+        rng = random.Random(f"hits#{seed}")
+        n_nodes = rng.randint(2, 9)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(1, 14))
+        ]
+        got = _run_hits(spark, edges, iters=2)
+        ref = ref_hits(edges, iters=2)
+        assert set(got) == set(ref), seed
+        for v, (h, a) in ref.items():
+            assert abs(got[v][0] - float(h)) < 1e-6, (seed, "hub", v)
+            assert abs(got[v][1] - float(a)) < 1e-6, (seed, "auth", v)
+
+
+def test_hits_plan_shape(spark):
+    """checkpoint=False exposes the iteration (pagerank precedent):
+    no CartesianProduct anywhere — the two 1-row L1-norm crossJoins
+    per iteration must plan as broadcast nested-loops, and the
+    edge-relation joins broadcast their node-sized sides."""
+    from ocr_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 9) for i in range(40)], ["src", "dst"]
+    )
+    out = hits(df, iters=1, checkpoint=False)
+    out.collect()
+    tree = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" in tree
