@@ -263,6 +263,14 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "conv_stats",
         "conv_filter",
         "sft_curation",
+        "dpo_pairs",
+        "rft_select",
+        "temperature_sample",
+        "doremi_weights",
+        "code_quality",
+        "license_tag",
+        "anchor_topk",
+        "span_corruption",
         "hits",
         "length_buckets",
         "tokenizer_fit",

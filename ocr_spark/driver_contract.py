@@ -21,6 +21,7 @@ from ocr_spark.operators import convops as CV
 from ocr_spark.operators import dedup as D
 from ocr_spark.operators import graph as G
 from ocr_spark.operators import pq as PQ
+from ocr_spark.operators import prefops as PF
 from ocr_spark.operators import relational as R
 from ocr_spark.operators import search as SR
 from ocr_spark.operators import similarity as S
@@ -2512,6 +2513,163 @@ def q_template_families(spark, sf_dir):
     )
 
 
+def _responses(docs: DataFrame, per_prompt: int, dup_texts: int | None):
+    """Shared scored-response fixture for the preference keys:
+    prompt_id = doc_id div per_prompt, integer reward in [0, 100) from
+    doc_id arithmetic. With ``dup_texts``, response text is drawn from
+    a dup_texts-sized pool ('ans 0'..'ans N-1') so byte-identical
+    responses exist WITHIN each prompt (exercising rft_select's
+    fingerprint dedup); without, the raw document text rides along.
+    Mirrored verbatim by the ``resp`` CTE in the oracles."""
+    if dup_texts is not None:
+        text = F.concat(
+            F.lit("ans "), (F.col("doc_id") % dup_texts).cast("string")
+        )
+        score = (F.col("doc_id") * 53) % 100
+    else:
+        text = F.col("text")
+        score = (
+            F.col("doc_id") * 37
+            + F.coalesce(F.length("text"), F.lit(0))
+        ) % 100
+    return docs.select(
+        F.expr(f"doc_id div {per_prompt}").alias("prompt_id"),
+        F.col("doc_id").alias("resp_id"),
+        text.alias("text"),
+        score.alias("score"),
+    )
+
+
+def q_dpo_pairs(spark, sf_dir):
+    """DPO preference-pair construction over the scored-response
+    fixture (4 responses/prompt, integer rewards): chosen = argmax,
+    rejected = argmin, prompts with reward spread < 10 dropped — ONE
+    lexicographic-struct hash-agg, never a response self-join."""
+    return PF.dpo_pairs(
+        _responses(load(spark, sf_dir, "documents"), 4, None),
+        min_gap=10,
+    )
+
+
+def q_rft_select(spark, sf_dir):
+    """Rejection-sampling (best-of-N) selection: 8 responses/prompt
+    drawn from a 4-text pool so every prompt holds byte-identical
+    duplicates — fingerprint dedup keeps the best-rated copy, then
+    reward >= 50 gates and the per-prompt top-2 survive
+    (WindowGroupLimit shape)."""
+    return PF.rft_select(
+        _responses(load(spark, sf_dir, "documents"), 8, 4),
+        tau=50,
+        k=2,
+    )
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based rebalancing (XLM-R alpha = 0.5 as exact
+    integer isqrt weights) over a skewed 60/20/10/10 language split:
+    low-resource groups keep a larger budget share than their corpus
+    share; rate thresholds and targets all BIGINT arithmetic."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, "en")
+        .when(F.col("doc_id") % 10 < 8, "fr")
+        .when(F.col("doc_id") % 10 < 9, "de")
+        .otherwise("yo")
+        .alias("lang"),
+    )
+    return X.temperature_sample(
+        docs, budget=2000, domain_col="lang", key_col="doc_id"
+    )
+
+
+def q_doremi_weights(spark, sf_dir):
+    """DoReMi-lite domain reweighting sheet over the real source
+    column: per-domain excess of the integer char-count score vs the
+    corpus mean, exponentiated into float32 sampling weights."""
+    return X.doremi_weights(
+        load(spark, sf_dir, "documents"), domain_col="source"
+    )
+
+
+def q_code_quality(spark, sf_dir):
+    """StarCoder-style structural code filters over a line-structured
+    fixture (' the ' -> newline; every 13th doc gains a 4000-char
+    zero blob that fails the alpha-fraction, max-line and avg-line
+    rules at once) — pass flags are exact integer predicates."""
+    docs = load(spark, sf_dir, "documents")
+    lined = F.replace(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" the "),
+        F.lit("\n"),
+    )
+    fixed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(lined, F.expr("repeat('0', 4000)")),
+        )
+        .otherwise(lined)
+        .alias("text"),
+    )
+    return X.code_quality(fixed)
+
+
+def q_license_tag(spark, sf_dir):
+    """First-match-wins license classification: the fixture appends a
+    marker phrase per doc_id % 11 class (one class carries BOTH an MIT
+    and an all-rights-reserved marker, pinning marker-table order
+    precedence; two classes stay unmarked -> 'unknown')."""
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 11
+    marker = (
+        F.when(m == 0, " Licensed under the Apache License 2.0.")
+        .when(m == 1, " Released under the MIT License.")
+        .when(m == 2, " Distributed under the BSD License.")
+        .when(m == 3, " Subject to the Mozilla Public License.")
+        .when(m == 4, " GNU General Public License v3 applies.")
+        .when(m == 5, " GNU Lesser General Public License v2.1.")
+        .when(m == 6, " Creative Commons Attribution 4.0.")
+        .when(m == 7, " All Rights Reserved.")
+        .when(m == 8, " MIT License. All Rights Reserved.")
+        .otherwise("")
+    )
+    fixed = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), marker).alias(
+            "text"
+        ),
+    )
+    return X.license_tag(fixed)
+
+
+def q_anchor_topk(spark, sf_dir):
+    """Anchor-text aggregation over the pagerank fixture graph plus a
+    synthetic anchor pool: anchor 'a0' takes every doc_id % 3 == 0
+    edge (skewing the counts) while the rest spread uniformly, so both
+    the count ordering and the lexicographic tie-break are exercised
+    in every dst partition."""
+    docs = load(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 32).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"),
+        F.concat(
+            F.lit("a"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(0))
+            .otherwise(F.expr("(doc_id div 40) % 5"))
+            .cast("string"),
+        ).alias("anchor"),
+    )
+    return G.anchor_topk(edges, k=3)
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption geometry sheet (15% density, mean span 3)
+    over the raw corpus: per-doc masked-token / span / sentinel counts
+    and the resulting encoder+target lengths — all integer md5-derived
+    masking, pure map."""
+    return X.span_corruption(load(spark, sf_dir, "documents"))
+
+
 # Key ORDER is load-bearing: the driver's correctness gate covers the
 # first 50 keys positionally (CORRECTNESS_r03 stopped at key 50). Head =
 # the flagship compositions, extract routes, media family, and every
@@ -2522,6 +2680,14 @@ QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
+    "dpo_pairs": q_dpo_pairs,
+    "rft_select": q_rft_select,
+    "temperature_sample": q_temperature_sample,
+    "doremi_weights": q_doremi_weights,
+    "code_quality": q_code_quality,
+    "license_tag": q_license_tag,
+    "anchor_topk": q_anchor_topk,
+    "span_corruption": q_span_corruption,
     "sft_curation": q_sft_curation,
     "conv_stats": q_conv_stats,
     "conv_filter": q_conv_filter,
@@ -2537,7 +2703,6 @@ QUERIES: dict[str, Callable] = {
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
-    "kn_logprob": q_kn_logprob,
     "sft_examples": q_sft_examples,
     "oov_rate": q_oov_rate,
     "sft_pipeline": q_sft_pipeline,
@@ -2548,7 +2713,6 @@ QUERIES: dict[str, Callable] = {
     "quality_select": q_quality_select,
     "ngram_topk": q_ngram_topk,
     "mix_pipeline": q_mix_pipeline,
-    "domain_upsample": q_domain_upsample,
     "corpus_stats": q_corpus_stats,
     "epoch_shards": q_epoch_shards,
     "doc_chunks": q_doc_chunks,
@@ -2557,7 +2721,6 @@ QUERIES: dict[str, Callable] = {
     "contamination_report": q_contamination_report,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
-    "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
     "incremental_verified": q_incremental_verified,
@@ -2566,12 +2729,7 @@ QUERIES: dict[str, Callable] = {
     "nb_quality": q_nb_quality,
     "near_dup_keep_best": q_near_dup_keep_best,
     "char_entropy": q_char_entropy,
-    "hash_split": q_hash_split,
-    "shard_assign": q_shard_assign,
     "c4_rules": q_c4_rules,
-    "kmeans_clusters": q_kmeans_clusters,
-    "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
-    "d4_select": q_d4_select,
     # -- tail: keys with existing driver hash-evidence (as_of_join /
     #    sessionize driver-gated r4; domain_mix / pmi_bigrams /
     #    kmv_distinct / semantic_dedup r4-hash-green, demoted to make
@@ -2616,6 +2774,29 @@ QUERIES: dict[str, Callable] = {
     #    exact vs a python heap incl. rank order). All remain
     #    selfchecked vs their DuckDB oracles at sf0.01 AND sf0.1
     #    every round --
+    # -- ninth-session exception (67 r5-added keys, 50 gate slots):
+    #    the 8 demoted here carry the strongest remaining INDEPENDENT
+    #    bit-exact evidence — kmeans_clusters / semantic_dedup_kmeans /
+    #    d4_select (soak_cluster: 262k assignments + the full 4.2M-pair
+    #    SemDeDup/D4 stage BIT-EXACT vs a numpy/Fraction reference on
+    #    dyadic-rational geometry), hash_split / shard_assign
+    #    (soak_split at 2M rows: coherence/fractions/python-reference
+    #    exact, shard0 full order bit-equal), incremental_dedup_bloom
+    #    (soak_bloom at 5M+2M: plain / inline-bitmap / prebuilt paths
+    #    EXACTLY equal, fpp == n/m theory; shares incremental_dedup's
+    #    oracle by construction), domain_upsample (soak_mix: 6-sigma
+    #    epoch counts + 8.8k-doc exact selector sample), kn_logprob
+    #    (soak_bigram KN leg at 100k docs vs the python golden). All
+    #    remain selfchecked vs DuckDB at sf0.01 AND sf0.1 every
+    #    round --
+    "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+    "d4_select": q_d4_select,
+    "hash_split": q_hash_split,
+    "shard_assign": q_shard_assign,
+    "incremental_dedup_bloom": q_incremental_dedup_bloom,
+    "domain_upsample": q_domain_upsample,
+    "kn_logprob": q_kn_logprob,
     "pagerank": q_pagerank,
     "score_normalize": q_score_normalize,
     "cms_topk": q_cms_topk,
@@ -6115,4 +6296,241 @@ fams AS (
     FROM pf GROUP BY prefix HAVING count(*) >= 2)
 SELECT p.doc_id, md5(p.prefix) AS family, f.fam_size, p.prefix
 FROM pf p JOIN fams f USING (prefix)
+"""
+
+# Scored-response CTEs mirroring _responses(docs, per_prompt, dup_texts).
+_RESP_TEXT_CTE = """resp AS (
+    SELECT doc_id // 4 AS prompt_id, doc_id AS resp_id, text,
+           (doc_id * 37 + COALESCE(length(text), 0)) % 100 AS score
+    FROM documents)"""
+
+_RESP_POOL_CTE = """resp AS (
+    SELECT doc_id // 8 AS prompt_id, doc_id AS resp_id,
+           'ans ' || CAST(doc_id % 4 AS VARCHAR) AS text,
+           (doc_id * 53) % 100 AS score
+    FROM documents)"""
+
+ORACLES["dpo_pairs"] = f"""
+WITH {_RESP_TEXT_CTE},
+rk AS (
+    SELECT prompt_id, resp_id, text, score,
+           row_number() OVER (PARTITION BY prompt_id
+               ORDER BY score DESC, resp_id ASC) AS rb,
+           row_number() OVER (PARTITION BY prompt_id
+               ORDER BY score ASC, resp_id ASC) AS rw
+    FROM resp)
+SELECT b.prompt_id,
+       b.resp_id AS chosen_id, w.resp_id AS rejected_id,
+       b.score AS chosen_score, w.score AS rejected_score,
+       b.score - w.score AS gap,
+       b.text AS chosen_text, w.text AS rejected_text
+FROM (SELECT * FROM rk WHERE rb = 1) b
+JOIN (SELECT * FROM rk WHERE rw = 1) w USING (prompt_id)
+WHERE b.score - w.score >= 10
+"""
+
+ORACLES["rft_select"] = f"""
+WITH {_RESP_POOL_CTE},
+d AS (
+    SELECT prompt_id, resp_id, score,
+           row_number() OVER (
+               PARTITION BY prompt_id, md5(coalesce(text, ''))
+               ORDER BY score DESC, resp_id ASC) AS rd
+    FROM resp),
+s AS (SELECT prompt_id, resp_id, score
+      FROM d WHERE rd = 1 AND score >= 50),
+r AS (SELECT prompt_id, resp_id, score,
+             row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY score DESC, resp_id ASC) AS rk
+      FROM s)
+SELECT prompt_id, resp_id, score, rk FROM r WHERE rk <= 2
+"""
+
+# isqrt fix-up is pure integer: the two CASEs cannot both fire.
+ORACLES["temperature_sample"] = """
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 < 6 THEN 'en'
+                WHEN doc_id % 10 < 8 THEN 'fr'
+                WHEN doc_id % 10 < 9 THEN 'de'
+                ELSE 'yo' END AS lang
+    FROM documents),
+g AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY lang),
+w AS (
+    SELECT lang, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0
+    FROM g),
+w2 AS (
+    SELECT lang, n_docs,
+           s0 - CASE WHEN s0 * s0 > n_docs THEN 1 ELSE 0 END
+              + CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs
+                     THEN 1 ELSE 0 END AS wgt
+    FROM w),
+t AS (
+    -- CAST the summed weights: DuckDB SUM(BIGINT) is HUGEINT and
+    -- would float-ify the integer division (contamination lesson).
+    SELECT lang, n_docs,
+           least(n_docs,
+                 CAST((2000 * wgt) //
+                      (SELECT CAST(SUM(wgt) AS BIGINT) FROM w2)
+                      AS BIGINT)) AS target
+    FROM w2),
+thr AS (SELECT lang, n_docs, target,
+               (target * 65536) // n_docs AS threshold
+        FROM t)
+SELECT d.doc_id, d.lang, thr.n_docs, thr.target
+FROM d JOIN thr USING (lang)
+WHERE CAST('0x' || substr(md5(d.doc_id || '#ts'), 1, 4) AS BIGINT)
+      < thr.threshold
+"""
+
+ORACLES["doremi_weights"] = """
+WITH dom AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+               CAST(SUM(sum_chars) AS BIGINT) AS t_chars
+        FROM dom),
+calc AS (
+    SELECT source, n_docs,
+           CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               AS avg_d,
+           (CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             / (CAST(t_chars AS DOUBLE) / CAST(t_docs AS DOUBLE))
+             - CAST(1.0 AS DOUBLE) AS rel_d
+    FROM dom CROSS JOIN tot)
+SELECT source, n_docs,
+       CAST(avg_d AS FLOAT) AS avg_chars,
+       CAST(rel_d AS FLOAT) AS rel,
+       CAST(exp(rel_d / CAST(1.0 AS DOUBLE)) AS FLOAT) AS weight
+FROM calc
+"""
+
+# sum_line = n_chars - (n_lines - 1): every char is in a line or is one
+# of the n_lines-1 newline separators. Flags are exact integer
+# predicates; the float32 ratios are display-only.
+ORACLES["code_quality"] = """
+WITH fix AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0
+                THEN replace(coalesce(text, ''), ' the ', chr(10))
+                     || repeat('0', 4000)
+                ELSE replace(coalesce(text, ''), ' the ', chr(10))
+           END AS text
+    FROM documents),
+st AS (
+    SELECT doc_id,
+           len(string_split(text, chr(10))) AS n_lines,
+           COALESCE(list_max(list_transform(
+               string_split(text, chr(10)), x -> length(x))), 0)
+               AS max_line,
+           COALESCE(length(text), 0) AS nc,
+           COALESCE(length(
+               regexp_replace(text, '[^A-Za-z]', '', 'g')), 0) AS ac
+    FROM fix),
+st2 AS (SELECT *, nc - (n_lines - 1) AS sl FROM st)
+SELECT doc_id, n_lines, max_line,
+       CAST(CAST(ac AS DOUBLE)
+            / CAST(nullif(nc, 0) AS DOUBLE) AS FLOAT) AS alpha_frac,
+       CAST(CAST(sl AS DOUBLE)
+            / CAST(n_lines AS DOUBLE) AS FLOAT) AS avg_line,
+       CASE WHEN ac * 4 >= nc THEN 1 ELSE 0 END AS alpha_ok,
+       CASE WHEN max_line <= 1000 THEN 1 ELSE 0 END AS maxline_ok,
+       CASE WHEN sl <= 100 * n_lines THEN 1 ELSE 0 END AS avgline_ok,
+       (CASE WHEN ac * 4 >= nc THEN 1 ELSE 0 END)
+       * (CASE WHEN max_line <= 1000 THEN 1 ELSE 0 END)
+       * (CASE WHEN sl <= 100 * n_lines THEN 1 ELSE 0 END) AS passed
+FROM st2
+"""
+
+# The license CASE chain is GENERATED from textops.LICENSE_MARKERS so
+# operator and oracle can never drift (the unicode_clean discipline).
+_LIC_FIX_CTE = """fix AS (
+    SELECT doc_id,
+           coalesce(text, '') ||
+           CASE doc_id % 11
+                WHEN 0 THEN ' Licensed under the Apache License 2.0.'
+                WHEN 1 THEN ' Released under the MIT License.'
+                WHEN 2 THEN ' Distributed under the BSD License.'
+                WHEN 3 THEN ' Subject to the Mozilla Public License.'
+                WHEN 4 THEN ' GNU General Public License v3 applies.'
+                WHEN 5 THEN ' GNU Lesser General Public License v2.1.'
+                WHEN 6 THEN ' Creative Commons Attribution 4.0.'
+                WHEN 7 THEN ' All Rights Reserved.'
+                WHEN 8 THEN ' MIT License. All Rights Reserved.'
+                ELSE '' END AS text
+    FROM documents)"""
+
+_LIC_TAG_SQL = "CASE " + " ".join(
+    f"WHEN contains(lt, '{m}') THEN '{name}'"
+    for m, name, _p in X.LICENSE_MARKERS
+) + " ELSE 'unknown' END"
+_LIC_PERM_SQL = "CASE " + " ".join(
+    f"WHEN contains(lt, '{m}') THEN {p}"
+    for m, _name, p in X.LICENSE_MARKERS
+) + " ELSE 0 END"
+
+ORACLES["license_tag"] = f"""
+WITH {_LIC_FIX_CTE},
+low AS (SELECT doc_id, lower(text) AS lt FROM fix)
+SELECT doc_id,
+       {_LIC_TAG_SQL} AS license,
+       CAST({_LIC_PERM_SQL} AS INTEGER) AS permissive
+FROM low
+"""
+
+ORACLES["anchor_topk"] = """
+WITH edges AS (
+    SELECT doc_id % 32 AS src, (doc_id * 7 + 3) % 40 AS dst,
+           'a' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                            ELSE (doc_id // 40) % 5 END AS VARCHAR)
+               AS anchor
+    FROM documents),
+cnt AS (SELECT dst, anchor, count(*) AS cnt
+        FROM edges GROUP BY dst, anchor),
+r AS (SELECT dst, anchor, cnt,
+             row_number() OVER (PARTITION BY dst
+                 ORDER BY cnt DESC, anchor ASC) AS rk
+      FROM cnt)
+SELECT dst, anchor, cnt, rk FROM r WHERE rk <= 3
+"""
+
+# group g of doc d masks iff the 16-bit md5 selector of 'd#scg' lands
+# under the density; maximal masked runs count via the lag window —
+# count(CASE) not sum(CASE) (HUGEINT kind, the contamination lesson).
+ORACLES["span_corruption"] = """
+WITH tok AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n
+    FROM documents),
+gs AS (
+    SELECT doc_id, n, unnest(range(0, (n + 2) // 3)) AS g
+    FROM tok WHERE n > 0),
+m AS (
+    SELECT doc_id, n, g,
+           CASE WHEN CAST('0x' || substr(
+                    md5(doc_id || '#sc' || g), 1, 4) AS BIGINT)
+                    % 100 < 15
+                THEN 1 ELSE 0 END AS mg,
+           CASE WHEN g < (n + 2) // 3 - 1 THEN 3
+                ELSE n - 3 * g END AS sz
+    FROM gs),
+m2 AS (
+    SELECT doc_id, n, g, mg, sz,
+           COALESCE(lag(mg) OVER (PARTITION BY doc_id ORDER BY g), 0)
+               AS pm
+    FROM m),
+agg AS (
+    SELECT doc_id, MAX(n) AS n_tokens,
+           CAST(SUM(mg * sz) AS BIGINT) AS n_masked,
+           CAST(count(CASE WHEN mg = 1 AND pm = 0 THEN 1 END)
+                AS BIGINT) AS n_spans
+    FROM m2 GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_masked, n_spans,
+       n_tokens - n_masked + n_spans AS enc_len,
+       n_masked + n_spans AS tgt_len
+FROM agg
 """

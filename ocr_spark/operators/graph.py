@@ -19,7 +19,7 @@ double).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -213,3 +213,35 @@ def hits(
         if checkpoint:
             hub = hub.localCheckpoint(eager=True)
     return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def anchor_topk(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Anchor-text aggregation per link target: the top-``k`` most
+    frequent anchor strings pointing at each destination — the
+    document-expansion signal web corpora attach to pages (anchor
+    text describes the TARGET better than the target's own boilerplate
+    does; the classic TREC web-track / WebText-style enrichment).
+
+    ``edges`` is (src, dst, anchor). Returns (dst, anchor, cnt, rk)
+    with rk ranked by (cnt DESC, anchor ASC) — the lexicographic
+    tie-break keeps the output deterministic under equal counts.
+
+    Scale shape: one (dst, anchor) hash-agg with map-side partials
+    (the raw edge relation collapses before any window sees it), then
+    a literal-k rank filter over the already-aggregated counts, which
+    compiles to WindowGroupLimit Partial+Final — parallelism scales
+    with the number of distinct targets, and each partition pre-trims
+    to its local top-k before the exchange (the weighted_sample
+    discipline). The anchor strings of a mega-indegree host are
+    bounded by its distinct-anchor count after the first agg, so the
+    window never sees the raw fan-in.
+    """
+    cnt = edges.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    return cnt.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

@@ -1,0 +1,117 @@
+"""Preference-data construction operators (RLHF / DPO / RFT stage).
+
+After SFT curation, the next pipeline stage a training-data engine
+feeds is preference optimization: N scored candidate responses per
+prompt become (chosen, rejected) pairs (DPO, Rafailov '23) or a
+deduplicated top-k kept set (rejection-sampling fine-tuning, the
+Llama-2 "best-of-N with a reward model" recipe). The input shape is
+the scored-response relation (prompt_id, resp_id, text, score) — the
+reference's per-record shape validation (README.md:21) applied one
+level up, to the sampled-response unit.
+
+Scale discipline: scores stay INTEGER end to end (the reward is a
+calibrated integer in [0, 100]; same zero-float-risk construction as
+score_normalize's n_chars scores), and the pair extraction is ONE
+hash-agg with map-side partials — a struct min/max per prompt, never
+a self-join of responses (the naive "pairs = responses x responses
+WHERE a.score > b.score" is quadratic in N per prompt and a full
+shuffle of the text twice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dpo_pairs(df: DataFrame, min_gap: int = 1) -> DataFrame:
+    """Build one (chosen, rejected) preference pair per prompt from
+    scored responses: chosen = highest score (ties -> smallest
+    resp_id), rejected = lowest score (ties -> smallest resp_id);
+    prompts whose score spread is below ``min_gap`` emit nothing (a
+    pair with no margin teaches nothing — standard DPO data hygiene,
+    and it also drops single-response prompts where chosen ==
+    rejected).
+
+    Returns (prompt_id, chosen_id, rejected_id, chosen_score,
+    rejected_score, gap, chosen_text, rejected_text).
+
+    Plan shape: ONE groupBy(prompt_id) hash-agg — lexicographic
+    struct max/min give the argmax/argmin with their payloads in the
+    same pass (max over (score, -resp_id, ...) breaks score ties
+    toward the smaller id; resp_id is unique so the text field never
+    participates in the comparison). Map-side partial aggregation
+    means each input partition contributes at most one candidate
+    struct per prompt to the shuffle.
+    """
+    best = F.max(
+        F.struct(
+            F.col("score").alias("s"),
+            (-F.col("resp_id")).alias("nid"),
+            F.col("resp_id").alias("rid"),
+            F.col("text").alias("t"),
+        )
+    ).alias("b")
+    worst = F.min(
+        F.struct(
+            F.col("score").alias("s"),
+            F.col("resp_id").alias("rid"),
+            F.col("text").alias("t"),
+        )
+    ).alias("w")
+    agg = df.groupBy("prompt_id").agg(best, worst)
+    return agg.select(
+        "prompt_id",
+        F.col("b.rid").alias("chosen_id"),
+        F.col("w.rid").alias("rejected_id"),
+        F.col("b.s").alias("chosen_score"),
+        F.col("w.s").alias("rejected_score"),
+        (F.col("b.s") - F.col("w.s")).alias("gap"),
+        F.col("b.t").alias("chosen_text"),
+        F.col("w.t").alias("rejected_text"),
+    ).filter(F.col("gap") >= min_gap)
+
+
+def rft_select(df: DataFrame, tau: int = 50, k: int = 2) -> DataFrame:
+    """Rejection-sampling fine-tuning selection (Llama-2 style):
+    per prompt, keep the top-``k`` responses scoring at least ``tau``,
+    AFTER collapsing byte-identical response texts (N sampled
+    completions repeat themselves; keeping two copies of one answer
+    wastes the k budget). Within a duplicate-text group the highest
+    score survives (ties -> smallest resp_id) — the same response
+    rated twice keeps its best rating.
+
+    Returns (prompt_id, resp_id, score, rk) with rk the 1-based rank
+    by (score DESC, resp_id ASC).
+
+    Scale shape: dedup is a hash-agg on (prompt_id, md5(text)) — the
+    text itself never shuffles twice — and the literal-k rank filter
+    compiles to WindowGroupLimit Partial+Final (the weighted_sample
+    discipline: each input partition pre-trims to its local top-k
+    before the exchange).
+    """
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    deduped = (
+        df.select(
+            "prompt_id",
+            fp.alias("fp"),
+            F.struct(
+                F.col("score").alias("s"),
+                (-F.col("resp_id")).alias("nid"),
+                F.col("resp_id").alias("rid"),
+            ).alias("cand"),
+        )
+        .groupBy("prompt_id", "fp")
+        .agg(F.max("cand").alias("best"))
+        .select(
+            "prompt_id",
+            F.col("best.rid").alias("resp_id"),
+            F.col("best.s").alias("score"),
+        )
+    )
+    kept = deduped.filter(F.col("score") >= tau)
+    w = Window.partitionBy("prompt_id").orderBy(
+        F.col("score").desc(), F.col("resp_id").asc()
+    )
+    return kept.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

@@ -2344,3 +2344,326 @@ def distinct_ngrams(df: DataFrame, domain_col: str = "source") -> DataFrame:
             ),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    budget: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual/domain rebalancing (the XLM-R /
+    mT5 recipe, Conneau '19): sample group g at a rate proportional to
+    (n_g)^alpha with alpha = 0.5, so low-resource groups keep a larger
+    share of the ``budget`` than their corpus share — the standard fix
+    for head-language domination that plain proportional sampling
+    (:func:`domain_mix`) cannot express.
+
+    Deterministic integer variant: the group weight is the INTEGER
+    square root isqrt(n_g) — floor(sqrt) computed from the libm sqrt
+    then fixed up with two integer comparisons, so the value is exact
+    regardless of rounding mode and identical across engines — and the
+    per-group target is ``min(n_g, budget * w_g div W)`` in pure
+    BIGINT arithmetic (W = sum of weights). Selection is rate-based on
+    the 16-bit md5 selector SALTED ``#ts`` (the domain_upsample
+    salting rule: a new selector must never coincide with the shared
+    unsalted hash_split/hash_sample cut), threshold
+    ``target * 65536 div n_g`` — a fully-met target gives threshold
+    65536, above every selector value, so under-budget groups keep all
+    rows exactly.
+
+    Returns kept rows (key, group, n_docs, target).
+
+    Scale shape: one group-count-sized hash-agg (map-side partials),
+    a group-table-only weight computation, broadcast back, one pure-
+    map filter — the corpus itself never shuffles. The realized count
+    per group is binomial around the target (rate-based, like
+    domain_mix); use token_budget_mix when the budget must be exact.
+    """
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    s0 = F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    isqrt = (
+        s0
+        - F.when(s0 * s0 > F.col("n_docs"), 1).otherwise(0)
+        + F.when(
+            (s0 + 1) * (s0 + 1) <= F.col("n_docs"), 1
+        ).otherwise(0)
+    )
+    weights = counts.withColumn("wgt", isqrt)
+    total_w = weights.agg(F.sum("wgt").alias("w_total"))
+    targets = (
+        weights.crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "target",
+            F.least(
+                F.col("n_docs"),
+                F.expr(f"({budget} * wgt) div w_total"),
+            ),
+        )
+        .withColumn(
+            "threshold", F.expr("(target * 65536) div n_docs")
+        )
+        .select(domain_col, "n_docs", "target", "threshold")
+    )
+    sel = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(key_col).cast("string"), F.lit("#ts"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return (
+        df.join(F.broadcast(targets), domain_col)
+        .filter(sel < F.col("threshold"))
+        .select(key_col, domain_col, "n_docs", "target")
+    )
+
+
+def doremi_weights(
+    df: DataFrame, domain_col: str = "source", tau: float = 1.0
+) -> DataFrame:
+    """DoReMi-style domain reweighting sheet (Xie '23): per-domain
+    excess score relative to the corpus mean, exponentiated into a
+    sampling weight ``exp(rel / tau)`` — domains that over-perform the
+    reference get up-weighted. The published method uses proxy-model
+    excess LOSS; the deterministic stand-in score here is the per-doc
+    char count (an integer, the score_normalize zero-float-risk
+    construction) — swap in any integer quality score column upstream.
+
+    Returns (domain, n_docs, avg_chars, rel, weight) with the three
+    derived columns float32.
+
+    Cross-engine float contract: sums are exact BIGINTs, each average
+    is ONE correctly-rounded double division, ``rel = avg_d/avg_all -
+    1`` is two more correctly-rounded ops — bit-identical everywhere;
+    only exp() carries a libm 1-ulp risk, absorbed by the float32 cast
+    (the pagerank analysis: a 1-ulp double flip lands on a float32
+    rounding boundary with ~1e-8 odds per value).
+
+    Scale shape: one corpus hash-agg to a domain-count-sized table,
+    then arithmetic on that tiny table (the overall mean comes from
+    the SUMMED domain sums — never an average of averages).
+    """
+    dom = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0)))
+        .cast("long")
+        .alias("sum_chars"),
+    )
+    tot = dom.agg(
+        F.sum("n_docs").alias("t_docs"),
+        F.sum("sum_chars").alias("t_chars"),
+    )
+    avg_d = F.col("sum_chars").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    avg_all = F.col("t_chars").cast("double") / F.col("t_docs").cast(
+        "double"
+    )
+    rel = avg_d / avg_all - F.lit(1.0)
+    return dom.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "n_docs",
+        avg_d.cast("float").alias("avg_chars"),
+        rel.cast("float").alias("rel"),
+        F.exp(rel / F.lit(float(tau))).cast("float").alias("weight"),
+    )
+
+
+def code_quality(
+    df: DataFrame,
+    max_line_len: int = 1000,
+    max_avg_line: int = 100,
+    min_alpha_x4: int = 1,
+) -> DataFrame:
+    """StarCoder/BigCode-style code-document quality rules: alphabetic
+    fraction >= 0.25, longest line <= ``max_line_len``, mean line
+    length <= ``max_avg_line`` — the structural filters that drop
+    minified blobs, base64 dumps and data files from a code corpus
+    (Kocetkov '22 The Stack; Li '23 StarCoder).
+
+    Every PASS decision is an exact integer predicate (alpha_cnt * 4
+    >= n_chars; sum_line <= max_avg * n_lines) — the reported float32
+    fractions are display-only, so no threshold can tie-break
+    differently across engines. Line lengths never materialize a
+    second text copy: ``sum_line = n_chars - (n_lines - 1)`` (every
+    char is either in a line or is one of the n_lines-1 separators).
+
+    Returns (doc_id, n_lines, max_line, alpha_frac, avg_line,
+    alpha_ok, maxline_ok, avgline_ok, passed) — flags as 0/1 ints.
+    Pure map over the corpus: zero shuffle.
+    """
+    d = _ensure_parallelism(df)
+    lines = F.split(F.col("text"), "\n", -1)
+    n_chars = F.coalesce(F.length("text"), F.lit(0))
+    alpha_cnt = F.coalesce(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")), F.lit(0)
+    )
+    out = d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.coalesce(
+            F.array_max(F.transform(lines, F.length)), F.lit(0)
+        ).alias("max_line"),
+        n_chars.alias("_nc"),
+        alpha_cnt.alias("_ac"),
+    ).withColumn("_sl", F.col("_nc") - (F.col("n_lines") - 1))
+    flags = out.select(
+        "doc_id",
+        "n_lines",
+        "max_line",
+        (
+            F.col("_ac").cast("double")
+            / F.nullif(F.col("_nc"), F.lit(0)).cast("double")
+        )
+        .cast("float")
+        .alias("alpha_frac"),
+        (
+            F.col("_sl").cast("double")
+            / F.col("n_lines").cast("double")
+        )
+        .cast("float")
+        .alias("avg_line"),
+        (F.col("_ac") * 4 >= F.col("_nc") * min_alpha_x4)
+        .cast("int")
+        .alias("alpha_ok"),
+        (F.col("max_line") <= max_line_len).cast("int").alias(
+            "maxline_ok"
+        ),
+        (F.col("_sl") <= max_avg_line * F.col("n_lines"))
+        .cast("int")
+        .alias("avgline_ok"),
+    )
+    return flags.withColumn(
+        "passed",
+        (
+            F.col("alpha_ok")
+            * F.col("maxline_ok")
+            * F.col("avgline_ok")
+        ).alias("passed"),
+    )
+
+
+# License classification marker table, FIRST MATCH WINS (order is
+# load-bearing: a dual-licensed header tags as its first marker — the
+# url_category convention). The oracle generator imports this table, so
+# operator and SQL can never drift (the unicode_clean discipline).
+LICENSE_MARKERS: list[tuple[str, str, int]] = [
+    ("apache license", "apache-2.0", 1),
+    ("mit license", "mit", 1),
+    ("bsd license", "bsd-3-clause", 1),
+    ("mozilla public license", "mpl-2.0", 1),
+    ("gnu general public license", "gpl-3.0", 0),
+    ("gnu lesser general public license", "lgpl-3.0", 0),
+    ("creative commons", "cc-by", 1),
+    ("all rights reserved", "proprietary", 0),
+]
+
+
+def license_tag(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """License classification for code/document corpora: first-match-
+    wins substring scan of the lowercased text against
+    :data:`LICENSE_MARKERS` (the permissive-license gate every code-LM
+    pipeline runs before training — The Stack keeps permissive only).
+    Unmatched documents tag ``unknown`` with permissive = 0 (fail
+    closed: an unidentifiable license is not a grant).
+
+    Returns (doc_id, license, permissive). Pure map, zero shuffle;
+    substring `contains` (no regex) keeps the scan in whole-stage
+    codegen at memchr speed.
+    """
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    tag = None
+    perm = None
+    for marker, name, p in LICENSE_MARKERS:
+        cond = low.contains(marker)
+        tag = (
+            F.when(cond, name) if tag is None else tag.when(cond, name)
+        )
+        perm = (
+            F.when(cond, p) if perm is None else perm.when(cond, p)
+        )
+    return _ensure_parallelism(df).select(
+        "doc_id",
+        tag.otherwise("unknown").alias("license"),
+        perm.otherwise(0).cast("int").alias("permissive"),
+    )
+
+
+def span_corruption(
+    df: DataFrame, density_pct: int = 15, span: int = 3
+) -> DataFrame:
+    """T5 span-corruption sheet (Raffel '20): deterministic masking of
+    ~``density_pct``% of tokens in mean-``span``-token spans, reporting
+    the denoising geometry per document — encoder length after
+    sentinel substitution and decoder target length — the numbers a
+    seq2seq batch planner needs BEFORE materializing any corrupted
+    text.
+
+    Deterministic variant: token i belongs to mask group g = i div
+    span; group g masks iff md5(doc_id#sc<g>)'s 16-bit selector % 100
+    < density_pct. Adjacent masked groups merge into ONE span (maximal
+    runs, exactly T5's sentinel rule), counted by a left fold over the
+    group-mask array carrying (prev, spans). All outputs are integers:
+
+    - n_tokens   whitespace tokens
+    - n_masked   masked tokens (last group may be short)
+    - n_spans    maximal masked runs == sentinels inserted
+    - enc_len    n_tokens - n_masked + n_spans
+    - tgt_len    n_masked + n_spans
+
+    Zero-token documents are dropped (nothing to corrupt). Pure map:
+    one compact HOF expression per row (the char_entropy bound-lambda
+    discipline — never an unrolled tree), zero shuffle.
+    """
+    d = _ensure_parallelism(with_token_count(df)).filter(
+        F.col("n_tokens") > 0
+    )
+    n_groups = f"((n_tokens + {span - 1}) div {span})"
+    mask_of = (
+        f"IF(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+        f" '#sc', CAST(g AS STRING))), 1, 4), 16, 10) AS INT) % 100"
+        f" < {density_pct}, 1, 0)"
+    )
+    masks = (
+        f"transform(sequence(0, {n_groups} - 1), g -> {mask_of})"
+    )
+    stats = d.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(masks).alias("_m"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        # masked tokens: full groups carry `span` tokens, the last
+        # group carries the remainder (n - span*(G-1), never 0).
+        F.expr(
+            f"aggregate(slice(_m, 1, size(_m) - 1),"
+            f" CAST(0 AS BIGINT), (acc, m) -> acc + m) * {span}"
+            f" + element_at(_m, size(_m))"
+            f" * (n_tokens - {span} * (size(_m) - 1))"
+        ).alias("n_masked"),
+        F.expr(
+            "aggregate(_m,"
+            " named_struct('prev', 0, 'spans', CAST(0 AS BIGINT)),"
+            " (acc, m) -> named_struct('prev', m, 'spans',"
+            " acc.spans + IF(m = 1 AND acc.prev = 0, 1, 0)),"
+            " acc -> acc.spans)"
+        ).alias("n_spans"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        (
+            F.col("n_tokens") - F.col("n_masked") + F.col("n_spans")
+        ).alias("enc_len"),
+        (F.col("n_masked") + F.col("n_spans")).alias("tgt_len"),
+    )

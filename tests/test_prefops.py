@@ -1,0 +1,315 @@
+"""Preference-data construction (dpo_pairs / rft_select), mixing
+sheets (temperature_sample / doremi_weights), corpus filters
+(code_quality / license_tag), anchor aggregation and T5 span
+corruption — the r5 ninth-session additions."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import graph as G
+from ocr_spark.operators import prefops as PF
+from ocr_spark.operators import textops as X
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ---------------------------------------------------------------- dpo
+
+
+def _resp_df(spark):
+    rows = [
+        # prompt 0: clear spread, score tie at the top (ids 1, 2)
+        (0, 1, "best a", 90),
+        (0, 2, "best b", 90),
+        (0, 3, "mid", 50),
+        (0, 4, "worst", 10),
+        # prompt 1: spread below the gap
+        (1, 5, "a", 55),
+        (1, 6, "b", 50),
+        # prompt 2: single response (gap 0)
+        (2, 7, "only", 80),
+        # prompt 3: tie at the bottom (ids 9, 10)
+        (3, 8, "top", 70),
+        (3, 9, "low a", 20),
+        (3, 10, "low b", 20),
+    ]
+    return spark.createDataFrame(
+        rows, "prompt_id long, resp_id long, text string, score long"
+    )
+
+
+def test_dpo_pairs_argmax_argmin_and_gap(spark):
+    out = {
+        r["prompt_id"]: r
+        for r in PF.dpo_pairs(_resp_df(spark), min_gap=10).collect()
+    }
+    # prompt 0: chosen = id 1 (score tie -> smaller id), rejected = 4
+    assert out[0]["chosen_id"] == 1 and out[0]["rejected_id"] == 4
+    assert out[0]["gap"] == 80
+    assert out[0]["chosen_text"] == "best a"
+    # prompt 3: rejected = id 9 (bottom tie -> smaller id)
+    assert out[3]["chosen_id"] == 8 and out[3]["rejected_id"] == 9
+    # prompts 1 (gap 5) and 2 (gap 0) are dropped
+    assert set(out) == {0, 3}
+
+
+def test_dpo_pairs_single_agg_no_join(spark):
+    plan = _formatted(PF.dpo_pairs(_resp_df(spark), min_gap=10))
+    tree = plan.split("\n\n(1)")[0]
+    assert "Join" not in plan
+    assert tree.count("Exchange") == 1
+    # map-side combine: a partial aggregate runs before the shuffle
+    assert "partial_max" in plan
+
+
+def test_rft_select_dedup_threshold_topk(spark):
+    rows = [
+        # prompt 0: 'dup' appears 3x — best score copy (id 3) survives
+        (0, 1, "dup", 60),
+        (0, 2, "dup", 70),
+        (0, 3, "dup", 90),
+        (0, 4, "other", 80),
+        (0, 5, "third", 75),
+        (0, 6, "below", 40),  # under tau
+        # prompt 1: everything under tau
+        (1, 7, "x", 10),
+        (1, 8, "y", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, resp_id long, text string, score long"
+    )
+    out = PF.rft_select(df, tau=50, k=2).collect()
+    got = {(r["prompt_id"], r["resp_id"], r["score"], r["rk"]) for r in out}
+    # top-2 after dedup: id 3 (90), id 4 (80); 'third' (75) is rank 3
+    assert got == {(0, 3, 90, 1), (0, 4, 80, 2)}
+
+
+def test_rft_select_dup_tie_keeps_smaller_id(spark):
+    rows = [(0, 1, "dup", 80), (0, 2, "dup", 80), (0, 3, "z", 60)]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, resp_id long, text string, score long"
+    )
+    out = {r["resp_id"]: r["rk"] for r in PF.rft_select(df, 50, 2).collect()}
+    assert out == {1: 1, 3: 2}
+
+
+# ----------------------------------------------- temperature_sample
+
+
+def _sel16(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def test_temperature_sample_exact_vs_python(spark):
+    # group sizes straddle perfect squares (isqrt edges 15/16/17)
+    sizes = {"a": 15, "b": 16, "c": 17, "d": 3}
+    rows, key = [], 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((key, g))
+            key += 1
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    budget = 20
+    w = {g: math.isqrt(n) for g, n in sizes.items()}
+    wt = sum(w.values())
+    target = {
+        g: min(sizes[g], budget * w[g] // wt) for g in sizes
+    }
+    thr = {g: target[g] * 65536 // sizes[g] for g in sizes}
+    expected = {
+        (k, g)
+        for (k, g) in rows
+        if _sel16(f"{k}#ts") < thr[g]
+    }
+    out = X.temperature_sample(
+        df, budget=budget, domain_col="grp", key_col="doc_id"
+    ).collect()
+    assert {(r["doc_id"], r["grp"]) for r in out} == expected
+    for r in out:
+        assert r["n_docs"] == sizes[r["grp"]]
+        assert r["target"] == target[r["grp"]]
+
+
+def test_temperature_sample_full_target_keeps_all(spark):
+    # budget >> corpus: every target caps at n_g -> threshold 65536
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(10)], "doc_id long, grp string"
+    )
+    out = X.temperature_sample(
+        df, budget=10000, domain_col="grp", key_col="doc_id"
+    )
+    assert out.count() == 10
+
+
+# --------------------------------------------------- doremi_weights
+
+
+def test_doremi_weights_vs_python(spark):
+    rows = [
+        (1, "a", "xxxx"),       # 4 chars
+        (2, "a", "xxxxxxxx"),   # 8
+        (3, "b", "xx"),         # 2
+        (4, "b", None),         # NULL -> 0 chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in X.doremi_weights(df, "source").collect()}
+    avg_all = 14.0 / 4.0
+    for dom, (s, n) in {"a": (12, 2), "b": (2, 2)}.items():
+        avg_d = s / n
+        rel = avg_d / avg_all - 1.0
+        assert out[dom]["n_docs"] == n
+        assert out[dom]["avg_chars"] == np.float32(avg_d)
+        assert out[dom]["rel"] == np.float32(rel)
+        assert out[dom]["weight"] == np.float32(math.exp(rel))
+
+
+# ----------------------------------------------------- code_quality
+
+
+def test_code_quality_flags(spark):
+    rows = [
+        (1, "a" * 50),                      # clean single line
+        (2, "b" * 1200),                    # max-line fail (alpha ok)
+        (3, "0" * 100),                     # alpha fail
+        (4, "ab\ncd\nef"),                  # 3 lines, avg 2
+        (5, ""),                            # empty: passes vacuously
+        (6, "x" * 300 + "\n" + "yy"),       # avg-line fail only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.code_quality(df).collect()}
+    assert out[1]["passed"] == 1 and out[1]["max_line"] == 50
+    assert out[2]["maxline_ok"] == 0 and out[2]["alpha_ok"] == 1
+    assert out[2]["avgline_ok"] == 0  # 1200 avg also breaches 100
+    assert out[3]["alpha_ok"] == 0 and out[3]["maxline_ok"] == 1
+    assert out[4]["n_lines"] == 3 and out[4]["max_line"] == 2
+    assert out[4]["avg_line"] == np.float32(2.0)
+    assert out[4]["passed"] == 1
+    assert out[5]["passed"] == 1 and out[5]["alpha_frac"] is None
+    assert out[6]["avgline_ok"] == 0 and out[6]["maxline_ok"] == 1
+    assert out[6]["alpha_ok"] == 1 and out[6]["passed"] == 0
+
+
+# ------------------------------------------------------ license_tag
+
+
+def test_license_tag_markers_and_precedence(spark):
+    rows = [
+        (1, "released under the Apache License 2.0"),
+        (2, "see the mIt LiCeNsE for details"),
+        (3, "MIT License. All Rights Reserved."),  # table order wins
+        (4, "All rights reserved by the author"),
+        (5, "no legal text at all"),
+        (6, None),
+        (7, "GNU General Public License v3"),
+        (8, "Creative Commons Attribution"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["license"], r["permissive"]) for r in X.license_tag(df).collect()}
+    assert out[1] == ("apache-2.0", 1)
+    assert out[2] == ("mit", 1)
+    assert out[3] == ("mit", 1)
+    assert out[4] == ("proprietary", 0)
+    assert out[5] == ("unknown", 0)
+    assert out[6] == ("unknown", 0)
+    assert out[7] == ("gpl-3.0", 0)
+    assert out[8] == ("cc-by", 1)
+
+
+# ------------------------------------------------------ anchor_topk
+
+
+def test_anchor_topk_counts_and_ties(spark):
+    rows = (
+        [(i, 1, "a") for i in range(3)]
+        + [(i, 1, "b") for i in range(3)]
+        + [(9, 1, "c")]
+        + [(i, 2, "z") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "src long, dst long, anchor string")
+    out = {
+        (r["dst"], r["rk"]): (r["anchor"], r["cnt"])
+        for r in G.anchor_topk(df, k=2).collect()
+    }
+    # dst 1: a and b tie at 3 -> lexicographic; c (1) trimmed by k=2
+    assert out[(1, 1)] == ("a", 3)
+    assert out[(1, 2)] == ("b", 3)
+    assert out[(2, 1)] == ("z", 5)
+    assert len(out) == 3
+
+
+def test_anchor_topk_window_group_limit_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "src long, dst long, anchor string"
+    )
+    plan = _formatted(G.anchor_topk(df, k=3))
+    assert "WindowGroupLimit" in plan
+
+
+# -------------------------------------------------- span_corruption
+
+
+def _span_ref(doc_id: int, n: int, density: int = 15, span: int = 3):
+    groups = (n + span - 1) // span
+    masked = spans = prev = 0
+    for g in range(groups):
+        m = 1 if _sel16(f"{doc_id}#sc{g}") % 100 < density else 0
+        size = span if g < groups - 1 else n - span * g
+        masked += m * size
+        if m == 1 and prev == 0:
+            spans += 1
+        prev = m
+    return masked, spans
+
+
+def test_span_corruption_vs_python(spark):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 40)))
+        for i in range(200)
+    ]
+    rows.append((999, ""))  # zero-token doc: dropped
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.span_corruption(df).collect()}
+    assert 999 not in out and len(out) == 200
+    for i in range(200):
+        n = 1 + (i * 7) % 40
+        masked, spans = _span_ref(i, n)
+        r = out[i]
+        assert r["n_tokens"] == n
+        assert r["n_masked"] == masked, i
+        assert r["n_spans"] == spans, i
+        assert r["enc_len"] == n - masked + spans
+        assert r["tgt_len"] == masked + spans
+
+
+def test_span_corruption_high_density_merges_spans(spark):
+    # at 60% density adjacent masked groups are common: verify the
+    # maximal-run merge against the reference and that merging happens
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(30))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.span_corruption(df, density_pct=60).collect()}
+    merged_somewhere = False
+    for i in range(40):
+        masked, spans = _span_ref(i, 30, density=60)
+        assert (out[i]["n_masked"], out[i]["n_spans"]) == (masked, spans)
+        n_masked_groups = sum(
+            1
+            for g in range(10)
+            if _sel16(f"{i}#sc{g}") % 100 < 60
+        )
+        if spans < n_masked_groups:
+            merged_somewhere = True
+    assert merged_somewhere
