@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Preference/mixing-family soak: dpo_pairs + temperature_sample +
+span_corruption at 2M rows, checked EXACTLY against python references.
+
+Corpus (deterministic arithmetic, no RNG, generated in-Spark):
+
+- dpo leg: 2M scored responses over 500k prompts (4 each), reward =
+  (i*i) % 97 (quadratic residues cluster, so ~0.7% of prompts
+  genuinely land under the min_gap and the drop branch is exercised), text from a 17-string pool (ties
+  and duplicate texts both occur). The FULL 500k-row pair table (chosen/rejected
+  ids, scores, gap after the min_gap=10 filter) must equal a python
+  argmax/argmin loop exactly — tie rules included.
+- temperature leg: 2M docs, one dominant group (55%) plus 19 uniform
+  tail groups. Targets/thresholds recomputed in python from exact
+  counts (isqrt weights, BIGINT arithmetic); the KEPT SET must equal
+  the python md5-selector loop exactly (~budget rows), and every
+  surviving row's (n_docs, target) must match.
+- span leg: 2M docs with 1 + (i*7) % 60 tokens. Exact per-doc
+  (masked, spans) equality vs the python md5 reference on the
+  doc_id % 40 == 0 sample (50k docs); corpus-wide: row count, the
+  enc/tgt identities, and the realized mask density within 6 sigma
+  of 15%.
+
+NOTE workers re-import this module with argv='pyspark.worker' — keep
+the argv parse inside main() (soak-generator guard, r5 lesson).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N = 2_000_000
+PROMPTS = N // 4
+BUDGET = 200_000
+DENSITY = 15
+SPAN = 3
+
+
+def _sel16(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession, functions as F
+
+    from ocr_spark.operators.prefops import dpo_pairs
+    from ocr_spark.operators.textops import (
+        span_corruption,
+        temperature_sample,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("soak-pref")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.local.dir", "/dev/shm/ocr_spark_local")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    res: dict = {}
+
+    # ---- dpo_pairs ----
+    t0 = time.time()
+    resp = spark.range(N).select(
+        F.expr("id div 4").alias("prompt_id"),
+        F.col("id").alias("resp_id"),
+        F.concat(F.lit("resp "), F.col("id") % 17).alias("text"),
+        ((F.col("id") * F.col("id")) % 97).alias("score"),
+    )
+    got = {
+        r["prompt_id"]: (
+            r["chosen_id"],
+            r["rejected_id"],
+            r["chosen_score"],
+            r["rejected_score"],
+            r["gap"],
+        )
+        for r in dpo_pairs(resp, min_gap=10).collect()
+    }
+    res["dpo_s"] = round(time.time() - t0, 1)
+    exp = {}
+    for p in range(PROMPTS):
+        ids = range(4 * p, 4 * p + 4)
+        scores = {i: (i * i) % 97 for i in ids}
+        # chosen: max score, tie -> min id; rejected: min score, tie
+        # -> min id (both loops scan ascending ids, so strict
+        # comparisons keep the first = smallest id)
+        c = max(ids, key=lambda i: (scores[i], -i))
+        w = min(ids, key=lambda i: (scores[i], i))
+        gap = scores[c] - scores[w]
+        if gap >= 10:
+            exp[p] = (c, w, scores[c], scores[w], gap)
+    assert len(got) == len(exp)
+    assert got == exp, "dpo pair table diverged"
+    res["dpo_pairs"] = len(got)
+    res["dpo_prompts_dropped"] = PROMPTS - len(got)
+    assert res["dpo_prompts_dropped"] > 0  # low-gap prompts exist
+
+    # ---- temperature_sample ----
+    t0 = time.time()
+    docs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 < 55, "g0")
+        .otherwise(F.concat(F.lit("g"), 1 + F.col("id") % 19))
+        .alias("grp"),
+    )
+    kept = temperature_sample(
+        docs, budget=BUDGET, domain_col="grp", key_col="doc_id"
+    ).collect()
+    res["temp_s"] = round(time.time() - t0, 1)
+
+    def grp_of(i: int) -> str:
+        return "g0" if i % 100 < 55 else f"g{1 + i % 19}"
+
+    counts: dict[str, int] = {}
+    for i in range(N):
+        counts[grp_of(i)] = counts.get(grp_of(i), 0) + 1
+    w = {g: math.isqrt(n) for g, n in counts.items()}
+    wt = sum(w.values())
+    target = {
+        g: min(counts[g], BUDGET * w[g] // wt) for g in counts
+    }
+    thr = {g: target[g] * 65536 // counts[g] for g in counts}
+    exp_kept = {
+        i
+        for i in range(N)
+        if _sel16(f"{i}#ts") < thr[grp_of(i)]
+    }
+    got_ids = {r["doc_id"] for r in kept}
+    assert got_ids == exp_kept, (
+        len(got_ids - exp_kept),
+        len(exp_kept - got_ids),
+    )
+    for r in kept:
+        assert r["n_docs"] == counts[r["grp"]]
+        assert r["target"] == target[r["grp"]]
+    res["temp_kept"] = len(got_ids)
+    res["temp_groups"] = len(counts)
+    # the dominant group's kept share must sit well under its 55%
+    # corpus share (that's the point of temperature sampling)
+    g0_share = sum(1 for i in got_ids if grp_of(i) == "g0") / len(
+        got_ids
+    )
+    res["temp_g0_share"] = round(g0_share, 4)
+    assert g0_share < 0.30, g0_share
+
+    # ---- span_corruption ----
+    t0 = time.time()
+    sdocs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, "
+            "CAST(1 + (id * 7) % 60 AS INT)), x -> 'w'), ' ')"
+        ).alias("text"),
+    )
+    out = span_corruption(sdocs, density_pct=DENSITY, span=SPAN)
+    agg = out.select(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_tokens").alias("tok"),
+        F.sum("n_masked").alias("masked"),
+        F.sum(
+            (
+                F.col("enc_len")
+                - (
+                    F.col("n_tokens")
+                    - F.col("n_masked")
+                    + F.col("n_spans")
+                )
+            )
+            ** 2
+        ).alias("enc_viol"),
+        F.sum(
+            ((F.col("tgt_len") - F.col("n_masked") - F.col("n_spans")))
+            ** 2
+        ).alias("tgt_viol"),
+    ).collect()[0]
+    sample = {
+        r["doc_id"]: (r["n_masked"], r["n_spans"])
+        for r in out.filter(F.col("doc_id") % 40 == 0).collect()
+    }
+    res["span_s"] = round(time.time() - t0, 1)
+    assert agg["rows"] == N
+    assert agg["enc_viol"] == 0 and agg["tgt_viol"] == 0
+    # exact sample vs the python md5 reference
+    for i in range(0, N, 40):
+        n = 1 + (i * 7) % 60
+        groups = (n + SPAN - 1) // SPAN
+        masked = spans = prev = 0
+        for g in range(groups):
+            m = 1 if _sel16(f"{i}#sc{g}") % 100 < DENSITY else 0
+            size = SPAN if g < groups - 1 else n - SPAN * g
+            masked += m * size
+            if m == 1 and prev == 0:
+                spans += 1
+            prev = m
+        assert sample[i] == (masked, spans), i
+    res["span_sample_docs"] = len(sample)
+    # corpus-wide density within 6 sigma of 15% (group-level
+    # Bernoulli; ~N*20.5/3 groups -> sigma tiny)
+    n_groups_total = sum(
+        ((1 + (i * 7) % 60) + SPAN - 1) // SPAN for i in range(0, 60)
+    ) * (N // 60)
+    p = DENSITY / 100
+    sigma = math.sqrt(n_groups_total * p * (1 - p)) * SPAN
+    density = agg["masked"] / agg["tok"]
+    res["span_density"] = round(density, 5)
+    assert abs(agg["masked"] - p * agg["tok"]) < 6 * sigma + 3 * N / 60
+
+    print(json.dumps(res))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -271,6 +271,10 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "license_tag",
         "anchor_topk",
         "span_corruption",
+        "extractive_coverage",
+        "edit_dedup",
+        "instruction_filter",
+        "shard_checksums",
         "hits",
         "length_buckets",
         "tokenizer_fit",

@@ -2670,6 +2670,104 @@ def q_span_corruption(spark, sf_dir):
     return X.span_corruption(load(spark, sf_dir, "documents"))
 
 
+def q_extractive_coverage(spark, sf_dir):
+    """Extractiveness sheet over synthesized (context, target) pairs:
+    target = first-6-token extract plus one novel token, so unigram /
+    bigram coverages land mid-range; every 29th target is empty and
+    must be dropped."""
+    docs = load(spark, sf_dir, "documents")
+    target = F.when(F.col("doc_id") % 29 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.array_join(F.slice(F.expr(X.TOKENS_LC), 1, 6), " "),
+            F.lit(" qq"),
+            (F.col("doc_id") % 5).cast("string"),
+        )
+    )
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("context"),
+        target.alias("target"),
+    )
+    return X.extractive_coverage(pairs)
+
+
+def q_edit_dedup(spark, sf_dir):
+    """Edit-distance near-exact pairs with template-family blocking:
+    the fixture unions a +3-edit remix (kept, dist 3) and a long-tail
+    remix (same family, distance above the cap, excluded) of every
+    document — both duplicate classes exercised in every family."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" zz"))
+        .alias("text"),
+    )
+    far = docs.select(
+        (F.col("doc_id") + F.lit(2000000000)).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.expr(X.TOKENS_LC), 1, 8), " "),
+            F.lit(" qqqqqqqqqqqqqqqqqqqq "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return D.edit_dedup(
+        docs.unionByName(near).unionByName(far),
+        k=8,
+        max_dist=8,
+        max_fam=64,
+    )
+
+
+def q_instruction_filter(spark, sf_dir):
+    """Instruction-data heuristics over synthesized (instruction,
+    response) rows: instruction lengths 1..8 straddle the min bound;
+    every 19th response is refusal boilerplate, every 23rd is
+    truncated mid-sentence, every 31st echoes the instruction — all
+    four flag branches fire on real rows."""
+    docs = load(spark, sf_dir, "documents")
+    inst = F.array_join(
+        F.slice(
+            F.expr(X.TOKENS),
+            F.lit(1),
+            (1 + F.col("doc_id") % 8).cast("int"),
+        ),
+        " ",
+    )
+    base = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("."))
+    resp = (
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.lit(
+                "As an AI language model, I cannot assist with that"
+            ),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(" and")
+            ),
+        )
+        .when(F.col("doc_id") % 31 == 0, inst)
+        .otherwise(base)
+    )
+    rows = docs.select(
+        "doc_id",
+        inst.alias("instruction"),
+        resp.alias("response"),
+    )
+    return PF.instruction_filter(rows, min_inst=3, max_inst=64)
+
+
+def q_shard_checksums(spark, sf_dir):
+    """Data-versioning manifest over the raw corpus: 64 md5 shards,
+    order-independent 32-bit digest sums plus row/char counts — the
+    snapshot-comparison primitive (corpus_diff is the row-level
+    follow-up)."""
+    return X.shard_checksums(
+        load(spark, sf_dir, "documents"), shards=64
+    )
+
+
 # Key ORDER is load-bearing: the driver's correctness gate covers the
 # first 50 keys positionally (CORRECTNESS_r03 stopped at key 50). Head =
 # the flagship compositions, extract routes, media family, and every
@@ -2680,6 +2778,10 @@ QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
+    "extractive_coverage": q_extractive_coverage,
+    "edit_dedup": q_edit_dedup,
+    "instruction_filter": q_instruction_filter,
+    "shard_checksums": q_shard_checksums,
     "dpo_pairs": q_dpo_pairs,
     "rft_select": q_rft_select,
     "temperature_sample": q_temperature_sample,
@@ -2721,12 +2823,8 @@ QUERIES: dict[str, Callable] = {
     "contamination_report": q_contamination_report,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
-    "incremental_dedup": q_incremental_dedup,
-    "incremental_minhash": q_incremental_minhash,
-    "incremental_verified": q_incremental_verified,
     "train_shards": q_train_shards,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "nb_quality": q_nb_quality,
     "near_dup_keep_best": q_near_dup_keep_best,
     "char_entropy": q_char_entropy,
     "c4_rules": q_c4_rules,
@@ -2789,6 +2887,16 @@ QUERIES: dict[str, Callable] = {
     #    (soak_bigram KN leg at 100k docs vs the python golden). All
     #    remain selfchecked vs DuckDB at sf0.01 AND sf0.1 every
     #    round --
+    # -- ninth-session additions to the same exception: the 3
+    #    incremental keys (soak_incremental at 1M+500k: exact-dedup /
+    #    band-flag / cross-corpus-verified all EXACT, fresh false-flag
+    #    rate 0.0; incremental_dedup additionally via soak_bloom path
+    #    equality) and nb_quality (soak_nb: held-out accuracy 1.0,
+    #    Cohen's d 14.9, plus the closed-form smoothing pytest) --
+    "incremental_dedup": q_incremental_dedup,
+    "incremental_minhash": q_incremental_minhash,
+    "incremental_verified": q_incremental_verified,
+    "nb_quality": q_nb_quality,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
     "d4_select": q_d4_select,
@@ -6533,4 +6641,147 @@ SELECT doc_id, n_tokens, n_masked, n_spans,
        n_tokens - n_masked + n_spans AS enc_len,
        n_masked + n_spans AS tgt_len
 FROM agg
+"""
+
+# (context, target) extractiveness; DuckDB list slicing/comprehension
+# is 1-based inclusive (the _sh_cte convention).
+ORACLES["extractive_coverage"] = """
+WITH pairs AS (
+    SELECT doc_id AS pair_id, text AS context,
+           CASE WHEN doc_id % 29 = 0 THEN ''
+                ELSE array_to_string(
+                         regexp_split_to_array(lower(trim(text)),
+                                               '\\s+')[1:6], ' ')
+                     || ' qq' || CAST(doc_id % 5 AS VARCHAR)
+           END AS target
+    FROM documents),
+tk AS (
+    SELECT pair_id,
+           regexp_split_to_array(lower(trim(context)), '\\s+') AS c1,
+           regexp_split_to_array(lower(trim(target)), '\\s+') AS t1
+    FROM pairs),
+ok AS (
+    SELECT * FROM tk
+    WHERE len(t1) > 0 AND array_to_string(t1, '') <> ''),
+bg AS (
+    SELECT pair_id, c1, t1,
+           CASE WHEN len(c1) >= 2
+                THEN [c1[i] || ' ' || c1[i + 1]
+                      for i in range(1, len(c1))]
+                ELSE [] END AS c2,
+           CASE WHEN len(t1) >= 2
+                THEN [t1[i] || ' ' || t1[i + 1]
+                      for i in range(1, len(t1))]
+                ELSE [] END AS t2
+    FROM ok)
+SELECT pair_id,
+       len(t1) AS tgt_tokens,
+       CAST(CAST(len(list_filter(list_distinct(t1),
+                                 x -> list_contains(c1, x)))
+                 AS DOUBLE)
+            / CAST(nullif(len(list_distinct(t1)), 0) AS DOUBLE)
+            AS FLOAT) AS uni_cov,
+       CAST(CAST(len(list_filter(list_distinct(t2),
+                                 x -> list_contains(c2, x)))
+                 AS DOUBLE)
+            / CAST(nullif(len(list_distinct(t2)), 0) AS DOUBLE)
+            AS FLOAT) AS bi_cov
+FROM bg
+"""
+
+ORACLES["edit_dedup"] = """
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000, coalesce(text, '') || ' zz'
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000000,
+           array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\\s+')[1:8],
+               ' ')
+           || ' qqqqqqqqqqqqqqqqqqqq ' || CAST(doc_id AS VARCHAR)
+    FROM documents),
+pre AS (
+    SELECT doc_id, text,
+           array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\\s+')[1:8],
+               ' ') AS prefix
+    FROM base),
+pf AS (SELECT * FROM pre WHERE prefix <> ''),
+fams AS (
+    SELECT prefix FROM pf GROUP BY prefix
+    HAVING count(*) >= 2 AND count(*) <= 64)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       levenshtein(coalesce(a.text, ''), coalesce(b.text, ''))
+           AS dist
+FROM pf a JOIN pf b USING (prefix)
+JOIN fams USING (prefix)
+WHERE a.doc_id < b.doc_id
+  AND levenshtein(coalesce(a.text, ''), coalesce(b.text, '')) <= 8
+"""
+
+# Flag CASE chains generated from prefops.REFUSAL_MARKERS /
+# COMPLETE_RE so operator and oracle cannot drift.
+_REFUSAL_SQL = " OR ".join(
+    "contains(lower(coalesce(response, '')), '"
+    + m.replace("'", "''")
+    + "')"
+    for m in PF.REFUSAL_MARKERS
+)
+
+ORACLES["instruction_filter"] = f"""
+WITH rows_ AS (
+    SELECT doc_id,
+           array_to_string(
+               regexp_split_to_array(trim(text), '\\s+')
+                   [1:(1 + doc_id % 8)], ' ') AS instruction,
+           CASE
+               WHEN doc_id % 19 = 0 THEN
+                   'As an AI language model, I cannot assist with that'
+               WHEN doc_id % 23 = 0 THEN coalesce(text, '') || ' and'
+               WHEN doc_id % 31 = 0 THEN
+                   array_to_string(
+                       regexp_split_to_array(trim(text), '\\s+')
+                           [1:(1 + doc_id % 8)], ' ')
+               ELSE coalesce(text, '') || '.'
+           END AS response
+    FROM documents),
+fl AS (
+    SELECT doc_id,
+           CASE WHEN trim(instruction) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(instruction),
+                                               '\\s+'))
+           END AS inst_tokens,
+           CASE WHEN {_REFUSAL_SQL} THEN 0 ELSE 1 END AS not_refusal,
+           CASE WHEN regexp_matches(coalesce(response, ''),
+                                    '{PF.COMPLETE_RE}')
+                THEN 1 ELSE 0 END AS complete,
+           CASE WHEN coalesce(response, '')
+                     <> coalesce(instruction, '')
+                THEN 1 ELSE 0 END AS distinct_resp
+    FROM rows_)
+SELECT doc_id, inst_tokens,
+       CASE WHEN inst_tokens >= 3 AND inst_tokens <= 64
+            THEN 1 ELSE 0 END AS len_ok,
+       not_refusal, complete, distinct_resp,
+       (CASE WHEN inst_tokens >= 3 AND inst_tokens <= 64
+             THEN 1 ELSE 0 END)
+       * not_refusal * complete * distinct_resp AS kept
+FROM fl
+"""
+
+ORACLES["shard_checksums"] = """
+WITH rows_ AS (
+    SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) % 64 AS shard,
+           CAST('0x' || substr(
+               md5(CAST(doc_id AS VARCHAR) || '#'
+                   || coalesce(text, '')), 1, 8) AS BIGINT) AS dg,
+           COALESCE(length(text), 0) AS nc
+    FROM documents)
+SELECT shard, count(*) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(SUM(dg) AS BIGINT) AS checksum
+FROM rows_ GROUP BY shard
 """

@@ -1648,3 +1648,58 @@ def template_families(
     return pre.join(fams, "prefix").select(
         "doc_id", "family", "fam_size", "prefix"
     )
+
+
+def edit_dedup(
+    df: DataFrame,
+    k: int = 8,
+    max_dist: int = 8,
+    max_fam: int = 64,
+) -> DataFrame:
+    """Near-exact duplicate pairs by EDIT DISTANCE, with template
+    families as the blocking stage: only documents sharing a
+    first-``k``-token prefix (:func:`template_families`, min_df=2)
+    are candidates, and a pair survives iff the full texts are within
+    ``max_dist`` Levenshtein — the code-corpus "same file, one-line
+    diff" dedup that token-set measures (Jaccard/minhash) over-match
+    and exact fingerprints miss entirely.
+
+    Returns (doc_id_a, doc_id_b, dist) with a < b.
+
+    Scale envelope (documented, the jaccard_max_df discipline):
+    families larger than ``max_fam`` are template FARMS — quadratic
+    pair enumeration inside them is wasted work (near-identical pairs
+    there are better resolved by keep-min-id over the family itself,
+    which :func:`template_families` already supports) — so they are
+    pruned BEFORE the self-join. The join is family-keyed on the
+    pruned (rare) families only; the corpus never self-joins. Spark's
+    ``levenshtein(l, r, threshold)`` banded form caps the DP cost at
+    O(len * max_dist) per pair and returns -1 above the threshold.
+    """
+    fams = template_families(df, k=k, min_df=2).filter(
+        F.col("fam_size") <= max_fam
+    )
+    texts = df.select("doc_id", "text")
+    sides = fams.select("doc_id", "family").join(texts, "doc_id")
+    a = sides.select(
+        F.col("family"),
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("text").alias("text_a"),
+    )
+    b = sides.select(
+        F.col("family"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("text").alias("text_b"),
+    )
+    pairs = a.join(b, "family").filter(
+        F.col("doc_id_a") < F.col("doc_id_b")
+    )
+    dist = F.levenshtein(
+        F.coalesce(F.col("text_a"), F.lit("")),
+        F.coalesce(F.col("text_b"), F.lit("")),
+        max_dist,
+    )
+    return (
+        pairs.select("doc_id_a", "doc_id_b", dist.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )

@@ -115,3 +115,75 @@ def rft_select(df: DataFrame, tau: int = 50, k: int = 2) -> DataFrame:
     return kept.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
     )
+
+
+# Refusal-boilerplate markers, first match flags (lowercased scan) —
+# the self-instruct/Alpaca postprocessing blocklist. The oracle
+# generator imports this (the LICENSE_MARKERS discipline).
+REFUSAL_MARKERS: list[str] = [
+    "as an ai language model",
+    "as an ai,",
+    "i cannot assist with",
+    "i'm sorry, but i can",
+]
+
+# Sentence-final completeness: . ! ? optionally followed by a closing
+# straight/curly quote (codepoints escaped — repo unicode discipline).
+# Shared with the oracle generator; RE2 (DuckDB) and java.util.regex
+# agree on this class-only pattern.
+COMPLETE_RE: str = "[.!?][\"\u201d\u2019]?$"
+
+
+def instruction_filter(
+    df: DataFrame,
+    min_inst: int = 3,
+    max_inst: int = 64,
+) -> DataFrame:
+    """Instruction-data heuristics (the self-instruct / Alpaca
+    postprocessing pass, Wang '22): per (doc_id, instruction,
+    response) row, flag
+
+    - len_ok       instruction length in [min_inst, max_inst]
+                   whitespace tokens
+    - not_refusal  response carries no refusal boilerplate
+                   (:data:`REFUSAL_MARKERS`, lowercased contains)
+    - complete     response ends in sentence-final punctuation
+                   (. ! ? or a closing quote after one) — the cheap
+                   mid-generation-truncation detector
+    - distinct     response is not byte-equal to the instruction
+                   (echo degenerate)
+
+    plus ``kept`` = all four. Flags are 0/1 ints; pure map, zero
+    shuffle, `contains`/one anchored regex — codegen-friendly.
+    """
+    inst_n = F.when(
+        F.trim("instruction") == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("instruction"), r"\s+")))
+    low = F.lower(F.coalesce(F.col("response"), F.lit("")))
+    refusal = None
+    for m in REFUSAL_MARKERS:
+        c = low.contains(m)
+        refusal = c if refusal is None else (refusal | c)
+    complete = F.coalesce(F.col("response"), F.lit("")).rlike(
+        COMPLETE_RE
+    )
+    out = df.select(
+        "doc_id",
+        inst_n.alias("inst_tokens"),
+        (
+            (inst_n >= min_inst) & (inst_n <= max_inst)
+        ).cast("int").alias("len_ok"),
+        (~refusal).cast("int").alias("not_refusal"),
+        complete.cast("int").alias("complete"),
+        (
+            F.coalesce(F.col("response"), F.lit(""))
+            != F.coalesce(F.col("instruction"), F.lit(""))
+        ).cast("int").alias("distinct_resp"),
+    )
+    return out.withColumn(
+        "kept",
+        F.col("len_ok")
+        * F.col("not_refusal")
+        * F.col("complete")
+        * F.col("distinct_resp"),
+    )

@@ -313,3 +313,117 @@ def test_span_corruption_high_density_merges_spans(spark):
         if spans < n_masked_groups:
             merged_somewhere = True
     assert merged_somewhere
+
+
+# ------------------------------------------- extractive_coverage
+
+
+def test_extractive_coverage_bounds(spark):
+    rows = [
+        (1, "the cat sat on the mat", "the cat sat"),   # full copy
+        (2, "alpha beta gamma", "delta epsilon zeta"),  # novel
+        (3, "a b c d", "a b zz"),                       # partial
+        (4, "ctx here", ""),                            # dropped
+        (5, "one two", "one"),                          # 1-token tgt
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, context string, target string")
+    out = {r["pair_id"]: r for r in X.extractive_coverage(df).collect()}
+    assert 4 not in out
+    assert out[1]["uni_cov"] == np.float32(1.0)
+    assert out[1]["bi_cov"] == np.float32(1.0)
+    assert out[2]["uni_cov"] == np.float32(0.0)
+    assert out[2]["bi_cov"] == np.float32(0.0)
+    # partial: 2 of 3 distinct unigrams hit; 1 of 2 bigrams hit
+    assert out[3]["uni_cov"] == np.float32(2.0 / 3.0)
+    assert out[3]["bi_cov"] == np.float32(0.5)
+    # single-token target: no bigrams -> NULL bi_cov
+    assert out[5]["uni_cov"] == np.float32(1.0)
+    assert out[5]["bi_cov"] is None
+
+
+# ------------------------------------------------------ edit_dedup
+
+
+def test_edit_dedup_families_and_distance(spark):
+    from ocr_spark.operators import dedup as DD
+
+    prefix = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        (1, prefix + " tail one"),
+        (2, prefix + " tail one x"),       # dist 2 from doc 1
+        (3, prefix + " " + "z" * 40),      # same family, far
+        (10, "other prefix entirely differs from everything here a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r["dist"]
+        for r in DD.edit_dedup(df, k=8, max_dist=8).collect()
+    }
+    assert out == {(1, 2): 2}
+
+
+def test_edit_dedup_prunes_template_farms(spark):
+    from ocr_spark.operators import dedup as DD
+
+    prefix = "q1 q2 q3 q4 q5 q6 q7 q8"
+    rows = [(i, f"{prefix} v{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # family of 10 > max_fam 4: pruned, zero pairs despite tiny dists
+    assert DD.edit_dedup(df, k=8, max_dist=8, max_fam=4).count() == 0
+    assert DD.edit_dedup(df, k=8, max_dist=8, max_fam=16).count() > 0
+
+
+# ---------------------------------------------- instruction_filter
+
+
+def test_instruction_filter_flags(spark):
+    rows = [
+        (1, "write a short poem", "Here is a poem."),
+        (2, "hi", "Fine answer."),                       # inst short
+        (3, "explain the rules", "As an AI language model, I cannot assist with that."),
+        (4, "explain the rules", "It just stops and"),   # truncated
+        (5, "echo me", "echo me"),                       # echo+incomplete
+        (6, "tell me more", "Done!"),
+        (7, "quote end", 'He said "stop."'),             # ends ." -> complete
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, instruction string, response string")
+    out = {r["doc_id"]: r for r in PF.instruction_filter(df).collect()}
+    assert out[1]["kept"] == 1
+    assert out[2]["len_ok"] == 0 and out[2]["kept"] == 0
+    assert out[3]["not_refusal"] == 0
+    assert out[4]["complete"] == 0
+    assert out[5]["distinct_resp"] == 0 and out[5]["complete"] == 0
+    assert out[6]["kept"] == 1
+    assert out[7]["complete"] == 1
+
+
+# ------------------------------------------------ shard_checksums
+
+
+def test_shard_checksums_order_independent_and_sensitive(spark):
+    rows = [(i, f"doc text {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        r["shard"]: (r["n_docs"], r["n_chars"], r["checksum"])
+        for r in X.shard_checksums(df, shards=8).collect()
+    }
+    assert sum(v[0] for v in base.values()) == 200
+    # order/partitioning independence
+    shuffled = spark.createDataFrame(
+        list(reversed(rows)), "doc_id long, text string"
+    ).repartition(7)
+    again = {
+        r["shard"]: (r["n_docs"], r["n_chars"], r["checksum"])
+        for r in X.shard_checksums(shuffled, shards=8).collect()
+    }
+    assert base == again
+    # one changed row flips exactly its shard's checksum
+    mutated = [(i, f"doc text {i}" if i != 57 else "CHANGED") for i in range(200)]
+    mdf = spark.createDataFrame(mutated, "doc_id long, text string")
+    mut = {
+        r["shard"]: (r["n_docs"], r["n_chars"], r["checksum"])
+        for r in X.shard_checksums(mdf, shards=8).collect()
+    }
+    diff = [s for s in base if base[s] != mut.get(s)]
+    assert len(diff) == 1
+    assert base[diff[0]][0] == mut[diff[0]][0]  # same row count
