@@ -275,6 +275,9 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "edit_dedup",
         "instruction_filter",
         "shard_checksums",
+        "win_matrix",
+        "length_quantiles",
+        "corpus_card",
         "hits",
         "length_buckets",
         "tokenizer_fit",

@@ -2768,6 +2768,59 @@ def q_shard_checksums(spark, sf_dir):
     )
 
 
+def q_win_matrix(spark, sf_dir):
+    """Pairwise model win-rate matrix over the scored-response
+    fixture: 8 responses/prompt across 4 models (2 each, so the
+    per-(prompt, model) best-score collapse is exercised); scores
+    repeat per id-pair so cross-model ties genuinely occur."""
+    docs = load(spark, sf_dir, "documents")
+    resp = docs.select(
+        F.expr("doc_id div 8").alias("prompt_id"),
+        F.col("doc_id").alias("resp_id"),
+        F.concat(F.lit("m"), (F.col("doc_id") % 4).cast("string"))
+        .alias("model"),
+        ((F.expr("doc_id div 2") * 29) % 100).alias("score"),
+    )
+    return PF.win_matrix(resp)
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-domain exact discrete token-length quantiles via the
+    count-table discipline (levels, cumulative window over the tiny
+    level table, conditional mins) — PERCENTILE_DISC integer
+    semantics, zero float risk."""
+    return X.length_quantiles(load(spark, sf_dir, "documents"))
+
+
+def q_corpus_card(spark, sf_dir):
+    """Dataset-card sheet over a governance-mixed fixture: every 3rd
+    doc becomes a single non-stopword token (language guess
+    'unknown'), the rest carry the license-marker suffixes — license
+    and language shares both land mid-range."""
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 11
+    marker = (
+        F.when(m == 0, " Licensed under the Apache License 2.0.")
+        .when(m == 1, " Released under the MIT License.")
+        .when(m == 4, " GNU General Public License v3 applies.")
+        .when(m == 7, " All Rights Reserved.")
+        .otherwise("")
+    )
+    fixed = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("zxq"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.coalesce(F.col("text"), F.lit("")), marker)
+        )
+        .alias("text"),
+    )
+    return X.corpus_card(fixed)
+
+
 # Key ORDER is load-bearing: the driver's correctness gate covers the
 # first 50 keys positionally (CORRECTNESS_r03 stopped at key 50). Head =
 # the flagship compositions, extract routes, media family, and every
@@ -2778,6 +2831,9 @@ QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
+    "win_matrix": q_win_matrix,
+    "length_quantiles": q_length_quantiles,
+    "corpus_card": q_corpus_card,
     "extractive_coverage": q_extractive_coverage,
     "edit_dedup": q_edit_dedup,
     "instruction_filter": q_instruction_filter,
@@ -2807,8 +2863,6 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf_pq": q_ann_ivf_pq,
     "sft_examples": q_sft_examples,
     "oov_rate": q_oov_rate,
-    "sft_pipeline": q_sft_pipeline,
-    "minhash_estimate": q_minhash_estimate,
     "js_divergence": q_js_divergence,
     "sft_spans": q_sft_spans,
     "quality_ensemble": q_quality_ensemble,
@@ -2823,7 +2877,6 @@ QUERIES: dict[str, Callable] = {
     "contamination_report": q_contamination_report,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
-    "train_shards": q_train_shards,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "near_dup_keep_best": q_near_dup_keep_best,
     "char_entropy": q_char_entropy,
@@ -2892,7 +2945,18 @@ QUERIES: dict[str, Callable] = {
     #    band-flag / cross-corpus-verified all EXACT, fresh false-flag
     #    rate 0.0; incremental_dedup additionally via soak_bloom path
     #    equality) and nb_quality (soak_nb: held-out accuracy 1.0,
-    #    Cohen's d 14.9, plus the closed-form smoothing pytest) --
+    #    Cohen's d 14.9, plus the closed-form smoothing pytest);
+    #    later in the session: sft_pipeline and train_shards
+    #    (COMPOSITION keys whose every stage keeps its own head key
+    #    or soak — pack_conversations soak_conv-exact incl. the 100k-
+    #    turn whale, sft_examples/sft_spans stay in the head;
+    #    hash_split/shard_assign soak_split-exact, char_entropy
+    #    codegen-pinned) and minhash_estimate (shares the minhash
+    #    signature implementation soak_dedup measures; kernel-
+    #    equality pytest) --
+    "sft_pipeline": q_sft_pipeline,
+    "train_shards": q_train_shards,
+    "minhash_estimate": q_minhash_estimate,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
     "incremental_verified": q_incremental_verified,
@@ -6785,3 +6849,106 @@ SELECT shard, count(*) AS n_docs,
        CAST(SUM(dg) AS BIGINT) AS checksum
 FROM rows_ GROUP BY shard
 """
+
+ORACLES["win_matrix"] = """
+WITH resp AS (
+    SELECT doc_id // 8 AS prompt_id,
+           'm' || CAST(doc_id % 4 AS VARCHAR) AS model,
+           ((doc_id // 2) * 29) % 100 AS score
+    FROM documents),
+best AS (
+    SELECT prompt_id, model, MAX(score) AS score
+    FROM resp GROUP BY prompt_id, model)
+SELECT a.model AS model_a, b.model AS model_b,
+       count(CASE WHEN a.score > b.score THEN 1 END) AS wins_a,
+       count(CASE WHEN a.score < b.score THEN 1 END) AS wins_b,
+       count(CASE WHEN a.score = b.score THEN 1 END) AS ties,
+       count(*) AS n_prompts
+FROM best a JOIN best b USING (prompt_id)
+WHERE a.model < b.model
+GROUP BY a.model, b.model
+"""
+
+# PERCENTILE_DISC via the level table; HUGEINT casts on the window
+# sums (the contamination lesson); NULL lengths excluded (the
+# score_normalize NULLS-FIRST/LAST policy).
+ORACLES["length_quantiles"] = """
+WITH tok AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n
+    FROM documents),
+lv AS (SELECT source, n, count(*) AS cnt
+       FROM tok WHERE n IS NOT NULL GROUP BY source, n),
+cm AS (
+    SELECT source, n,
+           CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY n
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+           CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT)
+               AS n_dom
+    FROM lv)
+SELECT source, MAX(n_dom) AS n_docs,
+       MIN(CASE WHEN cum >= (n_dom * 25 + 99) // 100 THEN n END)
+           AS p25,
+       MIN(CASE WHEN cum >= (n_dom * 50 + 99) // 100 THEN n END)
+           AS p50,
+       MIN(CASE WHEN cum >= (n_dom * 75 + 99) // 100 THEN n END)
+           AS p75,
+       MIN(CASE WHEN cum >= (n_dom * 95 + 99) // 100 THEN n END)
+           AS p95
+FROM cm GROUP BY source
+"""
+
+_CARD_PERM_SQL = "CASE " + " ".join(
+    f"WHEN contains(lower(coalesce(text, '')), '{m}') THEN {p}"
+    for m, _name, p in X.LICENSE_MARKERS
+) + " ELSE 0 END"
+
+ORACLES["corpus_card"] = f"""
+WITH fix AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'zxq' || CAST(doc_id AS VARCHAR)
+                ELSE coalesce(text, '') ||
+                     CASE doc_id % 11
+                          WHEN 0 THEN
+                            ' Licensed under the Apache License 2.0.'
+                          WHEN 1 THEN
+                            ' Released under the MIT License.'
+                          WHEN 4 THEN
+                            ' GNU General Public License v3 applies.'
+                          WHEN 7 THEN ' All Rights Reserved.'
+                          ELSE '' END
+           END AS text
+    FROM fix_src),
+feats AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_tokens,
+           COALESCE(length(text), 0) AS nc,
+           CASE WHEN len(list_filter(
+                    regexp_split_to_array(trim(text), '\\s+'),
+                    t -> lower(t) IN ({_STOP_SQL}))) >= 2
+                THEN 1 ELSE 0 END AS en,
+           {_CARD_PERM_SQL} AS permissive
+    FROM fix),
+agg AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(permissive) AS BIGINT) AS n_permissive,
+           CAST(SUM(en) AS BIGINT) AS n_en
+    FROM feats GROUP BY source)
+SELECT source, n_docs, n_tokens, n_chars, n_permissive, n_en,
+       CAST(CAST(n_permissive AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            AS FLOAT) AS pct_permissive,
+       CAST(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS FLOAT)
+           AS pct_en
+FROM agg
+"""
+ORACLES["corpus_card"] = ORACLES["corpus_card"].replace(
+    "FROM fix_src", "FROM documents"
+)

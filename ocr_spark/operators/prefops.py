@@ -187,3 +187,53 @@ def instruction_filter(
         * F.col("complete")
         * F.col("distinct_resp"),
     )
+
+
+def win_matrix(df: DataFrame) -> DataFrame:
+    """Arena-style pairwise win-rate matrix over scored responses
+    tagged with the MODEL that produced them (the side-by-side
+    evaluation sheet reward-model pipelines maintain; Chatbot-Arena
+    publishes exactly this aggregation upstream of Elo): for every
+    prompt where models a and b both answered, compare their BEST
+    scores and tally a win, loss or tie.
+
+    Input: (prompt_id, resp_id, model, score). Returns one row per
+    unordered model pair (model_a < model_b lexicographically):
+    (model_a, model_b, wins_a, wins_b, ties, n_prompts).
+
+    Scale shape: first a (prompt, model) hash-agg collapses multiple
+    responses to the model's best score (map-side partials — the raw
+    response stream never self-joins), then the within-prompt pair
+    join runs on the collapsed relation: per prompt it is C(m, 2)
+    rows with m = model count, a CONSTANT, so the join output is
+    O(prompts), and the final matrix agg is model-pair-sized. Integer
+    scores and counts end to end.
+    """
+    best = df.groupBy("prompt_id", "model").agg(
+        F.max("score").alias("score")
+    )
+    a = best.select(
+        "prompt_id",
+        F.col("model").alias("model_a"),
+        F.col("score").alias("score_a"),
+    )
+    b = best.select(
+        "prompt_id",
+        F.col("model").alias("model_b"),
+        F.col("score").alias("score_b"),
+    )
+    pairs = a.join(b, "prompt_id").filter(
+        F.col("model_a") < F.col("model_b")
+    )
+    return pairs.groupBy("model_a", "model_b").agg(
+        F.count(
+            F.when(F.col("score_a") > F.col("score_b"), 1)
+        ).alias("wins_a"),
+        F.count(
+            F.when(F.col("score_a") < F.col("score_b"), 1)
+        ).alias("wins_b"),
+        F.count(
+            F.when(F.col("score_a") == F.col("score_b"), 1)
+        ).alias("ties"),
+        F.count(F.lit(1)).alias("n_prompts"),
+    )

@@ -2566,6 +2566,27 @@ LICENSE_MARKERS: list[tuple[str, str, int]] = [
 ]
 
 
+def _license_cols(text_col: str = "text"):
+    """(license, permissive) Column pair from the first-match-wins
+    marker scan — shared by :func:`license_tag` and the one-plan
+    :func:`corpus_card` composition (no corpus self-join)."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    tag = None
+    perm = None
+    for marker, name, p in LICENSE_MARKERS:
+        cond = low.contains(marker)
+        tag = (
+            F.when(cond, name) if tag is None else tag.when(cond, name)
+        )
+        perm = (
+            F.when(cond, p) if perm is None else perm.when(cond, p)
+        )
+    return (
+        tag.otherwise("unknown"),
+        perm.otherwise(0).cast("int"),
+    )
+
+
 def license_tag(df: DataFrame, text_col: str = "text") -> DataFrame:
     """License classification for code/document corpora: first-match-
     wins substring scan of the lowercased text against
@@ -2578,21 +2599,11 @@ def license_tag(df: DataFrame, text_col: str = "text") -> DataFrame:
     substring `contains` (no regex) keeps the scan in whole-stage
     codegen at memchr speed.
     """
-    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    tag = None
-    perm = None
-    for marker, name, p in LICENSE_MARKERS:
-        cond = low.contains(marker)
-        tag = (
-            F.when(cond, name) if tag is None else tag.when(cond, name)
-        )
-        perm = (
-            F.when(cond, p) if perm is None else perm.when(cond, p)
-        )
+    tag, perm = _license_cols(text_col)
     return _ensure_parallelism(df).select(
         "doc_id",
-        tag.otherwise("unknown").alias("license"),
-        perm.otherwise(0).cast("int").alias("permissive"),
+        tag.alias("license"),
+        perm.alias("permissive"),
     )
 
 
@@ -2802,4 +2813,111 @@ def shard_checksums(
             F.sum("_nc").cast("long").alias("n_chars"),
             F.sum("_dg").cast("long").alias("checksum"),
         )
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    qs: tuple[int, ...] = (25, 50, 75, 95),
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain EXACT discrete token-length quantiles — the
+    "how long are documents in each slice" sheet batch planners and
+    mix designers read. PERCENTILE_DISC semantics: p_q = the smallest
+    length whose cumulative count reaches ceil(q * n / 100); all
+    integer arithmetic, zero cross-engine float risk (interpolating
+    percentile_cont formulas differ between engines; disc does not).
+
+    Scale shape — the count-table (level) discipline, NOT a
+    percentile over the corpus: token lengths collapse to a
+    (domain, n_tokens) level table first (ONE hash-agg with map-side
+    partials; levels per domain are bounded by the distinct-length
+    count, ~10^3-10^4), the cumulative window runs over that tiny
+    table, and each quantile is a conditional min. The corpus itself
+    is touched once, map-only. No t-digest needed: the level table IS
+    exact AND small — approx_percentile would trade exactness for
+    nothing here (lengths are low-cardinality; contrast ccnet_buckets
+    where scores are near-continuous).
+
+    Returns (domain, n_docs, p<q>... ) one row per domain.
+    """
+    toked = with_token_count(df).select(
+        F.col(domain_col).alias("_dom"), "n_tokens"
+    )
+    # NULL lengths (NULL text) are excluded from the level table:
+    # Spark windows sort NULLS FIRST, DuckDB NULLS LAST (the
+    # score_normalize policy).
+    levels = (
+        toked.filter(F.col("n_tokens").isNotNull())
+        .groupBy("_dom", "n_tokens")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("_dom")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = levels.select(
+        "_dom",
+        "n_tokens",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("_dom")).alias("n_dom"),
+    )
+    aggs = [F.max("n_dom").alias("n_docs")]
+    for q in qs:
+        rank = F.expr(f"(n_dom * {q} + 99) div 100")
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= rank, F.col("n_tokens"))
+            ).alias(f"p{q}")
+        )
+    return cum.groupBy("_dom").agg(*aggs).withColumnRenamed(
+        "_dom", domain_col
+    )
+
+
+def corpus_card(df: DataFrame, domain_col: str = "source") -> DataFrame:
+    """Dataset-card governance sheet, ONE plan over the corpus: per
+    domain, document/token/char counts plus the license and language
+    composition — the summary a 100 TB corpus publishes alongside
+    each snapshot (HuggingFace dataset cards; Gebru '21 datasheets).
+    Composes the :data:`LICENSE_MARKERS` scan (permissive share) and
+    the stopword language guess (English share) as pure-map COLUMNS
+    feeding ONE hash-agg — never a corpus self-join; ratio columns
+    are float32 casts of exact-BIGINT divisions.
+
+    Returns (domain, n_docs, n_tokens, n_chars, n_permissive, n_en,
+    pct_permissive, pct_en).
+    """
+    _tag, perm = _license_cols("text")
+    base = with_lang_guess(with_token_count(df)).select(
+        F.col(domain_col).alias("_dom"),
+        "n_tokens",
+        F.coalesce(F.length("text"), F.lit(0)).alias("_nc"),
+        (F.col("lang_guess") == "en").cast("int").alias("_en"),
+        perm.alias("permissive"),
+    )
+    agg = base.groupBy("_dom").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        F.sum("permissive").cast("long").alias("n_permissive"),
+        F.sum("_en").cast("long").alias("n_en"),
+    )
+
+    def pct(num: str) -> F.Column:
+        return (
+            F.col(num).cast("double")
+            / F.col("n_docs").cast("double")
+        ).cast("float")
+
+    return agg.select(
+        F.col("_dom").alias(domain_col),
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_permissive",
+        "n_en",
+        pct("n_permissive").alias("pct_permissive"),
+        pct("n_en").alias("pct_en"),
     )

@@ -427,3 +427,83 @@ def test_shard_checksums_order_independent_and_sensitive(spark):
     diff = [s for s in base if base[s] != mut.get(s)]
     assert len(diff) == 1
     assert base[diff[0]][0] == mut[diff[0]][0]  # same row count
+
+
+# -------------------------------------------------------- win_matrix
+
+
+def test_win_matrix_counts(spark):
+    rows = [
+        # prompt 0: ma best 80 (two responses collapse), mb best 70
+        (0, 1, "ma", 60),
+        (0, 2, "ma", 80),
+        (0, 3, "mb", 70),
+        # prompt 1: tie at 50
+        (1, 4, "ma", 50),
+        (1, 5, "mb", 50),
+        # prompt 2: mb wins; mc appears only here
+        (2, 6, "ma", 10),
+        (2, 7, "mb", 90),
+        (2, 8, "mc", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, resp_id long, model string, score long"
+    )
+    out = {
+        (r["model_a"], r["model_b"]): r
+        for r in PF.win_matrix(df).collect()
+    }
+    ab = out[("ma", "mb")]
+    assert (ab["wins_a"], ab["wins_b"], ab["ties"], ab["n_prompts"]) == (1, 1, 1, 3)
+    ac = out[("ma", "mc")]
+    assert (ac["wins_a"], ac["wins_b"], ac["n_prompts"]) == (0, 1, 1)
+    bc = out[("mb", "mc")]
+    assert (bc["wins_a"], bc["n_prompts"]) == (1, 1)
+    for r in out.values():
+        assert r["wins_a"] + r["wins_b"] + r["ties"] == r["n_prompts"]
+
+
+# -------------------------------------------------- length_quantiles
+
+
+def test_length_quantiles_disc_semantics(spark):
+    rows = [("a", " ".join(["w"] * n)) for n in [1, 2, 3, 4]] + [
+        ("b", " ".join(["w"] * n)) for n in [10] * 9 + [100]
+    ] + [("b", None)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in X.length_quantiles(df).collect()}
+    # domain a (n=4): ranks ceil(q*4/100) = 1,2,3,4 -> 1,2,3,4
+    assert (out["a"]["p25"], out["a"]["p50"], out["a"]["p75"], out["a"]["p95"]) == (1, 2, 3, 4)
+    # domain b (10 rows, NULL excluded): p95 rank ceil(9.5)=10 -> 100
+    assert out["b"]["n_docs"] == 10
+    assert (out["b"]["p25"], out["b"]["p50"], out["b"]["p75"]) == (10, 10, 10)
+    assert out["b"]["p95"] == 100
+
+
+# ------------------------------------------------------ corpus_card
+
+
+def test_corpus_card_sheet(spark):
+    rows = [
+        (1, "a", "the cat is on the mat under the MIT License"),
+        (2, "a", "zxq1"),                        # unknown lang
+        (3, "a", "the dog is in the house"),
+        (4, "b", "All Rights Reserved zzz qqq"),  # non-permissive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in X.corpus_card(df).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 3 and a["n_permissive"] == 1 and a["n_en"] == 2
+    assert a["pct_en"] == np.float32(2.0 / 3.0)
+    assert a["pct_permissive"] == np.float32(1.0 / 3.0)
+    b = out["b"]
+    assert b["n_permissive"] == 0 and b["n_en"] == 0
+    assert b["n_tokens"] == 5
+
+
+def test_corpus_card_single_agg_no_join(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x y z")], "doc_id long, source string, text string"
+    )
+    plan = _formatted(X.corpus_card(df))
+    assert "Join" not in plan
