@@ -277,6 +277,27 @@ def _run_op(spark, op: str) -> int:
             ).alias("dst"),
         )
         out = pagerank(edges, damping=0.85, iters=5)
+    elif op == "span":
+        # the explode-into-codegen + doc-keyed hash-agg shape (r5
+        # ninth session, the span_corruption rewrite): per doc ~10
+        # generated group rows each computing two md5 selectors in
+        # whole-stage codegen, collapsed by map-side partial agg to
+        # ~one row per doc before the exchange. Sizing: 6M docs,
+        # avg 30.5 tokens -> ~63M group rows / ~126M codegen md5
+        # (input synthesized in-process, identical at both levels,
+        # included in the wall on both — the pagerank convention)
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.textops import span_corruption
+
+        docs = spark.range(6_000_000).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(1, "
+                "CAST(1 + (id * 7) % 60 AS INT)), x -> 'w'), ' ')"
+            ).alias("text"),
+        )
+        out = span_corruption(docs)
     elif op == "simhash":
         # the compute-bound dedup-family datapoint (per-token md5 bit
         # votes dominate): contrasts with string/scan-bound line_dedup

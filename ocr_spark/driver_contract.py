@@ -2528,10 +2528,10 @@ def _responses(docs: DataFrame, per_prompt: int, dup_texts: int | None):
         score = (F.col("doc_id") * 53) % 100
     else:
         text = F.col("text")
-        score = (
-            F.col("doc_id") * 37
-            + F.coalesce(F.length("text"), F.lit(0))
-        ) % 100
+        # quadratic-residue scores: linear formulas give structurally
+        # wide within-prompt spreads and the min_gap branch NEVER
+        # fires (the soak_pref lesson; ~8% of prompts drop with %97)
+        score = (F.col("doc_id") * F.col("doc_id")) % 97
     return docs.select(
         F.expr(f"doc_id div {per_prompt}").alias("prompt_id"),
         F.col("doc_id").alias("resp_id"),
@@ -2569,7 +2569,8 @@ def q_temperature_sample(spark, sf_dir):
     integer isqrt weights) over a skewed 60/20/10/10 language split:
     low-resource groups keep a larger budget share than their corpus
     share; rate thresholds and targets all BIGINT arithmetic."""
-    docs = load(spark, sf_dir, "documents").select(
+    table = load(spark, sf_dir, "documents")
+    docs = table.select(
         "doc_id",
         F.when(F.col("doc_id") % 10 < 6, "en")
         .when(F.col("doc_id") % 10 < 8, "fr")
@@ -2577,8 +2578,13 @@ def q_temperature_sample(spark, sf_dir):
         .otherwise("yo")
         .alias("lang"),
     )
+    # budget scales with the corpus (half of it) so per-group targets
+    # land MID-RANGE at every sf — a fixed budget >= any group share
+    # degenerates the op to identity and the gate would never
+    # exercise the selector (review finding, ninth session)
+    budget = max(8, table.count() // 2)
     return X.temperature_sample(
-        docs, budget=2000, domain_col="lang", key_col="doc_id"
+        docs, budget=budget, domain_col="lang", key_col="doc_id"
     )
 
 
@@ -2951,9 +2957,12 @@ QUERIES: dict[str, Callable] = {
     #    or soak — pack_conversations soak_conv-exact incl. the 100k-
     #    turn whale, sft_examples/sft_spans stay in the head;
     #    hash_split/shard_assign soak_split-exact, char_entropy
-    #    codegen-pinned) and minhash_estimate (shares the minhash
-    #    signature implementation soak_dedup measures; kernel-
-    #    equality pytest) --
+    #    codegen-pinned) and minhash_estimate (the WEAKEST citation
+    #    in this tail, acknowledged: soak_dedup measures the shared
+    #    signature implementation, not this key's fixture/oracle glue
+    #    — it is demoted only because every candidate still in the
+    #    head has strictly less independent evidence; its glue stays
+    #    selfchecked at sf0.01 + sf0.1 every round) --
     "sft_pipeline": q_sft_pipeline,
     "train_shards": q_train_shards,
     "minhash_estimate": q_minhash_estimate,
@@ -6473,7 +6482,7 @@ FROM pf p JOIN fams f USING (prefix)
 # Scored-response CTEs mirroring _responses(docs, per_prompt, dup_texts).
 _RESP_TEXT_CTE = """resp AS (
     SELECT doc_id // 4 AS prompt_id, doc_id AS resp_id, text,
-           (doc_id * 37 + COALESCE(length(text), 0)) % 100 AS score
+           (doc_id * doc_id) % 97 AS score
     FROM documents)"""
 
 _RESP_POOL_CTE = """resp AS (
@@ -6541,9 +6550,12 @@ w2 AS (
 t AS (
     -- CAST the summed weights: DuckDB SUM(BIGINT) is HUGEINT and
     -- would float-ify the integer division (contamination lesson).
+    -- Budget = half the corpus (mirrors the fixture's count()//2).
     SELECT lang, n_docs,
            least(n_docs,
-                 CAST((2000 * wgt) //
+                 CAST((greatest(8,
+                          (SELECT count(*) FROM documents) // 2)
+                       * wgt) //
                       (SELECT CAST(SUM(wgt) AS BIGINT) FROM w2)
                       AS BIGINT)) AS target
     FROM w2),
@@ -6922,7 +6934,7 @@ WITH fix AS (
                           WHEN 7 THEN ' All Rights Reserved.'
                           ELSE '' END
            END AS text
-    FROM fix_src),
+    FROM documents),
 feats AS (
     SELECT source,
            CASE WHEN trim(text) = '' THEN 0
@@ -6949,6 +6961,3 @@ SELECT source, n_docs, n_tokens, n_chars, n_permissive, n_en,
            AS pct_en
 FROM agg
 """
-ORACLES["corpus_card"] = ORACLES["corpus_card"].replace(
-    "FROM fix_src", "FROM documents"
-)

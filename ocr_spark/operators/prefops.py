@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ocr_spark.operators.textops import _ensure_parallelism
+
 
 def dpo_pairs(df: DataFrame, min_gap: int = 1) -> DataFrame:
     """Build one (chosen, rejected) preference pair per prompt from
@@ -91,7 +93,7 @@ def rft_select(df: DataFrame, tau: int = 50, k: int = 2) -> DataFrame:
     """
     fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
     deduped = (
-        df.select(
+        _ensure_parallelism(df).select(
             "prompt_id",
             fp.alias("fp"),
             F.struct(
@@ -129,9 +131,11 @@ REFUSAL_MARKERS: list[str] = [
 
 # Sentence-final completeness: . ! ? optionally followed by a closing
 # straight/curly quote (codepoints escaped — repo unicode discipline).
-# Shared with the oracle generator; RE2 (DuckDB) and java.util.regex
-# agree on this class-only pattern.
-COMPLETE_RE: str = "[.!?][\"\u201d\u2019]?$"
+# Shared with the oracle generator. Anchored with \z, NOT $: Java's
+# $ matches BEFORE a trailing line terminator while RE2's does not —
+# a response ending '.\n' would read complete on one engine only;
+# \z is absolute end-of-text in both.
+COMPLETE_RE: str = "[.!?][\"\u201d\u2019]?\\z"
 
 
 def instruction_filter(
@@ -156,9 +160,10 @@ def instruction_filter(
     plus ``kept`` = all four. Flags are 0/1 ints; pure map, zero
     shuffle, `contains`/one anchored regex — codegen-friendly.
     """
-    inst_n = F.when(
-        F.trim("instruction") == "", F.lit(0)
-    ).otherwise(F.size(F.split(F.trim("instruction"), r"\s+")))
+    inst = F.coalesce(F.col("instruction"), F.lit(""))
+    inst_n = F.when(F.trim(inst) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(inst), r"\s+"))
+    )
     low = F.lower(F.coalesce(F.col("response"), F.lit("")))
     refusal = None
     for m in REFUSAL_MARKERS:
@@ -167,7 +172,7 @@ def instruction_filter(
     complete = F.coalesce(F.col("response"), F.lit("")).rlike(
         COMPLETE_RE
     )
-    out = df.select(
+    out = _ensure_parallelism(df).select(
         "doc_id",
         inst_n.alias("inst_tokens"),
         (
@@ -176,8 +181,7 @@ def instruction_filter(
         (~refusal).cast("int").alias("not_refusal"),
         complete.cast("int").alias("complete"),
         (
-            F.coalesce(F.col("response"), F.lit(""))
-            != F.coalesce(F.col("instruction"), F.lit(""))
+            F.coalesce(F.col("response"), F.lit("")) != inst
         ).cast("int").alias("distinct_resp"),
     )
     return out.withColumn(

@@ -2419,7 +2419,8 @@ def temperature_sample(
         10,
     ).cast("int")
     return (
-        df.join(F.broadcast(targets), domain_col)
+        _ensure_parallelism(df)
+        .join(F.broadcast(targets), domain_col)
         .filter(sel < F.col("threshold"))
         .select(key_col, domain_col, "n_docs", "target")
     )
@@ -2499,11 +2500,16 @@ def code_quality(
     alpha_ok, maxline_ok, avgline_ok, passed) — flags as 0/1 ints.
     Pure map over the corpus: zero shuffle.
     """
-    d = _ensure_parallelism(df)
+    # NULL text normalizes to '' up front (the _license_cols policy):
+    # split(NULL) would otherwise propagate NULL into n_lines and the
+    # flags, breaking the 0/1-int contract.
+    d = _ensure_parallelism(df).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
     lines = F.split(F.col("text"), "\n", -1)
-    n_chars = F.coalesce(F.length("text"), F.lit(0))
-    alpha_cnt = F.coalesce(
-        F.length(F.regexp_replace("text", "[^A-Za-z]", "")), F.lit(0)
+    n_chars = F.length("text")
+    alpha_cnt = F.length(
+        F.regexp_replace("text", "[^A-Za-z]", "")
     )
     out = d.select(
         "doc_id",
@@ -2802,7 +2808,7 @@ def shard_checksums(
         % shards
     )
     return (
-        df.select(
+        _ensure_parallelism(df).select(
             shard.alias("shard"),
             digest.alias("_dg"),
             F.coalesce(F.length("text"), F.lit(0)).alias("_nc"),
@@ -2890,7 +2896,9 @@ def corpus_card(df: DataFrame, domain_col: str = "source") -> DataFrame:
     pct_permissive, pct_en).
     """
     _tag, perm = _license_cols("text")
-    base = with_lang_guess(with_token_count(df)).select(
+    base = with_lang_guess(
+        with_token_count(_ensure_parallelism(df))
+    ).select(
         F.col(domain_col).alias("_dom"),
         "n_tokens",
         F.coalesce(F.length("text"), F.lit(0)).alias("_nc"),

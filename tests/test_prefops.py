@@ -507,3 +507,26 @@ def test_corpus_card_single_agg_no_join(spark):
     )
     plan = _formatted(X.corpus_card(df))
     assert "Join" not in plan
+
+
+def test_instruction_filter_null_and_newline_policy(spark):
+    rows = [
+        (1, None, None),              # NULL inst: 0-token, flags 0/1
+        (2, "tell me a story", "The end.\n"),  # trailing newline
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, instruction string, response string"
+    )
+    out = {r["doc_id"]: r for r in PF.instruction_filter(df).collect()}
+    assert out[1]["inst_tokens"] == 0
+    assert out[1]["len_ok"] == 0 and out[1]["kept"] == 0
+    # \z anchor: '.\n' is NOT sentence-final (Java $ would say it is,
+    # RE2 $ would not — \z agrees on both engines)
+    assert out[2]["complete"] == 0
+
+
+def test_code_quality_null_text(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = X.code_quality(df).collect()[0]
+    assert r["n_lines"] == 1 and r["passed"] == 1
+    assert r["alpha_frac"] is None  # 0-char doc, ratio undefined
