@@ -15,6 +15,12 @@ Corpus (deterministic arithmetic, no RNG, generated in-Spark):
   counts (isqrt weights, BIGINT arithmetic); the KEPT SET must equal
   the python md5-selector loop exactly (~budget rows), and every
   surviving row's (n_docs, target) must match.
+- checksum leg: 2M rows -> the FULL 64-shard manifest (counts, char
+  totals, order-independent digest sums) equals a python loop doing
+  the same 2 md5s per row, exactly.
+- win leg: 2M responses over 250k prompts x 4 models (2 responses
+  each) -> the full 6-row pairwise win/loss/tie matrix equals a
+  python double loop exactly.
 - span leg: 2M docs with 1 + (i*7) % 60 tokens. Exact per-doc
   (masked, spans) equality vs the python md5 reference on the
   doc_id % 40 == 0 sample (50k docs); corpus-wide: row count, the
@@ -215,6 +221,81 @@ def main() -> int:
     density = agg["masked"] / agg["tok"]
     res["span_density"] = round(density, 5)
     assert abs(agg["masked"] - p * agg["tok"]) < 6 * sigma + 3 * N / 60
+
+    # ---- shard_checksums ----
+    from ocr_spark.operators.textops import shard_checksums
+
+    t0 = time.time()
+    cdocs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text "), F.col("id")).alias("text"),
+    )
+    got_cs = {
+        r["shard"]: (r["n_docs"], r["n_chars"], r["checksum"])
+        for r in shard_checksums(cdocs, shards=64).collect()
+    }
+    res["checksum_s"] = round(time.time() - t0, 1)
+    exp_cs: dict[int, list[int]] = {}
+    for i in range(N):
+        txt = f"doc text {i}"
+        sh = int(
+            hashlib.md5(str(i).encode()).hexdigest()[:4], 16
+        ) % 64
+        dg = int(
+            hashlib.md5(f"{i}#{txt}".encode()).hexdigest()[:8], 16
+        )
+        e = exp_cs.setdefault(sh, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(txt)
+        e[2] += dg
+    assert got_cs == {k: tuple(v) for k, v in exp_cs.items()}
+    res["checksum_shards"] = len(got_cs)
+
+    # ---- win_matrix ----
+    from ocr_spark.operators.prefops import win_matrix
+
+    t0 = time.time()
+    wresp = spark.range(N).select(
+        F.expr("id div 8").alias("prompt_id"),
+        F.col("id").alias("resp_id"),
+        F.concat(F.lit("m"), F.col("id") % 4).alias("model"),
+        (((F.col("id") * F.col("id")) + F.col("id") * 7) % 53).alias(
+            "score"
+        ),
+    )
+    got_wm = {
+        (r["model_a"], r["model_b"]): (
+            r["wins_a"],
+            r["wins_b"],
+            r["ties"],
+            r["n_prompts"],
+        )
+        for r in win_matrix(wresp).collect()
+    }
+    res["win_s"] = round(time.time() - t0, 1)
+    exp_wm: dict = {}
+    for p_ in range(N // 8):
+        best: dict[str, int] = {}
+        for i in range(8 * p_, 8 * p_ + 8):
+            m = f"m{i % 4}"
+            sc = (i * i + i * 7) % 53
+            if m not in best or sc > best[m]:
+                best[m] = sc
+        ms = sorted(best)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                a, b = ms[x], ms[y]
+                e = exp_wm.setdefault((a, b), [0, 0, 0, 0])
+                if best[a] > best[b]:
+                    e[0] += 1
+                elif best[a] < best[b]:
+                    e[1] += 1
+                else:
+                    e[2] += 1
+                e[3] += 1
+    assert got_wm == {k: tuple(v) for k, v in exp_wm.items()}
+    res["win_pairs"] = len(got_wm)
+    assert all(v[2] > 0 for v in got_wm.values())  # ties occur
 
     print(json.dumps(res))
     spark.stop()

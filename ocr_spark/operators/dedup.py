@@ -1680,7 +1680,17 @@ def edit_dedup(
         F.col("fam_size") <= max_fam
     )
     texts = df.select("doc_id", "text")
-    sides = fams.select("doc_id", "family").join(texts, "doc_id")
+    # localCheckpoint before the self-join: (a) the family relation is
+    # small by the blocking premise, and without the cut BOTH sides of
+    # the self-join recompute the whole tokenize + family-agg chain
+    # (measured 2.6x on the gate fixture); (b) self-joining a
+    # union+groupBy plan trips Catalyst's Union constraint rewrite
+    # (the connected_components lesson).
+    sides = (
+        fams.select("doc_id", "family")
+        .join(texts, "doc_id")
+        .localCheckpoint()
+    )
     a = sides.select(
         F.col("family"),
         F.col("doc_id").alias("doc_id_a"),
