@@ -29,6 +29,13 @@ Corpus (deterministic arithmetic, no RNG, generated in-Spark):
 
 NOTE workers re-import this module with argv='pyspark.worker' — keep
 the argv parse inside main() (soak-generator guard, r5 lesson).
+
+Measured (degraded-window box, 2026-08-18): dpo 12.5s (463,916 pairs
+exact, 36,084 dropped); temperature 5.0s (200,160 kept exact, g0
+share 0.202); span 72.8s incl. two full executions (was 168.3s with
+the in-row HOF form — the posexplode+codegen rewrite's 2M-doc
+datapoint; sample-of-50k exact, density 0.15007); checksum 2.2s
+(64-shard manifest exact); win 2.9s (6-pair matrix exact, ties > 0).
 """
 
 from __future__ import annotations
