@@ -276,6 +276,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "instruction_filter",
         "shard_checksums",
         "win_matrix",
+        "elo_fit",
         "length_quantiles",
         "corpus_card",
         "hits",

@@ -2827,6 +2827,22 @@ def q_corpus_card(spark, sf_dir):
     return X.corpus_card(fixed)
 
 
+def q_elo_fit(spark, sf_dir):
+    """Bradley-Terry MM ratings (3 iterations, anchored at the
+    highest-W model) over the win_matrix fixture — the leaderboard
+    fit downstream of the pairwise matrix; oracle unrolls the MM
+    iterations as CTEs (the pagerank/HITS discipline)."""
+    docs = load(spark, sf_dir, "documents")
+    resp = docs.select(
+        F.expr("doc_id div 8").alias("prompt_id"),
+        F.col("doc_id").alias("resp_id"),
+        F.concat(F.lit("m"), (F.col("doc_id") % 4).cast("string"))
+        .alias("model"),
+        ((F.expr("doc_id div 2") * 29) % 100).alias("score"),
+    )
+    return PF.elo_fit(PF.win_matrix(resp), iters=3)
+
+
 # Key ORDER is load-bearing: the driver's correctness gate covers the
 # first 50 keys positionally (CORRECTNESS_r03 stopped at key 50). Head =
 # the flagship compositions, extract routes, media family, and every
@@ -2837,6 +2853,7 @@ QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
+    "elo_fit": q_elo_fit,
     "win_matrix": q_win_matrix,
     "length_quantiles": q_length_quantiles,
     "corpus_card": q_corpus_card,
@@ -2876,7 +2893,6 @@ QUERIES: dict[str, Callable] = {
     "ngram_topk": q_ngram_topk,
     "mix_pipeline": q_mix_pipeline,
     "corpus_stats": q_corpus_stats,
-    "epoch_shards": q_epoch_shards,
     "doc_chunks": q_doc_chunks,
     "dedup_weights": q_dedup_weights,
     "soft_sample": q_soft_sample,
@@ -2965,6 +2981,10 @@ QUERIES: dict[str, Callable] = {
     #    selfchecked at sf0.01 + sf0.1 every round) --
     "sft_pipeline": q_sft_pipeline,
     "train_shards": q_train_shards,
+    # epoch_shards joins the composition class above: both stages
+    # independently exact-soaked (domain_upsample via soak_mix,
+    # shard_assign via soak_split)
+    "epoch_shards": q_epoch_shards,
     "minhash_estimate": q_minhash_estimate,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
@@ -6961,3 +6981,70 @@ SELECT source, n_docs, n_tokens, n_chars, n_permissive, n_en,
            AS pct_en
 FROM agg
 """
+
+
+def _elo_sql(iters: int = 3) -> str:
+    """Unrolled Bradley-Terry MM iterations over the win_matrix
+    fixture: W sums half-integers (exact any order), denominator
+    double sums absorb into per-iteration float32 casts, anchor =
+    highest-W model (ties -> smallest name) so the normalizing
+    division never hits zero."""
+    parts = []
+    prev = "g0"
+    for k in range(1, iters + 1):
+        parts.append(f"""d{k} AS (
+    SELECT p.m,
+           SUM(CAST(p.n AS DOUBLE)
+               / (CAST(ga.r AS DOUBLE) + CAST(gb.r AS DOUBLE)))
+               AS den
+    FROM p JOIN {prev} ga ON ga.m = p.m
+           JOIN {prev} gb ON gb.m = p.o
+    GROUP BY p.m),
+r{k} AS (SELECT t.m, t.W / d.den AS raw
+         FROM tot t JOIN d{k} d USING (m)),
+a{k} AS (SELECT raw AS ar FROM r{k} JOIN anch USING (m)),
+g{k} AS (SELECT m, CAST(raw / a{k}.ar AS FLOAT) AS r
+         FROM r{k} CROSS JOIN a{k})""")
+        prev = f"g{k}"
+    body = ",\n".join(parts)
+    return f"""
+WITH resp AS (
+    SELECT doc_id // 8 AS prompt_id,
+           'm' || CAST(doc_id % 4 AS VARCHAR) AS model,
+           ((doc_id // 2) * 29) % 100 AS score
+    FROM documents),
+best AS (
+    SELECT prompt_id, model, MAX(score) AS score
+    FROM resp GROUP BY prompt_id, model),
+mx AS (
+    SELECT a.model AS model_a, b.model AS model_b,
+           count(CASE WHEN a.score > b.score THEN 1 END) AS wins_a,
+           count(CASE WHEN a.score < b.score THEN 1 END) AS wins_b,
+           count(CASE WHEN a.score = b.score THEN 1 END) AS ties,
+           count(*) AS n
+    FROM best a JOIN best b USING (prompt_id)
+    WHERE a.model < b.model
+    GROUP BY a.model, b.model),
+p AS (
+    SELECT model_a AS m, model_b AS o,
+           CAST(wins_a AS DOUBLE)
+               + CAST(ties AS DOUBLE) * CAST(0.5 AS DOUBLE) AS w,
+           n
+    FROM mx
+    UNION ALL
+    SELECT model_b, model_a,
+           CAST(wins_b AS DOUBLE)
+               + CAST(ties AS DOUBLE) * CAST(0.5 AS DOUBLE),
+           n
+    FROM mx),
+tot AS (SELECT m, SUM(w) AS W FROM p GROUP BY m),
+anch AS (SELECT m FROM tot ORDER BY W DESC, m ASC LIMIT 1),
+g0 AS (SELECT m, CAST(1.0 AS FLOAT) AS r FROM tot),
+{body}
+SELECT m AS model, r AS rating,
+       CAST(CAST(400.0 AS DOUBLE) * log10(CAST(r AS DOUBLE))
+            AS FLOAT) AS elo
+FROM g{iters}"""
+
+
+ORACLES["elo_fit"] = _elo_sql(3)

@@ -241,3 +241,105 @@ def win_matrix(df: DataFrame) -> DataFrame:
         ).alias("ties"),
         F.count(F.lit(1)).alias("n_prompts"),
     )
+
+
+def elo_fit(matrix: DataFrame, iters: int = 3) -> DataFrame:
+    """Bradley-Terry strength ratings from a pairwise win matrix via
+    the MM algorithm (Hunter '04) — the fit Chatbot-Arena-style
+    leaderboards run on exactly :func:`win_matrix`'s output. Update
+    per iteration: gamma_a <- W_a / sum_b n_ab / (gamma_a + gamma_b),
+    with W_a = wins + ties/2 (a tie is half a win each, the standard
+    extension); after every update ratings renormalize against a
+    deterministic ANCHOR — the model with the largest W (ties ->
+    lexicographically smallest name) — rather than a geometric mean
+    (a cross-model product is order-dependent; one division by the
+    anchor's rating is not, and the anchor provably has wins so it
+    never divides by zero; zero-win models legitimately converge
+    toward rating 0, the BT MLE boundary).
+
+    Returns (model, rating, elo) — rating the anchored gamma, elo =
+    400 * log10(rating) — both float32.
+
+    Cross-engine float contract (the pagerank/HITS discipline): W_a
+    sums half-integers (exact in any order); the denominator sum is
+    an engine-order double reduction absorbed by the per-iteration
+    float32 cast; ratings re-enter the next iteration as float32
+    fixed points, so both engines iterate on bit-identical inputs.
+
+    Scale shape: everything downstream of win_matrix is model-pair-
+    sized (tiny); joins broadcast, one localCheckpoint per iteration
+    cuts the iterative lineage (the pagerank convention).
+    """
+    fwd = matrix.select(
+        F.col("model_a").alias("m"),
+        F.col("model_b").alias("o"),
+        (
+            F.col("wins_a").cast("double")
+            + F.col("ties").cast("double") * 0.5
+        ).alias("w"),
+        F.col("n_prompts").alias("n"),
+    )
+    rev = matrix.select(
+        F.col("model_b").alias("m"),
+        F.col("model_a").alias("o"),
+        (
+            F.col("wins_b").cast("double")
+            + F.col("ties").cast("double") * 0.5
+        ).alias("w"),
+        F.col("n_prompts").alias("n"),
+    )
+    pairs = fwd.unionByName(rev).localCheckpoint()
+    totals = pairs.groupBy("m").agg(F.sum("w").alias("W"))
+    anchor = totals.agg(
+        F.min(
+            F.struct((-F.col("W")).alias("nw"), F.col("m").alias("a"))
+        ).alias("s")
+    ).select(F.col("s.a").alias("_anchor"))
+    g = totals.select(
+        "m", F.lit(1.0).cast("float").alias("rating")
+    ).localCheckpoint()
+    for _ in range(iters):
+        ga = g.select(
+            F.col("m"), F.col("rating").alias("_ra")
+        )
+        gb = g.select(
+            F.col("m").alias("o"), F.col("rating").alias("_rb")
+        )
+        den = (
+            pairs.join(F.broadcast(ga), "m")
+            .join(F.broadcast(gb), "o")
+            .groupBy("m")
+            .agg(
+                F.sum(
+                    F.col("n").cast("double")
+                    / (
+                        F.col("_ra").cast("double")
+                        + F.col("_rb").cast("double")
+                    )
+                ).alias("den")
+            )
+        )
+        raw = totals.join(den, "m").select(
+            "m", (F.col("W") / F.col("den")).alias("_raw")
+        )
+        anch = raw.join(
+            F.broadcast(anchor),
+            raw["m"] == F.col("_anchor"),
+        ).select(F.col("_raw").alias("_anchor_raw"))
+        g = (
+            raw.crossJoin(F.broadcast(anch))
+            .select(
+                "m",
+                (F.col("_raw") / F.col("_anchor_raw"))
+                .cast("float")
+                .alias("rating"),
+            )
+            .localCheckpoint()
+        )
+    return g.select(
+        F.col("m").alias("model"),
+        "rating",
+        (F.lit(400.0) * F.log10(F.col("rating").cast("double")))
+        .cast("float")
+        .alias("elo"),
+    )

@@ -530,3 +530,68 @@ def test_code_quality_null_text(spark):
     r = X.code_quality(df).collect()[0]
     assert r["n_lines"] == 1 and r["passed"] == 1
     assert r["alpha_frac"] is None  # 0-char doc, ratio undefined
+
+
+# ---------------------------------------------------------- elo_fit
+
+
+def _elo_ref(matrix, iters=3):
+    """Python MM reference: matrix rows (a, b, wins_a, wins_b, ties,
+    n); anchor = max-W model (ties -> smallest name)."""
+    pairs = []
+    for a, b, wa, wb, t, n in matrix:
+        pairs.append((a, b, wa + t / 2, n))
+        pairs.append((b, a, wb + t / 2, n))
+    models = sorted({m for m, *_ in pairs})
+    W = {m: sum(w for mm, _, w, _ in pairs if mm == m) for m in models}
+    anchor = max(models, key=lambda m: (W[m], [-ord(c) for c in m]))
+    g = {m: np.float32(1.0) for m in models}
+    for _ in range(iters):
+        den = {
+            m: sum(
+                n / (float(g[m]) + float(g[o]))
+                for mm, o, _, n in pairs
+                if mm == m
+            )
+            for m in models
+        }
+        raw = {m: W[m] / den[m] for m in models}
+        g = {m: np.float32(raw[m] / raw[anchor]) for m in models}
+    return g, anchor
+
+
+def test_elo_fit_vs_python(spark):
+    matrix = [
+        ("ma", "mb", 6, 3, 1, 10),
+        ("ma", "mc", 2, 7, 1, 10),
+        ("mb", "mc", 5, 5, 0, 10),
+    ]
+    df = spark.createDataFrame(
+        matrix,
+        "model_a string, model_b string, wins_a long, wins_b long,"
+        " ties long, n_prompts long",
+    )
+    ref, anchor = _elo_ref(matrix)
+    out = {r["model"]: r for r in PF.elo_fit(df, iters=3).collect()}
+    assert set(out) == set(ref)
+    for m in ref:
+        assert out[m]["rating"] == ref[m], m
+        assert out[m]["elo"] == np.float32(
+            400.0 * math.log10(float(ref[m]))
+        )
+    # the anchor holds rating 1 by construction
+    assert out[anchor]["rating"] == np.float32(1.0)
+    # mc beat ma 7-2 and split with mb: it must rate highest
+    assert max(out, key=lambda m: out[m]["rating"]) == "mc"
+
+
+def test_elo_fit_zero_win_model(spark):
+    matrix = [("ma", "mb", 5, 0, 0, 5)]
+    df = spark.createDataFrame(
+        matrix,
+        "model_a string, model_b string, wins_a long, wins_b long,"
+        " ties long, n_prompts long",
+    )
+    out = {r["model"]: r["rating"] for r in PF.elo_fit(df, 3).collect()}
+    assert out["ma"] == np.float32(1.0)
+    assert out["mb"] == np.float32(0.0)  # BT MLE boundary
