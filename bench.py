@@ -277,6 +277,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "shard_checksums",
         "win_matrix",
         "elo_fit",
+        "conv_near_dup",
         "length_quantiles",
         "corpus_card",
         "hits",

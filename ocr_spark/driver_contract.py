@@ -2843,6 +2843,26 @@ def q_elo_fit(spark, sf_dir):
     return PF.elo_fit(PF.win_matrix(resp), iters=3)
 
 
+def q_conv_near_dup(spark, sf_dir):
+    """Conversation near-dup over the transcript fixture plus a
+    remixed copy of every conversation with its opening turn mangled:
+    7 of 8 turns survive, so each (base, remix) pair clears the
+    verified-Jaccard gate while staying below exact-dup."""
+    turns = _transcripts(load(spark, sf_dir, "documents"))
+    remix = turns.select(
+        (F.col("conv_id") + F.lit(1000000000)).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(
+            F.col("turn_idx") == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" zz")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return CV.conv_near_dup(turns.unionByName(remix))
+
+
 # Key ORDER is load-bearing: the driver's correctness gate covers the
 # first 50 keys positionally (CORRECTNESS_r03 stopped at key 50). Head =
 # the flagship compositions, extract routes, media family, and every
@@ -2853,6 +2873,7 @@ QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
+    "conv_near_dup": q_conv_near_dup,
     "elo_fit": q_elo_fit,
     "win_matrix": q_win_matrix,
     "length_quantiles": q_length_quantiles,
@@ -2895,7 +2916,6 @@ QUERIES: dict[str, Callable] = {
     "corpus_stats": q_corpus_stats,
     "doc_chunks": q_doc_chunks,
     "dedup_weights": q_dedup_weights,
-    "soft_sample": q_soft_sample,
     "contamination_report": q_contamination_report,
     "url_category": q_url_category,
     "url_decontaminate": q_url_decontaminate,
@@ -2985,6 +3005,10 @@ QUERIES: dict[str, Callable] = {
     # independently exact-soaked (domain_upsample via soak_mix,
     # shard_assign via soak_split)
     "epoch_shards": q_epoch_shards,
+    # soft_sample likewise: dedup_weights -> weighted_sample
+    # composition, the sampling stage soak_mix-exact (top-10k of 2M
+    # vs a python heap) and the cluster-mass invariant pytest-pinned
+    "soft_sample": q_soft_sample,
     "minhash_estimate": q_minhash_estimate,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
@@ -7048,3 +7072,37 @@ FROM g{iters}"""
 
 
 ORACLES["elo_fit"] = _elo_sql(3)
+
+
+# conv_near_dup oracle: the _MINHASH_SQL chain VERBATIM (the reuse
+# rule: copy an oracle's CTE chain, never "improve" it), re-rooted on
+# conversation-fingerprint documents built from the transcript
+# fixture + its mangled-opener remix.
+ORACLES["conv_near_dup"] = (
+    "WITH "
+    + _TURNS_CTE
+    + """,
+turns2 AS (
+    SELECT conv_id, turn_idx, text FROM turns
+    UNION ALL
+    SELECT conv_id + 1000000000, turn_idx,
+           CASE WHEN turn_idx = 0
+                THEN coalesce(text, '') || ' zz'
+                ELSE text END
+    FROM turns),
+convdocs AS (
+    SELECT conv_id AS doc_id,
+           array_to_string(
+               list(fp ORDER BY turn_idx, fp), ' ') AS text
+    FROM (
+        SELECT conv_id, turn_idx,
+               md5(regexp_replace(
+                   lower(trim(coalesce(text, ''))),
+                   '\\s+', ' ', 'g')) AS fp
+        FROM turns2)
+    GROUP BY conv_id),
+"""
+    + _MINHASH_SQL.split("WITH", 1)[1].replace(
+        "FROM documents", "FROM convdocs"
+    )
+)

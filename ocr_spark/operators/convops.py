@@ -107,3 +107,62 @@ def conv_filter(
     return df.join(kept, "conv_id").select(
         "conv_id", "turn_idx", "role", "text", "n_turns"
     )
+
+
+def conv_near_dup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Conversation-level NEAR-dup pairs — the fuzzy member of the
+    transcript dedup family (:func:`ocr_spark.operators.dedup.conv_dedup`
+    is the exact one): re-rolled sessions that share most turns but
+    differ in a few. Each conversation reduces to a DOCUMENT whose
+    tokens are its per-turn canonical md5 fingerprints in turn order
+    (the conv_dedup canonicalization: lowercased, ws-collapsed; NULL
+    turns fingerprint as md5('') — documented policy), and the
+    standard MinHash+LSH pipeline runs on those documents: 3-gram
+    shingles over the TURN SEQUENCE, so similarity is order-sensitive
+    exactly like training-data conv dedup wants.
+
+    Returns (doc_a, doc_b, jaccard) with doc_* = conversation ids.
+
+    Scale shape: the reduction is one conv-keyed hash-agg whose
+    aggregated row is 33 bytes/turn regardless of text size (turns
+    hash BEFORE the concat — the conv_dedup bound), then everything
+    downstream is minhash_lsh_pairs machinery verbatim: band-key
+    candidates, candidate-restricted exact Jaccard, df-capped
+    posting lists.
+    """
+    from ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    canon = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+        r"\s+",
+        " ",
+    )
+    docs = (
+        df.groupBy(conv_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(idx_col)
+                                .cast("long")
+                                .alias("i"),
+                                F.md5(canon).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.col(conv_col).alias("doc_id"), "text")
+    )
+    return minhash_lsh_pairs(docs, threshold=threshold)

@@ -234,3 +234,36 @@ def test_conv_filter_composes_with_sft_examples(spark):
     assert bad.count() == 0
     ex = X.sft_examples(kept.drop("n_turns"), context_turns=3)
     assert ex.filter(F.col("turn_idx") % 2 == 0).count() == 0
+
+
+def test_conv_near_dup_pairs(spark):
+    rows = []
+    for t in range(8):
+        rows.append((1, t, "user" if t % 2 == 0 else "assistant", f"turn text {t}"))
+        # conv 2: near-dup of conv 1 (one turn mangled)
+        rows.append((2, t, "user" if t % 2 == 0 else "assistant",
+                     f"turn text {t}" if t != 0 else "totally different opener"))
+        # conv 3: same SET of turns as conv 1 but reversed ORDER
+        rows.append((3, t, "user", f"turn text {7 - t}"))
+        # conv 4: unrelated
+        rows.append((4, t, "user", f"other conversation {t} entirely"))
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in CV.conv_near_dup(df).collect()}
+    assert (1, 2) in out and 0.5 < out[(1, 2)] < 1.0
+    # order-sensitivity: reversed turn order shares NO 3-gram shingle
+    assert (1, 3) not in out
+    assert not any(4 in pair for pair in out)
+
+
+def test_conv_near_dup_ws_case_canonical(spark):
+    rows = []
+    for t in range(6):
+        rows.append((1, t, "user", f"Turn  Text {t}"))
+        rows.append((2, t, "user", f"turn text {t}"))  # canonical-equal
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in CV.conv_near_dup(df).collect()}
+    assert out.get((1, 2)) == 1.0
