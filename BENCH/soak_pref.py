@@ -21,6 +21,12 @@ Corpus (deterministic arithmetic, no RNG, generated in-Spark):
 - win leg: 2M responses over 250k prompts x 4 models (2 responses
   each) -> the full 6-row pairwise win/loss/tie matrix equals a
   python double loop exactly.
+- conv leg: 160k unique 8-turn conversations + a mangled-opener
+  remix of every 80th (2k planted near-dups, J = 5/7 after one turn
+  flips one of six 3-gram turn-shingles): the found pair set must be
+  a subset of the planted set with recall >= 0.995 and ZERO false
+  pairs (unique per-conv turn texts -> unrelated convs share no
+  turn fingerprint, so any false candidate dies at verification).
 - span leg: 2M docs with 1 + (i*7) % 60 tokens. Exact per-doc
   (masked, spans) equality vs the python md5 reference on the
   doc_id % 40 == 0 sample (50k docs); corpus-wide: row count, the
@@ -35,7 +41,10 @@ exact, 36,084 dropped); temperature 5.0s (200,160 kept exact, g0
 share 0.202); span 72.8s incl. two full executions (was 168.3s with
 the in-row HOF form — the posexplode+codegen rewrite's 2M-doc
 datapoint; sample-of-50k exact, density 0.15007); checksum 2.2s
-(64-shard manifest exact); win 2.9s (6-pair matrix exact, ties > 0).
+(64-shard manifest exact); win 2.9s (6-pair matrix exact, ties > 0);
+conv 30.7s (1995/2000 planted pairs, recall 0.9975 — consistent with
+the ~0.5^8 per-pair all-bands-die probability at 6 shingles — ZERO
+false pairs).
 """
 
 from __future__ import annotations
@@ -228,6 +237,42 @@ def main() -> int:
     density = agg["masked"] / agg["tok"]
     res["span_density"] = round(density, 5)
     assert abs(agg["masked"] - p * agg["tok"]) < 6 * sigma + 3 * N / 60
+
+    # ---- conv_near_dup ----
+    from ocr_spark.operators.convops import conv_near_dup
+
+    N_CONV = 160_000
+    t0 = time.time()
+    base = spark.range(N_CONV * 8).select(
+        F.expr("id div 8").alias("conv_id"),
+        (F.col("id") % 8).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit("conv "), F.expr("id div 8"),
+            F.lit(" turn "), F.col("id") % 8,
+        ).alias("text"),
+    )
+    remix = base.filter(F.col("conv_id") % 80 == 0).select(
+        (F.col("conv_id") + F.lit(1_000_000_000)).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(
+            F.col("turn_idx") == 0, F.concat(F.col("text"), F.lit(" zz"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    got_cn = {
+        (r["doc_a"], r["doc_b"])
+        for r in conv_near_dup(base.unionByName(remix)).collect()
+    }
+    res["conv_s"] = round(time.time() - t0, 1)
+    planted = {
+        (c, c + 1_000_000_000) for c in range(0, N_CONV, 80)
+    }
+    assert got_cn <= planted, "false near-dup conv pairs"
+    recall = len(got_cn) / len(planted)
+    res["conv_planted"] = len(planted)
+    res["conv_recall"] = round(recall, 4)
+    assert recall >= 0.995, recall
 
     # ---- shard_checksums ----
     from ocr_spark.operators.textops import shard_checksums

@@ -1580,9 +1580,13 @@ def near_dup_keep_best(
 
     Scale shape: the cluster relation is LSH-premise-small (only docs
     in a verified pair appear), so every join here is broadcast-sized
-    (AQE) and the corpus itself is touched exactly twice — once by the
-    shingle pass inside the pair generation, once by the final
-    ``left_anti`` — with no corpus shuffle in either.
+    (AQE) and the corpus itself is touched exactly three times — the
+    shingle pass inside pair generation, the quality lookup building
+    ``members``, and the final ``left_anti`` — with no corpus shuffle
+    in any. ``members`` localCheckpoints because TWO consumers (the
+    per-cluster argmax and the loser join) would otherwise each
+    re-execute its corpus-scanning quality join (the edit_dedup
+    lesson: checkpoint a derived small relation before fanning out).
     """
     groups = near_dup_groups(
         docs, n=n, num_hashes=num_hashes, bands=bands,
@@ -1593,7 +1597,7 @@ def near_dup_keep_best(
             F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q")
         ),
         "doc_id",
-    )
+    ).localCheckpoint()
     keep = members.groupBy("group_id").agg(
         F.max_by(
             "doc_id",
