@@ -595,3 +595,68 @@ def test_elo_fit_zero_win_model(spark):
     out = {r["model"]: r["rating"] for r in PF.elo_fit(df, 3).collect()}
     assert out["ma"] == np.float32(1.0)
     assert out["mb"] == np.float32(0.0)  # BT MLE boundary
+
+
+def test_temperature_sample_broadcast_no_smj(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(30)], "doc_id long, grp string"
+    )
+    plan = _formatted(
+        X.temperature_sample(df, budget=10, domain_col="grp")
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_dedup_randomized_vs_python(spark):
+    import random
+
+    from ocr_spark.operators import dedup as DD
+
+    for seed in range(6):
+        rng = random.Random(f"edit#{seed}")
+        vocab = [f"w{v}" for v in range(12)]
+        rows = []
+        for i in range(40):
+            prefix = [vocab[rng.randrange(3)] for _ in range(8)]
+            tail = [vocab[rng.randrange(12)] for _ in range(rng.randrange(0, 6))]
+            rows.append((i, " ".join(prefix + tail)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["dist"]
+            for r in DD.edit_dedup(df, k=8, max_dist=8, max_fam=64).collect()
+        }
+        # python reference: same blocking (first-8 lowercased tokens,
+        # 2 <= fam <= 64), full Levenshtein, <= 8
+        fams: dict[str, list[int]] = {}
+        texts = dict(rows)
+        for i, t in rows:
+            toks = t.lower().split()
+            pre = " ".join(toks[:8])
+            if pre:
+                fams.setdefault(pre, []).append(i)
+        exp = {}
+        for pre, members in fams.items():
+            if not (2 <= len(members) <= 64):
+                continue
+            ms = sorted(members)
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    d = _lev(texts[ms[x]], texts[ms[y]])
+                    if d <= 8:
+                        exp[(ms[x], ms[y])] = d
+        assert got == exp, seed
