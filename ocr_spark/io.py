@@ -469,3 +469,41 @@ class ExtractWriter:
             F.min("committed_at").alias("first_commit"),
             F.max("committed_at").alias("last_commit"),
         )
+
+
+def read_binary_docs(
+    spark: SparkSession,
+    path: str,
+    pattern: str = "*",
+) -> DataFrame:
+    """Raw-file ingest — the reference's ACTUAL input shape (an image
+    directory / unpacked ZIP, `README.md:53`): Spark's native
+    ``binaryFile`` source loads each file as one row of
+    (path, modificationTime, length, content). Returns the engine's
+    media-relation shape (media_id, path, n_bytes, payload) ready for
+    the multimodal family (decode_media / sample_frames /
+    extract_features).
+
+    media_id is a deterministic 60-bit md5 of the file PATH — stable
+    across runs and partitionings (the hash_sample discipline), unlike
+    monotonically_increasing_id. ``pathGlobFilter`` prunes non-matching
+    files at LISTING time (never read), and binaryFile caps single-file
+    size via spark.sql.sources.binaryFile.maxLength. Scale shape: one
+    row per file, no parsing on the driver; whole-file rows mean
+    partition sizing follows file sizes — feed archives of many small
+    files, not one giant blob (the source cannot split within a file).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    media_id = F.conv(
+        F.substring(F.md5(F.col("path")), 1, 15), 16, 10
+    ).cast("long")
+    return raw.select(
+        media_id.alias("media_id"),
+        "path",
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )
