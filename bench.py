@@ -278,6 +278,7 @@ def run_headline(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         "win_matrix",
         "elo_fit",
         "conv_near_dup",
+        "manifest_diff",
         "length_quantiles",
         "corpus_card",
         "hits",

@@ -2863,6 +2863,23 @@ def q_conv_near_dup(spark, sf_dir):
     return CV.conv_near_dup(turns.unionByName(remix))
 
 
+def q_manifest_diff(spark, sf_dir):
+    """Manifest-level snapshot diff: snapshot B mutates every 13th
+    document's text and drops every 97th, so a deterministic subset of
+    the 64 shards flags changed while the rest prove byte-stable."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    snap_b = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return X.manifest_diff(docs, snap_b, shards=64)
+
+
 # Key ORDER is load-bearing: the driver's correctness gate covers the
 # first 50 keys positionally (CORRECTNESS_r03 stopped at key 50). Head =
 # the flagship compositions, extract routes, media family, and every
@@ -2873,6 +2890,7 @@ QUERIES: dict[str, Callable] = {
     # -- flagship compositions + extract routes + media (never driver-
     #    gated before r4: they must land inside the artifact) --
     # -- training-data operators --
+    "manifest_diff": q_manifest_diff,
     "conv_near_dup": q_conv_near_dup,
     "elo_fit": q_elo_fit,
     "win_matrix": q_win_matrix,
@@ -2909,7 +2927,6 @@ QUERIES: dict[str, Callable] = {
     "oov_rate": q_oov_rate,
     "js_divergence": q_js_divergence,
     "sft_spans": q_sft_spans,
-    "quality_ensemble": q_quality_ensemble,
     "quality_select": q_quality_select,
     "ngram_topk": q_ngram_topk,
     "mix_pipeline": q_mix_pipeline,
@@ -3009,6 +3026,10 @@ QUERIES: dict[str, Callable] = {
     # composition, the sampling stage soak_mix-exact (top-10k of 2M
     # vs a python heap) and the cluster-mass invariant pytest-pinned
     "soft_sample": q_soft_sample,
+    # quality_ensemble likewise: gopher_rules/ccnet_buckets r4-hash-
+    # green, oov_rate/nb_quality keep their own keys+soaks; the
+    # ensemble glue is pytest-pinned (de-degeneration test)
+    "quality_ensemble": q_quality_ensemble,
     "minhash_estimate": q_minhash_estimate,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
@@ -7106,3 +7127,40 @@ convdocs AS (
         "FROM documents", "FROM convdocs"
     )
 )
+
+
+# manifest_diff oracle: the shard_checksums chain over both snapshot
+# fixtures, full-outer joined at shard granularity.
+def _manifest_cte(rel: str, tag: str) -> str:
+    return f"""c{tag} AS (
+    SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) % 64 AS shard,
+           count(*) AS n_docs,
+           CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS n_chars,
+           CAST(SUM(CAST('0x' || substr(
+               md5(CAST(doc_id AS VARCHAR) || '#'
+                   || coalesce(text, '')), 1, 8) AS BIGINT))
+               AS BIGINT) AS checksum
+    FROM {rel} GROUP BY shard)"""
+
+
+ORACLES["manifest_diff"] = f"""
+WITH snap_b AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0
+                THEN coalesce(text, '') || ' v2'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 97 <> 0),
+{_manifest_cte('documents', 'a')},
+{_manifest_cte('snap_b', 'b')}
+SELECT coalesce(ca.shard, cb.shard) AS shard,
+       coalesce(ca.n_docs, 0) AS n_docs_a,
+       coalesce(cb.n_docs, 0) AS n_docs_b,
+       coalesce(ca.checksum, -1) AS checksum_a,
+       coalesce(cb.checksum, -1) AS checksum_b,
+       CASE WHEN coalesce(ca.n_docs, 0) <> coalesce(cb.n_docs, 0)
+              OR coalesce(ca.n_chars, -1) <> coalesce(cb.n_chars, -1)
+              OR coalesce(ca.checksum, -1) <> coalesce(cb.checksum, -1)
+            THEN 1 ELSE 0 END AS changed
+FROM ca FULL OUTER JOIN cb ON ca.shard = cb.shard
+"""

@@ -2929,3 +2929,51 @@ def corpus_card(df: DataFrame, domain_col: str = "source") -> DataFrame:
         pct("n_permissive").alias("pct_permissive"),
         pct("n_en").alias("pct_en"),
     )
+
+
+def manifest_diff(
+    a: DataFrame, b: DataFrame, shards: int = 64
+) -> DataFrame:
+    """Snapshot comparison at MANIFEST granularity — the cheap first
+    pass of the versioning flow :func:`shard_checksums` promises:
+    checksum both snapshots into ``shards`` rows each, full-outer join
+    on the shard id, and flag which shards changed. Only flagged
+    shards need the row-level :func:`~ocr_spark.operators.relational`
+    corpus_diff — at 100 TB that turns "diff two snapshots" into two
+    map-only manifest passes plus row work proportional to the CHANGED
+    fraction.
+
+    Returns (shard, n_docs_a, n_docs_b, checksum_a, checksum_b,
+    changed) — changed = 1 iff any of count/chars/digest-sum differ
+    (missing shard on either side counts as changed; counts coalesce
+    to 0 for the join-shape, checksums to -1 so an empty shard never
+    aliases a real zero checksum).
+
+    Scale shape: two independent corpus hash-aggs (map-side partials)
+    then a shards-row join — the corpus relations never join each
+    other.
+    """
+    ca = shard_checksums(a, shards=shards)
+    cb = shard_checksums(b, shards=shards)
+    j = ca.alias("a").join(
+        cb.alias("b"), F.col("a.shard") == F.col("b.shard"), "full_outer"
+    )
+    na = F.coalesce(F.col("a.n_docs"), F.lit(0)).alias("n_docs_a")
+    nb_ = F.coalesce(F.col("b.n_docs"), F.lit(0)).alias("n_docs_b")
+    ka = F.coalesce(F.col("a.checksum"), F.lit(-1)).alias("checksum_a")
+    kb = F.coalesce(F.col("b.checksum"), F.lit(-1)).alias("checksum_b")
+    return j.select(
+        F.coalesce(F.col("a.shard"), F.col("b.shard")).alias("shard"),
+        na,
+        nb_,
+        ka,
+        kb,
+        (
+            (F.coalesce(F.col("a.n_docs"), F.lit(0))
+             != F.coalesce(F.col("b.n_docs"), F.lit(0)))
+            | (F.coalesce(F.col("a.n_chars"), F.lit(-1))
+               != F.coalesce(F.col("b.n_chars"), F.lit(-1)))
+            | (F.coalesce(F.col("a.checksum"), F.lit(-1))
+               != F.coalesce(F.col("b.checksum"), F.lit(-1)))
+        ).cast("int").alias("changed"),
+    )

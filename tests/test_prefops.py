@@ -660,3 +660,24 @@ def test_edit_dedup_randomized_vs_python(spark):
                     if d <= 8:
                         exp[(ms[x], ms[y])] = d
         assert got == exp, seed
+
+
+def test_manifest_diff_flags_only_changed_shards(spark):
+    rows = [(i, f"doc {i}") for i in range(400)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    # mutate exactly one doc, drop exactly one other
+    rows_b = [
+        (i, "MUTATED" if i == 111 else f"doc {i}")
+        for i in range(400)
+        if i != 222
+    ]
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    out = {r["shard"]: r for r in X.manifest_diff(a, b, shards=16).collect()}
+    changed = {s for s, r in out.items() if r["changed"] == 1}
+    sh = lambda i: _sel16(str(i)) % 16  # noqa: E731
+    assert changed == {sh(111), sh(222)}
+    # the dropped doc's shard loses exactly one row
+    assert out[sh(222)]["n_docs_a"] - out[sh(222)]["n_docs_b"] == 1
+    # identical snapshots: zero changed
+    clean = X.manifest_diff(a, a, shards=16)
+    assert clean.filter(F.col("changed") == 1).count() == 0
