@@ -6912,19 +6912,27 @@ SELECT doc_id, inst_tokens,
 FROM fl
 """
 
-ORACLES["shard_checksums"] = """
-WITH rows_ AS (
+def _checksum_cte(rel: str, tag: str, shards: int = 64) -> str:
+    """Shard-manifest CTE over an arbitrary (doc_id, text) relation —
+    ONE copy of the hashing scheme shared by the shard_checksums and
+    manifest_diff oracles (shared-CTE discipline: the two gates must
+    check the SAME digest formula forever). Ends with ``c{tag}`` =
+    (shard, n_docs, n_chars, checksum)."""
+    return f"""c{tag} AS (
     SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                AS BIGINT) % 64 AS shard,
-           CAST('0x' || substr(
+                AS BIGINT) % {shards} AS shard,
+           count(*) AS n_docs,
+           CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS n_chars,
+           CAST(SUM(CAST('0x' || substr(
                md5(CAST(doc_id AS VARCHAR) || '#'
-                   || coalesce(text, '')), 1, 8) AS BIGINT) AS dg,
-           COALESCE(length(text), 0) AS nc
-    FROM documents)
-SELECT shard, count(*) AS n_docs,
-       CAST(SUM(nc) AS BIGINT) AS n_chars,
-       CAST(SUM(dg) AS BIGINT) AS checksum
-FROM rows_ GROUP BY shard
+                   || coalesce(text, '')), 1, 8) AS BIGINT))
+               AS BIGINT) AS checksum
+    FROM {rel} GROUP BY shard)"""
+
+
+ORACLES["shard_checksums"] = f"""
+WITH {_checksum_cte('documents', 's')}
+SELECT shard, n_docs, n_chars, checksum FROM cs
 """
 
 ORACLES["win_matrix"] = """
@@ -7087,8 +7095,9 @@ anch AS (SELECT m FROM tot ORDER BY W DESC, m ASC LIMIT 1),
 g0 AS (SELECT m, CAST(1.0 AS FLOAT) AS r FROM tot),
 {body}
 SELECT m AS model, r AS rating,
-       CAST(CAST(400.0 AS DOUBLE) * log10(CAST(r AS DOUBLE))
-            AS FLOAT) AS elo
+       CAST(CASE WHEN r > 0
+                 THEN CAST(400.0 AS DOUBLE) * log10(CAST(r AS DOUBLE))
+            END AS FLOAT) AS elo
 FROM g{iters}"""
 
 
@@ -7129,21 +7138,8 @@ convdocs AS (
 )
 
 
-# manifest_diff oracle: the shard_checksums chain over both snapshot
+# manifest_diff oracle: the SHARED _checksum_cte over both snapshot
 # fixtures, full-outer joined at shard granularity.
-def _manifest_cte(rel: str, tag: str) -> str:
-    return f"""c{tag} AS (
-    SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                AS BIGINT) % 64 AS shard,
-           count(*) AS n_docs,
-           CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS n_chars,
-           CAST(SUM(CAST('0x' || substr(
-               md5(CAST(doc_id AS VARCHAR) || '#'
-                   || coalesce(text, '')), 1, 8) AS BIGINT))
-               AS BIGINT) AS checksum
-    FROM {rel} GROUP BY shard)"""
-
-
 ORACLES["manifest_diff"] = f"""
 WITH snap_b AS (
     SELECT doc_id,
@@ -7151,8 +7147,8 @@ WITH snap_b AS (
                 THEN coalesce(text, '') || ' v2'
                 ELSE text END AS text
     FROM documents WHERE doc_id % 97 <> 0),
-{_manifest_cte('documents', 'a')},
-{_manifest_cte('snap_b', 'b')}
+{_checksum_cte('documents', 'a')},
+{_checksum_cte('snap_b', 'b')}
 SELECT coalesce(ca.shard, cb.shard) AS shard,
        coalesce(ca.n_docs, 0) AS n_docs_a,
        coalesce(cb.n_docs, 0) AS n_docs_b,

@@ -121,8 +121,12 @@ def conv_near_dup(
     is the exact one): re-rolled sessions that share most turns but
     differ in a few. Each conversation reduces to a DOCUMENT whose
     tokens are its per-turn canonical md5 fingerprints in turn order
-    (the conv_dedup canonicalization: lowercased, ws-collapsed; NULL
-    turns fingerprint as md5('') — documented policy), and the
+    (the conv_dedup canonicalization: lowercased, ws-collapsed). NULL
+    turns fingerprint as md5('') and so COUNT as sequence positions —
+    deliberately STRICTER than conv_dedup, whose md5(NULL) elements
+    vanish from the array_join so a NULL turn is invisible to the
+    exact fingerprint (divergence documented here because the
+    docstrings are the family contract), and the
     standard MinHash+LSH pipeline runs on those documents: 3-gram
     shingles over the TURN SEQUENCE, so similarity is order-sensitive
     exactly like training-data conv dedup wants.
@@ -137,7 +141,9 @@ def conv_near_dup(
     posting lists.
     """
     from ocr_spark.operators.dedup import minhash_lsh_pairs
+    from ocr_spark.operators.textops import _ensure_parallelism
 
+    df = _ensure_parallelism(df)
     canon = F.regexp_replace(
         F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
         r"\s+",

@@ -336,10 +336,17 @@ def elo_fit(matrix: DataFrame, iters: int = 3) -> DataFrame:
             )
             .localCheckpoint()
         )
+    # zero-win models sit AT the BT MLE boundary (rating 0): their
+    # elo is NULL, not -inf — and the guard is load-bearing
+    # cross-engine (Spark log10(0) returns NULL, DuckDB ERRORS; the
+    # zipf_fit degenerate-variance policy).
     return g.select(
         F.col("m").alias("model"),
         "rating",
-        (F.lit(400.0) * F.log10(F.col("rating").cast("double")))
+        F.when(
+            F.col("rating") > 0,
+            F.lit(400.0) * F.log10(F.col("rating").cast("double")),
+        )
         .cast("float")
         .alias("elo"),
     )

@@ -544,7 +544,7 @@ def _elo_ref(matrix, iters=3):
         pairs.append((b, a, wb + t / 2, n))
     models = sorted({m for m, *_ in pairs})
     W = {m: sum(w for mm, _, w, _ in pairs if mm == m) for m in models}
-    anchor = max(models, key=lambda m: (W[m], [-ord(c) for c in m]))
+    anchor = min(models, key=lambda m: (-W[m], m))
     g = {m: np.float32(1.0) for m in models}
     for _ in range(iters):
         den = {
@@ -681,3 +681,36 @@ def test_manifest_diff_flags_only_changed_shards(spark):
     # identical snapshots: zero changed
     clean = X.manifest_diff(a, a, shards=16)
     assert clean.filter(F.col("changed") == 1).count() == 0
+
+
+def test_manifest_diff_emptied_shard(spark):
+    rows = [(i, f"doc {i}") for i in range(300)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    # snapshot b drops EVERY doc of one shard: the full-outer branch
+    sh = lambda i: _sel16(str(i)) % 8  # noqa: E731
+    victim = sh(0)
+    rows_b = [(i, t) for i, t in rows if sh(i) != victim]
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    out = {r["shard"]: r for r in X.manifest_diff(a, b, shards=8).collect()}
+    v = out[victim]
+    assert v["changed"] == 1
+    assert v["n_docs_b"] == 0 and v["checksum_b"] == -1
+    assert v["n_docs_a"] > 0
+    assert sum(r["changed"] for r in out.values()) == 1
+    # and the mirror: a shard newborn in b
+    out2 = {r["shard"]: r for r in X.manifest_diff(b, a, shards=8).collect()}
+    assert out2[victim]["n_docs_a"] == 0
+    assert out2[victim]["checksum_a"] == -1
+    assert out2[victim]["changed"] == 1
+
+
+def test_elo_fit_zero_win_elo_is_null(spark):
+    df = spark.createDataFrame(
+        [("ma", "mb", 5, 0, 0, 5)],
+        "model_a string, model_b string, wins_a long, wins_b long,"
+        " ties long, n_prompts long",
+    )
+    out = {r["model"]: r for r in PF.elo_fit(df, 3).collect()}
+    assert out["mb"]["rating"] == np.float32(0.0)
+    assert out["mb"]["elo"] is None  # boundary: NULL, never -inf
+    assert out["ma"]["elo"] == np.float32(0.0)  # log10(1) = 0
