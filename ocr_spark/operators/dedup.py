@@ -22,7 +22,7 @@ match bit-for-bit); no UDFs, no driver-side loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ocr_spark.operators.textops import (
     TOKENS_LC,
@@ -156,7 +156,7 @@ def _with_shingles(df: DataFrame, n: int) -> DataFrame:
 
 
 def _jaccard_from_shingles(
-    sh: DataFrame, threshold: float, max_df: int
+    sh: DataFrame, threshold: float, max_df: int, cands=None
 ) -> DataFrame:
     """Exact-Jaccard pairs from an exploded (doc_id, shingle) relation.
 
@@ -166,6 +166,22 @@ def _jaccard_from_shingles(
     document, i.e. it is corpus-sized — a forced broadcast is a driver
     OOM at 10^9 docs. AQE still turns them into broadcast joins at small
     scale when the runtime size is under the threshold.
+
+    ``cands`` (r6): an optional (doc_a, doc_b) candidate-pair relation.
+    When given, the Jaccard is computed PER CANDIDATE PAIR from per-doc
+    pruned-shingle-set arrays (two keyed joins + one in-row
+    ``array_intersect``) instead of the posting-list self-join — the
+    self-join generates sum-over-shingles df^2/2 rows even after the
+    candidate-DOC restriction (with near-dup-dense fixtures the
+    candidate docs ARE the corpus: measured 86,609 candidate pairs over
+    50k docs at sf1.0, ~7s in the pair blowup), while the pair path is
+    O(|cands| x doc_len). Results are identical for threshold > 0: the
+    explicit ``inter >= 1`` filter reproduces the self-join's
+    shares-at-least-one-shingle precondition, the df-cap is applied to
+    the SAME ``sh`` relation before the arrays are built, and the
+    arrays are sets by construction (``_with_shingles`` explodes
+    ``array_distinct``), so ``size(array_intersect)`` equals the
+    self-join's shared-shingle count.
     """
     # posting-list pruning: drop degenerate ultra-common shingles
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -174,6 +190,44 @@ def _jaccard_from_shingles(
         .filter(F.col("_df") <= max_df)
         .drop("_df")
     )
+    if cands is not None:
+        sets = sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("ss")
+        )
+        sa = sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")
+        )
+        return (
+            cands.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("sa", "sb")).alias("inter"),
+                F.size("sa").alias("size_a"),
+                F.size("sb").alias("size_b"),
+            )
+            .filter(F.col("inter") >= 1)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter")
+                    / (
+                        F.col("size_a")
+                        + F.col("size_b")
+                        - F.col("inter")
+                    ),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                "doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard"
+            )
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -364,16 +418,22 @@ def minhash_lsh_pairs(
     cand_docs = cands.select(F.col("doc_a").alias("doc_id")).unionByName(
         cands.select(F.col("doc_b").alias("doc_id"))
     )
-    # verify from the SAME shingle relation the signatures were built
-    # from (semi-joined down to candidate docs) instead of re-tokenizing
-    # the raw text — one shingle definition, half the map work
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
-    verified = _jaccard_from_shingles(
-        sh_cand, threshold=threshold, max_df=max_df
-    ).select("doc_a", "doc_b", "jaccard")
-    return cands.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    # r6: semi-join the RAW docs down to candidates BEFORE shingling —
+    # Catalyst cannot push a join below the explode, so semi-joining the
+    # exploded `sh` relation re-tokenized the ENTIRE corpus for the
+    # verify pass; per-doc shingles don't depend on other docs, so
+    # shingling the candidate-only corpus is result-identical and the
+    # verify pass tokenizes O(candidates) docs instead of O(corpus)
+    sh_cand = _with_shingles(
+        df.join(cand_docs, "doc_id", "left_semi"), n
     )
+    # r6: candidate-PAIR verify (see _jaccard_from_shingles) — the
+    # posting-list self-join exploded to sum df^2 rows even over
+    # candidate docs only; the pair path already returns a subset of
+    # ``cands``, so no closing join is needed
+    return _jaccard_from_shingles(
+        sh_cand, threshold=threshold, max_df=max_df, cands=cands
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def minhash_estimate_pairs(
@@ -1182,18 +1242,19 @@ def simhash_hamming_pairs(
             for b in range(bands)
         ]
     )
-    # carry every band value alongside the exploded bucket key (as
-    # PLAIN int columns, not an array: the Hamming sum then stays in
-    # whole-stage codegen — the zip_with/aggregate lambda formulation
-    # is interpreted per element and dominated the verify stage) so the
-    # verify step needs no join back to the wide table
-    banded = wide.select(
-        "doc_id",
-        *[F.col(f"band{b}") for b in range(bands)],
-        F.explode(entries).alias("e"),
-    ).select("doc_id", *[f"band{b}" for b in range(bands)],
-             F.col("e.band").alias("band"), F.col("e.val").alias("val"))
+    ham = sum(
+        F.expr(f"bit_count(a.band{i} ^ b.band{i})") for i in range(bands)
+    ).cast("int")
     if max_bucket is not None:
+        # capped path (recall-trading variant): bucket populations are
+        # bounded by max_bucket, so the doc-level bucket join cannot
+        # produce a straggler key and the original shape stands.
+        banded = wide.select(
+            "doc_id",
+            *[F.col(f"band{b}") for b in range(bands)],
+            F.explode(entries).alias("e"),
+        ).select("doc_id", *[f"band{b}" for b in range(bands)],
+                 F.col("e.band").alias("band"), F.col("e.val").alias("val"))
         sizes = banded.groupBy("band", "val").agg(
             F.count(F.lit(1)).alias("_bn")
         )
@@ -1202,22 +1263,97 @@ def simhash_hamming_pairs(
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = sum(
-        F.expr(f"bit_count(a.band{i} ^ b.band{i})") for i in range(bands)
-    ).cast("int")
-    return (
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(b, ["band", "val"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    # r6: FINGERPRINT-GROUP candidate join. The doc-level bucket
+    # self-join is quadratic in bucket population — measured at sf1.0
+    # the largest band bucket holds 16,242 of 50k docs, sum-over-
+    # buckets |b|^2 = 481M pair rows generated inside ONE sort-merge
+    # key (a single task, ~13s; guide §2.5's unsplittable hot key),
+    # and 39.6M surviving rows then paid a full distinct shuffle.
+    # Templated corpora collapse hard at the fingerprint level (33,123
+    # distinct 4-band fingerprints for those 50k docs; fp-level
+    # sum |b|^2 = 49M, 10x less), so:
+    #   1. group docs by their full fingerprint (sorted doc_id list);
+    #   2. bucket-join DISTINCT fingerprints; dedup multi-band matches
+    #      with a first-shared-band predicate (both sides carry every
+    #      band, so "this row's band is the smallest index on which
+    #      the two fingerprints agree" keeps EXACTLY one row per fp
+    #      pair — no doc-pair distinct shuffle at all);
+    #   3. expand the surviving fp pairs to doc pairs: cross pairs for
+    #     distinct fps (least/greatest ordering), in-group i<j
+    #      combinations at hamming 0 for same-fp docs. Each unordered
+    #      doc pair arises from exactly one fp pair, so the expansion
+    #      IS distinct by construction.
+    # Output rows identical to the doc-level join + distinct: same
+    # pair set (pigeonhole at fp level is the doc-level condition),
+    # same hamming values, same (doc_a < doc_b) orientation.
+    grp = wide.groupBy(*[f"band{b}" for b in range(bands)]).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    fpb = grp.select(
+        *[f"band{b}" for b in range(bands)],
+        "ids",
+        F.explode(entries).alias("e"),
+    ).select(
+        *[f"band{b}" for b in range(bands)],
+        "ids",
+        F.col("e.band").alias("band"),
+        F.col("e.val").alias("val"),
+    )
+    a = fpb.alias("a")
+    b = fpb.alias("b")
+    first_shared = F.coalesce(
+        *[
+            F.when(F.col(f"a.band{i}") == F.col(f"b.band{i}"), F.lit(i))
+            for i in range(bands)
+        ]
+    )
+    fp_lt = F.struct(
+        *[F.col(f"a.band{i}") for i in range(bands)]
+    ) < F.struct(*[F.col(f"b.band{i}") for i in range(bands)])
+    fp_pairs = (
         a.join(b, ["band", "val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(fp_lt & (F.col("band") == first_shared))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ids").alias("ia"),
+            F.col("b.ids").alias("ib"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    cross = (
+        fp_pairs.select(
+            F.explode("ia").alias("x"), "ib", "hamming"
+        )
+        .select("x", F.explode("ib").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "hamming",
+        )
+    )
+    within = (
+        grp.filter(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select("i", "doc_a", F.posexplode("ids").alias("j", "doc_b"))
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
@@ -1507,14 +1643,21 @@ def incremental_minhash_verified(
         .distinct()
     )
     cand = cand.localCheckpoint(eager=True)
-    sh_i = _with_shingles(increment, n).join(
-        cand.select("doc_id"), "doc_id", "left_semi"
+    # r6: semi-join the RAW docs down to candidates BEFORE shingling
+    # (a join does not push below the explode — the minhash_lsh_pairs
+    # fix applied bipartite): the verify stage now tokenizes only
+    # candidate docs on each side instead of both full corpora
+    sh_i = _with_shingles(
+        increment.join(cand.select("doc_id"), "doc_id", "left_semi"), n
     )
-    sh_c = (
-        _with_shingles(committed_docs.select("doc_id", "text"), n)
-        .withColumnRenamed("doc_id", "committed_id")
-        .join(cand.select("committed_id"), "committed_id", "left_semi")
-    )
+    sh_c = _with_shingles(
+        committed_docs.select("doc_id", "text").join(
+            cand.select(F.col("committed_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        ),
+        n,
+    ).withColumnRenamed("doc_id", "committed_id")
     # df cap over the candidate-restricted UNION (both sides contribute
     # to a shingle's document frequency, as in the one-relation op)
     dfreq = (
@@ -1527,19 +1670,29 @@ def incremental_minhash_verified(
     )
     sh_i = sh_i.join(dfreq, "shingle", "left_semi")
     sh_c = sh_c.join(dfreq, "shingle", "left_semi")
-    sz_i = sh_i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_i"))
-    sz_c = sh_c.groupBy("committed_id").agg(
-        F.count(F.lit(1)).alias("sz_c")
+    # r6: candidate-PAIR verify, bipartite (the _jaccard_from_shingles
+    # cands path): the shingle-keyed sh_i x sh_c join exploded to
+    # sum-over-shingles df_i*df_c rows before its groupBy; joining each
+    # candidate pair to the two per-doc pruned-shingle-set arrays and
+    # intersecting in-row is O(|cand| x doc_len). inter >= 1 reproduces
+    # the inner-join's shares-a-shingle precondition exactly.
+    set_i = sh_i.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("si")
     )
-    inter = (
-        sh_i.join(sh_c, "shingle")
-        .groupBy("doc_id", "committed_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(cand, ["doc_id", "committed_id"], "left_semi")
+    set_c = sh_c.groupBy("committed_id").agg(
+        F.collect_list("shingle").alias("sc")
     )
     return (
-        inter.join(sz_i, "doc_id")
-        .join(sz_c, "committed_id")
+        cand.join(set_i, "doc_id")
+        .join(set_c, "committed_id")
+        .select(
+            "doc_id",
+            "committed_id",
+            F.size(F.array_intersect("si", "sc")).alias("inter"),
+            F.size("si").alias("sz_i"),
+            F.size("sc").alias("sz_c"),
+        )
+        .filter(F.col("inter") >= 1)
         .select(
             "doc_id",
             "committed_id",

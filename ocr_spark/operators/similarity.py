@@ -76,6 +76,95 @@ def _with_norm(
     return df.withColumn("nrm", _norm_expr(col, dims))
 
 
+def _near_pair_candidates(
+    e: DataFrame,
+    key_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    margin: float = 2e-4,
+    block: int = 512,
+) -> DataFrame:
+    """SUPERSET of within-group near-dup candidate pairs by blocked
+    numpy cosine — the r6 fix for the quadratic pair stage.
+
+    ``e`` carries (``id_col``, embedding, ``key_col``); every pair of
+    rows sharing ``key_col`` whose EXACT rounded cosine could pass
+    ``threshold`` is returned as (doc_a, doc_b), doc_a < doc_b.
+    Callers MUST re-score the candidates with the module's exact
+    ``_dot_expr`` expression and re-apply the threshold — this stage
+    only prunes, it never decides (the winnow_verified discipline).
+
+    Why: the previous shape — bucket/cluster self-join + per-pair
+    interpreted ``zip_with``/``aggregate`` lambda — evaluates an
+    interpreted d-element fold for EVERY same-group pair:
+    sum-over-groups |g|^2 pairs, ~60s for 20k vectors in 8 clusters
+    (measured, sf1.0). A float64 BLAS matmul per group block does the
+    same arithmetic orders of magnitude faster; the candidate set it
+    emits is tiny by the near-dup premise, so the exact re-score
+    touches O(near-dups), not O(pairs).
+
+    Exactness: numpy and the JVM fold differ only in float64 summation
+    order — bounded by ~d*eps relative (~1e-13 at d=64), 9 orders of
+    magnitude inside ``margin``.  The keep mask is ``~(cos < cut)`` so
+    NaN cosines (zero-norm vectors) stay candidates — Spark treats NaN
+    as greater than any double, so the exact filter PASSES those pairs
+    and the pruner must never drop them. NULL / wrong-width embeddings
+    are excluded here AND can never pass the exact filter (their cos is
+    NULL), so the superset property holds for them too.
+
+    Memory: per task one (block x |g|) float64 scores matrix (~100 MB
+    at |g| = 25k, block 512) — bounded regardless of group size; group
+    rows themselves must fit one pandas group (the applyInPandas
+    contract), which the k ~ sqrt(N) / 2^dims-buckets sizing already
+    guarantees for any sane configuration.
+    """
+    from collections.abc import Iterator  # noqa: F401  (doc parity)
+
+    import numpy as np
+    import pandas as pd
+
+    id_t = e.schema[id_col].dataType.simpleString()
+    out_schema = f"doc_a {id_t}, doc_b {id_t}"
+    cut = float(threshold) - margin
+
+    def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.array(
+            pdf["embedding"].to_numpy()[order].tolist(), dtype=np.float64
+        )
+        nrm = np.sqrt((m * m).sum(axis=1))
+        outs = []
+        n = len(ids)
+        for s in range(0, n, block):
+            blk = (m[s : s + block] @ m.T) / np.outer(
+                nrm[s : s + block], nrm
+            )
+            ii, jj = np.nonzero(~(blk < cut))
+            gi = ii + s
+            sel = ids[gi] < ids[jj]
+            if sel.any():
+                outs.append(
+                    pd.DataFrame(
+                        {"doc_a": ids[gi[sel]], "doc_b": ids[jj[sel]]}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
+        return pd.concat(outs)
+
+    # group by (key, width): a cross-width pair's exact cos is NULL
+    # (zip_with pads with null) so it never passes the threshold — and
+    # uniform width keeps np.array rectangular
+    sized = e.filter(F.col("embedding").isNotNull()).withColumn(
+        "_w", F.size("embedding")
+    )
+    return sized.groupBy(key_col, "_w").applyInPandas(find, out_schema)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -247,21 +336,27 @@ def cosine_near_dup_pairs(
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
+    # r6: numpy-blocked candidate pruning per bucket (see
+    # _near_pair_candidates) replaces the bucket self-join whose
+    # interpreted per-pair lambda went quadratic-in-bucket; candidates
+    # are re-scored with the IDENTICAL exact expression below, so the
+    # emitted (doc_a, doc_b, cos) rows are bit-equal to the old plan's.
+    cand = _near_pair_candidates(
+        e.select("vec_id", "embedding", "bucket"), "bucket", threshold
+    )
     a = e.select(
         F.col("vec_id").alias("doc_a"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
-        "bucket",
     )
     b = e.select(
         F.col("vec_id").alias("doc_b"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
-        "bucket",
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "cos",
             F.round(

@@ -181,12 +181,11 @@ def winnow_verified_pairs(
     sh = _with_shingles(
         df.join(cand_docs, "doc_id", "left_semi"), shingle_n
     )
-    verified = _jaccard_from_shingles(
-        sh, threshold=threshold, max_df=jaccard_max_df
+    # r6: candidate-PAIR verify (see dedup._jaccard_from_shingles) —
+    # returns a subset of ``cands``, so no closing join is needed
+    return _jaccard_from_shingles(
+        sh, threshold=threshold, max_df=jaccard_max_df, cands=cands
     ).select("doc_a", "doc_b", "jaccard")
-    return cands.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
-    )
 
 
 def cms_heavy_hitters(
