@@ -76,12 +76,23 @@ def bpe_encode_counts(
 
     def run(batches):
         ranks = {pair: i for i, pair in enumerate(merges)}
+        # r6: memoize per-word encode lengths for the task lifetime —
+        # encode_word is deterministic and the word vocabulary is
+        # Zipf-small, so each task pays the merge loop once per
+        # DISTINCT word instead of once per occurrence (guide §4.5;
+        # measured 8.1s -> ~2s at sf1.0, identical counts)
+        cache: dict[str, int] = {}
+
+        def enc(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                n = len(bpe_ref.encode_word(w, ranks))
+                cache[w] = n
+            return n
+
         for pdf in batches:
             n = [
-                sum(
-                    len(bpe_ref.encode_word(w, ranks))
-                    for w in (t or "").lower().split()
-                )
+                sum(enc(w) for w in (t or "").lower().split())
                 for t in pdf["text"]
             ]
             yield pdf[["doc_id"]].assign(n_bpe=n)

@@ -54,6 +54,67 @@ def _assign(
     """One assignment pass: (vec_id, cid, cos) — nearest centroid by
     rounded cosine, ties to the smaller cid.
 
+    r6 shape: full-width rows score through a vectorized mapInPandas
+    kernel (``similarity._fold_cos_matrix`` — the same left-to-right
+    IEEE fold as the expression, so every unrounded cosine is
+    bit-equal — plus ``_round4_argmax``, which only pays exact decimal
+    rounding for within-2e-4 ties); rows whose embedding is NULL or
+    not ``d``-wide keep the original expression path (their NULL-cos /
+    NaN semantics are exactly Spark's) and union in. Still a pure map:
+    no join, no aggregation, no exchange (plan-pinned). The
+    interpreted k x d lambda cost the fit ~60% of its wall at sf1.0.
+    """
+    import math
+
+    from .similarity import _fold_cos_matrix, _round4_argmax
+
+    # conform = exactly d NON-NULL elements: a NULL element would
+    # surface as NaN through Arrow (while the expression fold gives a
+    # NULL cos), so such rows take the expression path — array_compact
+    # is one call per row, not a per-element lambda
+    ok = (F.size("embedding") == F.lit(d)) & (
+        F.size(F.array_compact("embedding")) == F.lit(d)
+    )
+    conform = emb.filter(ok).select("vec_id", "embedding")
+    rest = emb.filter(F.coalesce(~ok, F.lit(True)))
+
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    cmat = np.array([c for _, c in centroids], dtype=np.float64)
+    cn = np.array(
+        [math.sqrt(sum(v * v for v in c)) for _, c in centroids]
+    )
+    id_t = emb.schema["vec_id"].dataType.simpleString()
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cos = _fold_cos_matrix(m, cmat, cn)
+            win, rounded = _round4_argmax(cos)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[win],
+                    "cos": rounded,
+                }
+            )
+
+    fast = conform.mapInPandas(
+        score, f"vec_id {id_t}, cid bigint, cos double"
+    )
+    return fast.unionByName(_assign_expr(rest, centroids, d))
+
+
+def _assign_expr(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]], d: int
+) -> DataFrame:
+    """Expression-path assignment (the pre-r6 form, kept verbatim as
+    the non-conforming-row fallback and the semantics reference).
+
     The centroids are driver-known literals, so assignment is a PURE
     MAP: each row builds a k-element array of (cos, -cid) structs and
     takes ``array_max`` (struct ordering = cos first, then -cid, i.e.

@@ -99,16 +99,16 @@ def _code_expr(sub_col: str, nrm_col: str, book, dsub: int):
     return F.expr("array_max(array(" + ",".join(entries) + "))")
 
 
-def _wide_codes(
+def _wide_codes_expr(
     subs: DataFrame,
     books: Codebooks,
     m: int,
     dsub: int,
     keep: tuple[str, ...] = (),
+    carry_subs: bool = False,
 ):
-    """(vec_id, *keep, code_0..code_{m-1}) — pure map over the
-    subvector projection (codebooks are literals: no join, no
-    shuffle)."""
+    """Expression-path encode (the pre-r6 form, kept as the
+    non-conforming-row fallback and semantics reference)."""
     return subs.select(
         "vec_id",
         *keep,
@@ -118,6 +118,94 @@ def _wide_codes(
             .alias(f"code_{s}")
             for s in range(m)
         ],
+        *([f"sub_{s}" for s in range(m)] if carry_subs else []),
+    )
+
+
+def _wide_codes(
+    subs: DataFrame,
+    books: Codebooks,
+    m: int,
+    dsub: int,
+    keep: tuple[str, ...] = (),
+    carry_subs: bool = False,
+):
+    """(vec_id, *keep, code_0..code_{m-1}[, sub_0..]) — pure map over
+    the subvector projection (codebooks are literals: no join, no
+    shuffle).
+
+    r6 shape: conforming rows (every subvector exactly ``dsub``
+    non-null floats) score through a vectorized mapInPandas kernel —
+    ``similarity._fold_cos_matrix`` reproduces the expression fold
+    bit-for-bit and ``_round4_argmax`` resolves the round-4 argmax
+    with exact decimal rounding only on within-margin ties — while
+    non-conforming rows keep the original ``_code_expr`` path (their
+    NULL-cosine semantics are exactly Spark's) and union in. Still a
+    map-only plan (mapInPandas + filtered scan branches, zero
+    Exchange); the m x ksub interpreted aggregates per row were the
+    bulk of pq_encode's wall at sf1.0."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _fold_cos_matrix, _round4_argmax
+
+    ok = None
+    for s in range(m):
+        c = (F.size(f"sub_{s}") == F.lit(dsub)) & (
+            F.size(F.array_compact(f"sub_{s}")) == F.lit(dsub)
+        )
+        ok = c if ok is None else (ok & c)
+    conform = subs.filter(ok).select(
+        "vec_id", *keep, *[f"sub_{s}" for s in range(m)]
+    )
+    rest = subs.filter(F.coalesce(~ok, F.lit(True)))
+
+    codes_l = [np.array([c for c, _ in bk], np.int64) for bk in books]
+    cmats = [
+        np.array([v for _, v in bk], dtype=np.float64) for bk in books
+    ]
+    cns = [
+        np.array(
+            [math.sqrt(sum(x * x for x in v)) for _, v in bk]
+        )
+        for bk in books
+    ]
+    fields = {f.name: f.dataType.simpleString() for f in subs.schema}
+    out_schema = ", ".join(
+        [f"vec_id {fields['vec_id']}"]
+        + [f"{c} {fields[c]}" for c in keep]
+        + [f"code_{s} int" for s in range(m)]
+        + (
+            [f"sub_{s} array<float>" for s in range(m)]
+            if carry_subs
+            else []
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for c in keep:
+                out[c] = pdf[c]
+            for s in range(m):
+                ms = np.array(
+                    pdf[f"sub_{s}"].tolist(), dtype=np.float64
+                )
+                cos = _fold_cos_matrix(ms, cmats[s], cns[s])
+                win, _ = _round4_argmax(cos, want_rounded=False)
+                out[f"code_{s}"] = codes_l[s][win].astype(np.int32)
+            if carry_subs:
+                for s in range(m):
+                    out[f"sub_{s}"] = pdf[f"sub_{s}"]
+            yield pd.DataFrame(out)
+
+    fast = conform.mapInPandas(encode, out_schema)
+    return fast.unionByName(
+        _wide_codes_expr(rest, books, m, dsub, keep, carry_subs)
     )
 
 
@@ -234,15 +322,12 @@ def pq_codebooks(
         return books
     subs = _with_subs(embeddings.select("vec_id", "embedding"), m, dsub)
     for _ in range(iters):
-        coded = subs.select(
-            *[F.col(f"sub_{s}") for s in range(m)],
-            *[
-                (-_code_expr(f"sub_{s}", f"nrm_{s}", books[s], dsub)["ncode"])
-                .cast("int")
-                .alias(f"code_{s}")
-                for s in range(m)
-            ],
-        )
+        # r6: the per-iteration assignment runs through the vectorized
+        # _wide_codes kernel (carrying the subvectors so the update
+        # explode needs no join); codes identical to the _code_expr
+        # form by the _fold_cos_matrix/_round4_argmax exactness
+        # argument
+        coded = _wide_codes(subs, books, m, dsub, carry_subs=True)
         stacked = coded.select(
             F.explode(
                 F.array(

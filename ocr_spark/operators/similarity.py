@@ -165,6 +165,87 @@ def _near_pair_candidates(
     return sized.groupBy(key_col, "_w").applyInPandas(find, out_schema)
 
 
+def _spark_round4(x: float) -> float:
+    """Scalar round(x, 4) matching Spark's Round expression: BigDecimal
+    of the shortest-repr double, HALF_UP (the CLAUDE.md rounding rule —
+    ``Decimal(repr(x))`` reproduces it). NaN/inf pass through (Spark's
+    Round returns non-finite inputs unchanged); -0.0 normalizes to 0.0
+    (BigDecimal has no negative zero)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if math.isnan(x) or math.isinf(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    ) + 0.0
+
+
+def _fold_cos_matrix(m, cmat, cn):
+    """(rows x centroids) cosine matrix BIT-EQUAL to the module's
+    ``aggregate``/``zip_with`` expression: products accumulate
+    left-to-right per coordinate (one fused multiply+add per t, the
+    same IEEE op order as the fold), norms fold the same way, and the
+    division is dot / (nrm * cn) exactly as the expression writes it.
+    ``cn`` must be the caller's driver-side per-centroid norms (python
+    ``math.sqrt(sum(...))`` — the same fold the expression embeds as a
+    literal)."""
+    import numpy as np
+
+    acc = np.zeros((m.shape[0], cmat.shape[0]))
+    nacc = np.zeros(m.shape[0])
+    for t in range(m.shape[1]):
+        xt = m[:, t]
+        acc += xt[:, None] * cmat[:, t][None, :]
+        nacc += xt * xt
+    with np.errstate(all="ignore"):
+        return acc / (np.sqrt(nacc)[:, None] * cn[None, :])
+
+
+def _round4_argmax(cos, margin: float = 2e-4, want_rounded: bool = True):
+    """Per-row argmax of round-4 cosine with ties to the SMALLER column
+    index — bit-equal to Spark's ``array_max`` over (round(cos, 4),
+    -cid) structs, without paying decimal rounding per cell.
+
+    Fast path: when only one column lies within ``margin`` of the
+    row's unrounded max, rounding cannot change the winner (two values
+    2e-4 apart round at least one 1e-4 grid step apart). Slow path
+    (ties): exact ``_spark_round4`` on the few candidates, max rounded,
+    first (= smallest index) wins. NaN columns (zero norms) follow
+    Spark's NaN-greatest double ordering: any-NaN row picks the
+    smallest NaN column. Returns (winner index array, rounded winner
+    value array)."""
+    import numpy as np
+
+    n = cos.shape[0]
+    win = np.zeros(n, dtype=np.int64)
+    out = np.empty(n, dtype=np.float64) if want_rounded else None
+    nanmask = np.isnan(cos)
+    has_nan = nanmask.any(axis=1)
+    if has_nan.any():
+        win[has_nan] = nanmask[has_nan].argmax(axis=1)
+        if want_rounded:
+            out[has_nan] = np.nan
+    ok = ~has_nan
+    if ok.any():
+        c = cos[ok]
+        mx = c.max(axis=1)
+        cand = c >= (mx[:, None] - margin)
+        w = c.argmax(axis=1)
+        slow = cand.sum(axis=1) > 1
+        for i in np.nonzero(slow)[0]:
+            js = np.nonzero(cand[i])[0]
+            rs = [_spark_round4(float(c[i, j])) for j in js]
+            best = max(rs)
+            w[i] = js[rs.index(best)]
+        win[ok] = w
+        if want_rounded:
+            out[ok] = [
+                _spark_round4(float(c[i, w[i]])) for i in range(len(w))
+            ]
+    return win, out
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
