@@ -463,7 +463,14 @@ def minhash_estimate_pairs(
     the plan recomputes the signature agg per consumer, matching
     ``minhash_lsh_pairs``' shape.
     """
-    sig = _minhash_agg(_with_shingles(df, n), num_hashes)
+    # r6: the signature relation feeds THREE consumers (banding + both
+    # sides of the component compare) — checkpoint it so the corpus
+    # shingle+md5 pass runs once, which is exactly the "signatures
+    # would be computed once and persisted" production note below made
+    # real (the relation is narrow: doc_id + k 8-char slices)
+    sig = _minhash_agg(
+        _with_shingles(df, n), num_hashes
+    ).localCheckpoint(eager=True)
     banded = _explode_bands(sig, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1094,14 +1101,16 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(F.min("group_id").alias("group_id"))
-            # checkpoint BEFORE the pointer-jump self-join: joining the
-            # raw union+agg plan with itself trips Catalyst's Union
-            # constraint rewrite on ambiguous attributes
-            .localCheckpoint(eager=True)
         )
-        # pointer jumping: follow the label one hop (every label is a
-        # node id, so 'prop' doubles as the lookup table)
-        lookup = prop.select(
+        # pointer jumping: follow the label one hop. r6: the lookup is
+        # the PREVIOUS iteration's checkpointed ``labels`` — looking up
+        # into ``prop`` itself required checkpointing prop first (the
+        # Catalyst Union-rewrite self-join bug), one extra eager job
+        # per round on this tiny relation. The one-round-stale lookup
+        # compresses paths almost as fast (at most one extra round to
+        # the SAME fixed point — the convergence test below is exact,
+        # and the fixed point is the component min either way).
+        lookup = labels.select(
             F.col("doc_id").alias("group_id"),
             F.col("group_id").alias("_gg"),
         )

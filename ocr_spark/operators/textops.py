@@ -687,17 +687,30 @@ def quality_select(
 
 def _dsir_features(df: DataFrame, n_buckets: int) -> DataFrame:
     """Hashed uni+bigram feature stream (doc_id, bucket) — DSIR's
-    bag-of-hashed-ngrams representation (Xie et al. '23 §2.2)."""
+    bag-of-hashed-ngrams representation (Xie et al. '23 §2.2).
+
+    r6: both feature families come out of ONE in-row concat + ONE
+    explode — the old two-branch union scanned and tokenized the
+    source twice per call (and nb_quality calls this three times).
+    The multiset of features is identical: ``filter(t, x <> '')`` is
+    the uni branch, the guarded bigram transform is ``_bigram_stream``
+    verbatim (size >= 2 CASE because ``sequence(1, 0)`` is a
+    DESCENDING [1, 0]; pairs with an empty token drop), and every
+    consumer aggregates, so row order never matters."""
     arr = _ensure_parallelism(df).select(
         "doc_id", F.expr(TOKENS_LC).alias("t")
     )
-    uni = arr.select("doc_id", F.explode("t").alias("f")).filter(
-        F.col("f") != ""
+    feats = F.expr(
+        "concat("
+        "filter(t, x -> x <> ''), "
+        "CASE WHEN size(t) >= 2 THEN transform("
+        "filter(transform(sequence(1, size(t) - 1), "
+        "i -> struct(t[i-1] AS a, t[i] AS b)), "
+        "p -> p.a <> '' AND p.b <> ''), "
+        "p -> concat(p.a, ' ', p.b)) "
+        "ELSE slice(t, 1, 0) END)"
     )
-    big = _bigram_stream(arr, "doc_id").select(
-        "doc_id", F.concat_ws(" ", "term_a", "term_b").alias("f")
-    )
-    return uni.unionByName(big).select(
+    return arr.select("doc_id", F.explode(feats).alias("f")).select(
         "doc_id",
         (
             F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
