@@ -1505,11 +1505,21 @@ def pmi_bigrams(df: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
     )
 
 
+_AZ = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
 def with_quality(df: DataFrame) -> DataFrame:
-    """Quality score in [0,1]: length, alpha ratio, stopword ratio."""
+    """Quality score in [0,1]: length, alpha ratio, stopword ratio.
+
+    r6: the alpha count is ``length(text) - length(translate(text,
+    a-zA-Z, ''))`` — the same ASCII-letter count the old
+    ``regexp_replace('[^a-zA-Z]', '')`` produced (bit-identical
+    integer), without building a filtered copy of the text through the
+    regex engine on every evaluation (this expression is inlined into
+    many downstream predicates where it evaluates per reference)."""
     n_tokens = F.size(F.expr(TOKENS))
     n_chars = F.length(F.col("text"))
-    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    alpha = n_chars - F.length(F.translate("text", _AZ, ""))
     stop_hits = F.expr(
         f"size(filter({TOKENS}, t -> lower(t) IN ({_STOP_SQL})))"
     )
@@ -1624,6 +1634,9 @@ def with_gopher_rules(
     sym = F.expr(
         f"size(filter({toks}, t -> contains(t, '#') OR contains(t, '...')))"
     )
+    # (r6 note: a translate-based letter test was tried and measured
+    # SLOWER than rlike here — the regex early-exits on the first
+    # letter while translate always scans the whole token)
     alpha = F.expr(f"size(filter({toks}, t -> t rlike '[a-zA-Z]'))")
     stop_hits = F.expr(
         f"size(filter({toks}, t -> lower(t) IN ({_STOP_SQL})))"
@@ -2321,6 +2334,10 @@ def distinct_ngrams(df: DataFrame, domain_col: str = "source") -> DataFrame:
         F.col(domain_col).alias("_dom"),
         F.expr(TOKENS_LC).alias("t"),
     ).filter(F.size("t") >= 1)
+    # (r6 note: a combined uni+bigram single-explode variant keyed on
+    # contains(term, ' ') was tried and measured SLOWER — the merged
+    # count_distinct shuffles one bigger stream and loses nothing from
+    # the second scan, which is cheap relative to the distinct aggs)
     uni = (
         arr.select("_dom", F.explode("t").alias("term"))
         .filter(F.col("term") != "")
