@@ -1131,7 +1131,7 @@ def q_shard_assign(spark, sf_dir):
 
 
 def q_train_shards(spark, sf_dir):
-    """Last-mile training-data composition, ONE Catalyst plan:
+    """Last-mile training-data composition: a checkpointed
     char-entropy quality gate (drops the low-entropy ~quartile) ->
     leakage-safe hash split -> per-split deterministic shard
     materialization. What a loader consumes: (doc_id, split, shard,
@@ -2106,8 +2106,9 @@ def q_extract_html_route(spark, sf_dir):
 
 
 def q_extract_then_curate(spark, sf_dir):
-    """The engine's two halves composed in ONE plan: the REAL pandas-UDF
-    extraction (html boilerplate strip) feeds the curation operators —
+    """The engine's two halves composed — the REAL pandas-UDF
+    extraction (html boilerplate strip), materialized once (r6
+    checkpoint), feeds the curation operators —
     token count + quality score on the EXTRACTED text, then exact-dedup
     survivors. The quality denominator uses the extracted (ws-collapsed)
     length, so the oracle must apply the same collapse — the composition

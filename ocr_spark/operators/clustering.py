@@ -68,13 +68,36 @@ def _assign(
 
     from .similarity import _fold_cos_matrix, _round4_argmax
 
-    # conform = exactly d NON-NULL elements: a NULL element would
-    # surface as NaN through Arrow (while the expression fold gives a
-    # NULL cos), so such rows take the expression path — array_compact
-    # is one call per row, not a per-element lambda
-    ok = (F.size("embedding") == F.lit(d)) & (
-        F.size(F.array_compact("embedding")) == F.lit(d)
+    # conform = exactly d FINITE non-null elements, not all zero. The
+    # excluded classes take the expression path because their
+    # semantics are engine-level and the pandas kernel cannot
+    # reproduce them: NULL elements give a NULL cos (pandas NaN
+    # arrives as NULL but NaN-data must stay NaN), NaN/Inf elements
+    # give a NaN cos that must survive Arrow as NaN, and a zero-norm
+    # vector divides by zero — which under this repo's ANSI-on
+    # sessions RAISES, exactly as the pre-r6 expression did (r6 review
+    # finding). Residual: a vector of subnormals whose squares all
+    # underflow to 0 still reaches the fast path and yields NULL cos
+    # where ANSI would raise — beyond any real embedding.
+    nonfinite = F.expr(
+        "exists(embedding, x -> isnan(x) OR abs(x) = float('Infinity'))"
     )
+    all_zero = (F.array_max("embedding") == F.lit(0.0)) & (
+        F.array_min("embedding") == F.lit(0.0)
+    )
+    ok = (
+        (F.size("embedding") == F.lit(d))
+        & (F.size(F.array_compact("embedding")) == F.lit(d))
+        & ~nonfinite
+        & ~all_zero
+    )
+    if any(
+        not math.isfinite(sum(v * v for v in c)) or sum(v * v for v in c) == 0
+        for _, c in centroids
+    ):
+        # a zero/non-finite-norm centroid poisons every row's division
+        # — the expression path owns those semantics wholesale
+        return _assign_expr(emb, centroids, d)
     conform = emb.filter(ok).select("vec_id", "embedding")
     rest = emb.filter(F.coalesce(~ok, F.lit(True)))
 

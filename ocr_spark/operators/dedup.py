@@ -457,11 +457,12 @@ def minhash_estimate_pairs(
 
     Returns (doc_a, doc_b, n_match, est_jaccard) for candidates with
     n_match >= min_match; est_jaccard = n_match/k rounds exactly
-    (multiples of 1/16 are dyadic). Signatures would be computed once
-    and persisted in production (the FingerprintStore pattern — band
-    keys AND signature components are both store-committable); here
-    the plan recomputes the signature agg per consumer, matching
-    ``minhash_lsh_pairs``' shape.
+    (multiples of 1/16 are dyadic). Signatures are computed once and
+    persisted in production (the FingerprintStore pattern — band keys
+    AND signature components are both store-committable); since r6 the
+    local stand-in matches: the signature relation is
+    localCheckpointed once for its three consumers instead of being
+    recomputed per consumer.
     """
     # r6: the signature relation feeds THREE consumers (banding + both
     # sides of the component compare) — checkpoint it so the corpus
@@ -1353,11 +1354,45 @@ def simhash_hamming_pairs(
             "hamming",
         )
     )
-    within = (
+    # within-group expansion in BLOCKS (r6 review finding): a direct
+    # double-posexplode of one group's ids regenerates |g|^2 rows from
+    # a single row in a single task — for an exact-duplicate-heavy
+    # corpus (one fp shared by 10^5 docs) that is the same
+    # unsplittable single-task blowup the fp-group join removed. Cut
+    # the sorted ids into _WBLK-slices, explode the (p <= q) block
+    # pairs, round-robin repartition those small rows, and expand each
+    # block pair independently: same pair multiset (p < q crosses all,
+    # p == q keeps i < j; ids sorted so doc_a < doc_b), but no task
+    # expands more than _WBLK^2 pairs.
+    _WBLK = 1024
+    nb1 = ((F.size("ids") - 1) / _WBLK).cast("int")  # last block index
+    w2 = (
         grp.filter(F.size("ids") >= 2)
-        .select(F.posexplode("ids").alias("i", "doc_a"), "ids")
-        .select("i", "doc_a", F.posexplode("ids").alias("j", "doc_b"))
-        .filter(F.col("i") < F.col("j"))
+        .select(
+            "ids", F.explode(F.sequence(F.lit(0), nb1)).alias("_p")
+        )
+        .select(
+            "ids",
+            "_p",
+            F.explode(
+                F.sequence(F.col("_p"), ((F.size("ids") - 1) / _WBLK).cast("int"))
+            ).alias("_q"),
+        )
+        .select(
+            F.slice("ids", F.col("_p") * _WBLK + 1, _WBLK).alias("ap"),
+            F.slice("ids", F.col("_q") * _WBLK + 1, _WBLK).alias("aq"),
+            (F.col("_p") < F.col("_q")).alias("_cb"),
+        )
+    )
+    within = (
+        w2.repartition(
+            wide.sparkSession.sparkContext.defaultParallelism
+        )
+        .select(F.posexplode("ap").alias("i", "doc_a"), "aq", "_cb")
+        .select(
+            "i", "doc_a", "_cb", F.posexplode("aq").alias("j", "doc_b")
+        )
+        .filter(F.col("_cb") | (F.col("i") < F.col("j")))
         .select(
             "doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")
         )

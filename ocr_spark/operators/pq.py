@@ -151,12 +151,32 @@ def _wide_codes(
 
     from .similarity import _fold_cos_matrix, _round4_argmax
 
+    # conform = every subvector has dsub FINITE non-null elements and
+    # a nonzero norm; excluded classes keep the expression path (NULL
+    # cos must stay NULL, NaN must stay NaN through Arrow, zero-norm
+    # divides by zero = ANSI raise — cf. clustering._assign's r6 note)
     ok = None
     for s in range(m):
-        c = (F.size(f"sub_{s}") == F.lit(dsub)) & (
-            F.size(F.array_compact(f"sub_{s}")) == F.lit(dsub)
+        c = (
+            (F.size(f"sub_{s}") == F.lit(dsub))
+            & (F.size(F.array_compact(f"sub_{s}")) == F.lit(dsub))
+            & ~F.expr(
+                f"exists(sub_{s}, "
+                "x -> isnan(x) OR abs(x) = float('Infinity'))"
+            )
+            & ~(
+                (F.array_max(f"sub_{s}") == F.lit(0.0))
+                & (F.array_min(f"sub_{s}") == F.lit(0.0))
+            )
         )
         ok = c if ok is None else (ok & c)
+    if any(
+        not math.isfinite(sum(x * x for x in v)) or sum(x * x for x in v) == 0
+        for bk in books
+        for _, v in bk
+    ):
+        # zero/non-finite codebook entry: expression path wholesale
+        return _wide_codes_expr(subs, books, m, dsub, keep, carry_subs)
     conform = subs.filter(ok).select(
         "vec_id", *keep, *[f"sub_{s}" for s in range(m)]
     )

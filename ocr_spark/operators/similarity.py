@@ -106,17 +106,25 @@ def _near_pair_candidates(
     Exactness: numpy and the JVM fold differ only in float64 summation
     order — bounded by ~d*eps relative (~1e-13 at d=64), 9 orders of
     magnitude inside ``margin``.  The keep mask is ``~(cos < cut)`` so
-    NaN cosines (zero-norm vectors) stay candidates — Spark treats NaN
-    as greater than any double, so the exact filter PASSES those pairs
-    and the pruner must never drop them. NULL / wrong-width embeddings
-    are excluded here AND can never pass the exact filter (their cos is
-    NULL), so the superset property holds for them too.
+    NaN cosines (zero-norm vectors) stay candidates — a NaN-data pair
+    passes the exact filter (Spark orders NaN greatest), and a
+    zero-NORM pair makes the exact re-score divide by zero, which
+    under this repo's ANSI-on sessions RAISES exactly as the pre-r6
+    pair join did (loud either way; the pruner must not silently drop
+    it). NULL / wrong-width embeddings are excluded here AND can never
+    pass the exact filter (their cos is NULL), so the superset
+    property holds for them too.
 
     Memory: per task one (block x |g|) float64 scores matrix (~100 MB
-    at |g| = 25k, block 512) — bounded regardless of group size; group
-    rows themselves must fit one pandas group (the applyInPandas
-    contract), which the k ~ sqrt(N) / 2^dims-buckets sizing already
-    guarantees for any sane configuration.
+    at |g| = 25k, block 512) — bounded regardless of group size. Group
+    ROWS must fit one pandas frame (the applyInPandas contract): true
+    under the k ~ sqrt(N) sizing of the k-means caller, but NOT
+    guaranteed for sign buckets — correlated post-ReLU embeddings can
+    collapse into one bucket holding the corpus (the degenerate case
+    ``cosine_near_dup_pairs`` documents; the pre-r6 self-join was
+    equally hopeless there at O(N^2) pairs). The operator's answer to
+    that regime remains the explicit ``max_bucket`` recall lever, not
+    this kernel.
     """
     from collections.abc import Iterator  # noqa: F401  (doc parity)
 
