@@ -106,10 +106,29 @@ def winnow_near_dup_pairs(
     pruned BEFORE the self-join, bounding every posting list (the join
     is quadratic per fingerprint otherwise).
     """
+    # r6: the per-doc DISTINCT fingerprint set is computed IN-ROW
+    # (drop positions, array_distinct on the u values) instead of
+    # exploding positioned selections and paying a corpus-wide
+    # .distinct() shuffle — same (doc_id, fp) set by construction
+    # (winnowing is doc-local), zero wide rows ever shuffled
+    arr = _ensure_parallelism(df).select(
+        "doc_id", F.expr(TOKENS_LC).alias("t")
+    ).filter(F.size("t") >= k + w - 1)
+    us = (
+        f"transform(sequence(0, size(t) - {k}), "
+        f"i -> struct(i AS pos, "
+        f"CAST(conv(substring(md5(concat_ws(' ', slice(t, i + 1, {k}))), "
+        f"1, 8), 16, 10) AS BIGINT) AS u))"
+    )
+    sel_u = (
+        f"array_distinct(transform(transform("
+        f"sequence(1, size(us) - {w - 1}), "
+        f"s -> aggregate(slice(us, s + 1, {w - 1}), us[s - 1], "
+        f"(acc, x) -> IF(x.u <= acc.u, x, acc))), m -> m.u))"
+    )
     fp = (
-        winnow_fingerprints(df, k=k, w=w)
-        .select("doc_id", "fp")
-        .distinct()
+        arr.select("doc_id", F.expr(us).alias("us"))
+        .select("doc_id", F.explode(F.expr(sel_u)).alias("fp"))
     )
     dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df"))
     pruned = (
