@@ -1789,10 +1789,16 @@ def near_dup_keep_best(
         docs, n=n, num_hashes=num_hashes, bands=bands,
         threshold=threshold, max_df=max_df, max_iters=max_iters,
     )
+    # r6: semi-join the quality relation down to group members FIRST —
+    # Catalyst pushes a LeftSemi below the quality Project
+    # (PushDownLeftSemiAntiJoin), so a derived quality expression
+    # evaluates only for the LSH-premise-small member set instead of
+    # the whole corpus (measured ~1.5s of with_quality eval at sf1.0);
+    # the inner join then only attaches group_id
     members = groups.join(
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q")
-        ),
+        ).join(groups.select("doc_id"), "doc_id", "left_semi"),
         "doc_id",
     ).localCheckpoint()
     keep = members.groupBy("group_id").agg(
